@@ -1,0 +1,34 @@
+"""web_mass_scraper_ocr_spark — a from-scratch PySpark-native mass
+content-extraction engine with the capabilities of the reference
+Web-Mass-Scraper-OCR repo, re-expressed Spark-first (SURVEY.md).
+
+Public API (the analogue of the reference's library surface,
+/root/reference/src/scraper_app/__init__.py:34-53):
+"""
+
+from .config import ExtractionConfig
+from .kernels import (
+    EXTRACTOR_VERSION,
+    clean_text,
+    extract_html,
+    extract_turn,
+    normalize_ocr,
+    parse_pdf_spans,
+)
+from .plans.extraction import build_extraction_df, run_extraction
+from .session import get_spark
+
+__all__ = [
+    "EXTRACTOR_VERSION",
+    "ExtractionConfig",
+    "build_extraction_df",
+    "clean_text",
+    "extract_html",
+    "extract_turn",
+    "get_spark",
+    "normalize_ocr",
+    "parse_pdf_spans",
+    "run_extraction",
+]
+
+__version__ = "0.1.0"

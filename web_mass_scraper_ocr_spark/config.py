@@ -1,0 +1,26 @@
+"""Engine configuration — the analogue of the reference's env-var layer
+(/root/reference/src/scraper_app/config.py:14-99) reduced to a typed
+dataclass; on a real cluster these ride in via ``spark-submit --conf``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class ExtractionConfig:
+    # Work-unit granularity for checkpoint/resume: conv_id hash buckets.
+    # At 10^12 turns this is the unit of idempotent redo — size it so a
+    # bucket is minutes of work (e.g. 4096+ on a 1000-executor cluster).
+    n_buckets: int = 64
+    # Salt fan-out for long-conversation skew (north_rule): a single
+    # conv_id is spread across `salt_factor` shuffle partitions during
+    # extraction (extraction is per-turn, so the salt is correctness-free).
+    salt_factor: int = 8
+    # Parallelism of the extraction stage; None -> spark.sql.shuffle.partitions.
+    extraction_partitions: int | None = None
+    extractor_version: str = "1.0.0"
+    # Arrow batch rows for the pandas UDF (bounds executor memory like the
+    # reference's 8KB chunked download bounded its memory, utils.py:210-212).
+    arrow_batch_rows: int = 10000

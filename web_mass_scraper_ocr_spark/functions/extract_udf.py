@@ -1,0 +1,70 @@
+"""The extraction pandas UDF — the engine's compute kernel wrapper.
+
+Vectorized per input_hint ("pandas/Arrow UDFs, no per-row Python" at the
+Spark level): Spark hands Arrow batches; the per-turn work happens
+inside the batch via the shared pure kernels
+(web_mass_scraper_ocr_spark.kernels.dispatch.extract_turn), which the
+test oracle also calls — one code path, per-turn equality by
+construction (SURVEY.md §7.3 item 1).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..kernels.dispatch import extract_turn
+
+EXTRACT_RESULT_SCHEMA = StructType(
+    [
+        StructField("content_kind", StringType()),
+        StructField("clean_text", StringType()),
+        StructField(
+            "spans",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("kind", StringType()),
+                        StructField("start", IntegerType()),
+                        StructField("end", IntegerType()),
+                    ]
+                )
+            ),
+        ),
+        StructField("status", StringType()),
+        StructField("n_chars", IntegerType()),
+        StructField("n_words", IntegerType()),
+    ]
+)
+
+
+def _extract_batch(text: pd.Series, tool: pd.Series) -> pd.DataFrame:
+    out = {
+        "content_kind": [],
+        "clean_text": [],
+        "spans": [],
+        "status": [],
+        "n_chars": [],
+        "n_words": [],
+    }
+    for t, k in zip(text, tool):
+        res = extract_turn(None if t is None or t is pd.NA else t, k)
+        out["content_kind"].append(res["content_kind"])
+        out["clean_text"].append(res["clean_text"])
+        out["spans"].append(
+            [{"kind": s[0], "start": s[1], "end": s[2]} for s in res["spans"]]
+        )
+        out["status"].append(res["status"])
+        out["n_chars"].append(res["n_chars"])
+        out["n_words"].append(res["n_words"])
+    return pd.DataFrame(out)
+
+
+extract_udf = F.pandas_udf(_extract_batch, returnType=EXTRACT_RESULT_SCHEMA)

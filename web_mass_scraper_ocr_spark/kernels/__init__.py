@@ -1,0 +1,22 @@
+"""Pure-Python extraction kernels — one code path for engine and oracle."""
+
+from .dispatch import EXTRACTOR_VERSION, content_kind, extract_turn
+from .html_extract import extract_html
+from .ocr_normalize import normalize_ocr, normalize_ocr_text
+from .pdf_spans import parse_pdf_spans
+from .textclean import clean_text, paragraph_count, text_stats
+from . import status
+
+__all__ = [
+    "EXTRACTOR_VERSION",
+    "clean_text",
+    "content_kind",
+    "extract_html",
+    "extract_turn",
+    "normalize_ocr",
+    "normalize_ocr_text",
+    "paragraph_count",
+    "parse_pdf_spans",
+    "status",
+    "text_stats",
+]

@@ -1,0 +1,78 @@
+"""Per-turn extraction dispatcher — the single code path shared by the
+Spark pandas UDF and the pandas/golden oracle (SURVEY.md §2.10).
+
+Replaces the reference's scrape_page + ocr_image cores
+(/root/reference/src/scraper_app/scraper.py:122-327,
+ /root/reference/src/scraper_app/ocr.py:15-113): routes each turn's raw
+payload by its ``tool`` hint to the HTML extractor / PDF span parser /
+OCR normalizer / plain cleaner, and returns a fixed-shape result with
+the reference's never-raise status taxonomy and counting semantics.
+"""
+
+from __future__ import annotations
+
+from . import status as st
+from .html_extract import extract_html
+from .ocr_normalize import normalize_ocr
+from .pdf_spans import parse_pdf_spans
+from .textclean import clean_text, text_stats
+
+EXTRACTOR_VERSION = "1.0.0"
+
+_PLAIN_TOOLS = ("", "plain", "text", None)
+
+
+def _plain(payload: str) -> dict:
+    try:
+        out = clean_text(payload)
+        spans = [("text", 0, len(out))] if out else []
+        return {
+            "clean_text": out,
+            "spans": spans,
+            "status": st.SUCCESS if out else st.NO_TEXT_FOUND,
+        }
+    except Exception:
+        return {"clean_text": "", "spans": [], "status": st.ERROR_PROCESSING}
+
+
+def content_kind(tool: str | None) -> str:
+    if tool in ("html", "pdf", "ocr"):
+        return tool
+    if tool in _PLAIN_TOOLS:
+        return "plain"
+    return "unknown"
+
+
+def extract_turn(text: str | None, tool: str | None) -> dict:
+    """Extract one turn's payload. NEVER raises.
+
+    Returns {content_kind, clean_text, spans, status, n_chars, n_words}
+    with spans = [(kind, start, end)] into clean_text;
+    n_chars/n_words per reference ocr.py:77-78 counting.
+    Missing payload -> error_file_not_found (payload absent ~ the
+    reference's missing-file class, ocr.py:96-98); unknown tool ->
+    error_unsupported_format (ocr.py:99-103 class).
+    """
+    kind = content_kind(tool)
+    if text is None:
+        res = {"clean_text": "", "spans": [], "status": st.ERROR_FILE_NOT_FOUND}
+    elif kind == "html":
+        res = extract_html(text)
+    elif kind == "pdf":
+        res = parse_pdf_spans(text)
+    elif kind == "ocr":
+        res = normalize_ocr(text)
+    elif kind == "plain":
+        res = _plain(text)
+    else:
+        res = {"clean_text": "", "spans": [], "status": st.ERROR_UNSUPPORTED_FORMAT}
+
+    n_chars, n_words = text_stats(res["clean_text"])
+    return {
+        "content_kind": kind,
+        "clean_text": res["clean_text"],
+        "spans": list(res["spans"]),
+        "status": res["status"],
+        "n_chars": n_chars,
+        "n_words": n_words,
+    }

@@ -1,0 +1,268 @@
+"""HTML main-content extraction kernel (pure Python, stdlib only).
+
+Behavioral spec: the reference renders the page in Chromium and takes
+``body.inner_text()`` — visible text only, scripts/styles/hidden
+excluded — then whitespace-normalizes it with ``clean_text``
+(/root/reference/src/scraper_app/scraper.py:208-215, :36-40).  We
+reproduce that contract without a browser: a lightweight DOM built on
+stdlib ``html.parser`` (this sandbox has no lxml; the parser is wrapped
+behind small pure functions so lxml can slot in on a real cluster), a
+tag/class blocklist, and Readability/Boilerpipe-style link-density
+scoring to drop boilerplate.
+
+Never raises: malformed input yields status ``error_processing``
+(the reference's soft-failure contract, ocr.py:94-113).
+
+The same function is the test oracle — engine output is gated on exact
+string equality against it (BASELINE.json north_rule).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+from . import status as st
+from .textclean import clean_text
+
+# Subtrees that never contribute visible text (browser inner_text drops
+# them; reference scraper.py:210-214 behavioral spec).
+SKIP_SUBTREE_TAGS = frozenset(
+    {
+        "script",
+        "style",
+        "template",
+        "noscript",
+        "head",
+        "title",
+        "iframe",
+        "svg",
+        "canvas",
+        "object",
+        "embed",
+        "select",
+        "option",
+        "datalist",
+    }
+)
+
+# Structural boilerplate containers dropped wholesale.
+BOILERPLATE_TAGS = frozenset({"nav", "header", "footer", "aside", "button"})
+
+# class/id tokens that mark boilerplate (cookie banners, sidebars, ads …).
+_BLOCKLIST_RE = re.compile(
+    r"(?:^|[\s_\-])(nav|navbar|menu|footer|header|sidebar|side-bar|cookie|"
+    r"consent|banner|ad|ads|advert|advertisement|promo|popup|modal|social|"
+    r"share|breadcrumb|breadcrumbs|comment|comments|related|widget)(?:$|[\s_\-])",
+    re.IGNORECASE,
+)
+
+# Elements that delimit text blocks (innermost block owns the text).
+BLOCK_TAGS = frozenset(
+    {
+        "html",
+        "body",
+        "div",
+        "main",
+        "article",
+        "section",
+        "p",
+        "h1",
+        "h2",
+        "h3",
+        "h4",
+        "h5",
+        "h6",
+        "ul",
+        "ol",
+        "li",
+        "dl",
+        "dt",
+        "dd",
+        "table",
+        "thead",
+        "tbody",
+        "tr",
+        "td",
+        "th",
+        "blockquote",
+        "pre",
+        "figure",
+        "figcaption",
+        "form",
+        "fieldset",
+        "address",
+        "summary",
+        "details",
+    }
+)
+
+_VOID_TAGS = frozenset(
+    {
+        "area",
+        "base",
+        "br",
+        "col",
+        "embed",
+        "hr",
+        "img",
+        "input",
+        "link",
+        "meta",
+        "param",
+        "source",
+        "track",
+        "wbr",
+    }
+)
+
+_HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+
+# Boilerpipe-in-spirit thresholds (deterministic; goldens share this code).
+_MAX_LINK_DENSITY = 0.4
+_MIN_WORDS = 2
+
+
+@dataclass
+class _Node:
+    tag: str
+    attrs: dict[str, str]
+    parent: "_Node | None" = None
+    children: list = field(default_factory=list)  # _Node | str
+
+
+class _DomBuilder(HTMLParser):
+    """Lenient tree builder: unclosed/stray tags never raise."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = _Node("#root", {})
+        self._stack = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        node = _Node(tag, {k: (v or "") for k, v in attrs}, self._stack[-1])
+        self._stack[-1].children.append(node)
+        if tag not in _VOID_TAGS:
+            self._stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        node = _Node(tag, {k: (v or "") for k, v in attrs}, self._stack[-1])
+        self._stack[-1].children.append(node)
+
+    def handle_endtag(self, tag):
+        # Close the nearest matching open tag; ignore strays.
+        for i in range(len(self._stack) - 1, 0, -1):
+            if self._stack[i].tag == tag:
+                del self._stack[i:]
+                return
+
+    def handle_data(self, data):
+        if data:
+            self._stack[-1].children.append(data)
+
+
+def _is_blocklisted(node: _Node) -> bool:
+    if node.tag in SKIP_SUBTREE_TAGS or node.tag in BOILERPLATE_TAGS:
+        return True
+    token_src = node.attrs.get("class", "") + " " + node.attrs.get("id", "")
+    if token_src.strip() and _BLOCKLIST_RE.search(token_src):
+        return True
+    style = node.attrs.get("style", "")
+    if style and re.search(r"display\s*:\s*none|visibility\s*:\s*hidden", style, re.I):
+        return True
+    if node.attrs.get("hidden") is not None and "hidden" in node.attrs:
+        return True
+    return False
+
+
+def _collect_blocks(node: _Node, in_link: bool, out: list[dict]) -> None:
+    """Depth-first walk assigning each text run to its innermost block.
+
+    ``out`` accumulates dicts: {kind, parts:[(text, is_link)]} in document
+    order.  A nested block element starts a new block; inline elements
+    keep appending to the current innermost block.
+    """
+    for child in node.children:
+        if isinstance(child, str):
+            if child.strip():
+                if not out or out[-1].get("closed"):
+                    out.append({"kind": _block_kind(node), "parts": []})
+                out[-1]["parts"].append((child, in_link))
+            continue
+        if _is_blocklisted(child):
+            continue
+        if child.tag in BLOCK_TAGS:
+            if out:
+                out[-1]["closed"] = True
+            out.append({"kind": child.tag, "parts": [], "closed": False})
+            _collect_blocks(child, in_link, out)
+            if out:
+                out[-1]["closed"] = True
+        else:
+            _collect_blocks(child, in_link or child.tag == "a", out)
+
+
+def _block_kind(node: _Node) -> str:
+    cur: _Node | None = node
+    while cur is not None:
+        if cur.tag in BLOCK_TAGS:
+            return cur.tag
+        cur = cur.parent
+    return "p"
+
+
+def _keep_block(kind: str, text: str, link_chars: int) -> bool:
+    total = len(text)
+    if total == 0:
+        return False
+    link_density = link_chars / total
+    words = len(text.split())
+    if kind in _HEADING_TAGS:
+        return words >= 1 and link_density < 0.5
+    if kind == "li":
+        # list items are kept only when clearly content (nav lists are links)
+        return words >= _MIN_WORDS and link_density == 0.0
+    return words >= _MIN_WORDS and link_density <= _MAX_LINK_DENSITY
+
+
+def extract_html(payload: str) -> dict:
+    """Extract main content from an HTML payload.
+
+    Returns {clean_text, spans, status}; spans are
+    [(kind, start, end)] offsets into ``clean_text`` (end exclusive),
+    one per kept block, joined with single spaces.  Never raises.
+    """
+    try:
+        builder = _DomBuilder()
+        builder.feed(payload)
+        builder.close()
+
+        raw_blocks: list[dict] = []
+        _collect_blocks(builder.root, False, raw_blocks)
+
+        pieces: list[str] = []
+        spans: list[tuple[str, int, int]] = []
+        offset = 0
+        for blk in raw_blocks:
+            if not blk["parts"]:
+                continue
+            text = clean_text("".join(t for t, _ in blk["parts"]))
+            link_chars = len(
+                clean_text("".join(t for t, is_link in blk["parts"] if is_link))
+            )
+            if not _keep_block(blk["kind"], text, link_chars):
+                continue
+            start = offset + (1 if pieces else 0)
+            pieces.append(text)
+            spans.append((blk["kind"], start, start + len(text)))
+            offset = start + len(text)
+
+        out = " ".join(pieces)
+        return {
+            "clean_text": out,
+            "spans": spans,
+            "status": st.SUCCESS if out else st.NO_TEXT_FOUND,
+        }
+    except Exception:  # malformed payload -> status, never a task failure
+        return {"clean_text": "", "spans": [], "status": st.ERROR_PROCESSING}

@@ -1,0 +1,50 @@
+"""OCR-text normalizer kernel (pure Python, shared with the oracle).
+
+The reference's OCR kernel (/root/reference/src/scraper_app/ocr.py:15-113)
+runs tesseract and derives char/word counts with a never-raise status
+contract.  In the new engine the payload is already OCR-ish noisy text
+(BASELINE.json north_star), so the kernel is the *normalizer*: fix line
+endings, drop control characters, re-join hyphenated line breaks, then
+apply the reference's ``clean_text`` whitespace collapse
+(scraper.py:36-40) and counting semantics (ocr.py:77-78).
+
+The normalization is a deterministic regex chain so an equivalent ANSI
+SQL oracle (nested regexp_replace) can gate it — see
+``__spark_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+import re
+
+from . import status as st
+from .textclean import clean_text
+
+# Steps (order matters; mirrored 1:1 in the SQL oracle):
+# 1. \r\n / \r -> \n
+# 2. drop control chars except \t and \n
+# 3. de-hyphenate across line breaks: "exam-\nple" -> "example"
+# 4. clean_text collapse + strip
+_CTRL_RE = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+_HYPHen_BREAK_RE = re.compile(r"([A-Za-z0-9])-[ \t]*\n[ \t]*([A-Za-z0-9])")
+
+
+def normalize_ocr_text(payload: str) -> str:
+    text = payload.replace("\r\n", "\n").replace("\r", "\n")
+    text = _CTRL_RE.sub("", text)
+    text = _HYPHen_BREAK_RE.sub(r"\1\2", text)
+    return clean_text(text)
+
+
+def normalize_ocr(payload: str) -> dict:
+    """Full kernel: {clean_text, spans, status}; never raises."""
+    try:
+        out = normalize_ocr_text(payload)
+        spans = [("ocr", 0, len(out))] if out else []
+        return {
+            "clean_text": out,
+            "spans": spans,
+            "status": st.SUCCESS if out else st.NO_TEXT_FOUND,
+        }
+    except Exception:
+        return {"clean_text": "", "spans": [], "status": st.ERROR_PROCESSING}

@@ -1,0 +1,130 @@
+"""PDF/layout text-span parser kernel (pure Python, shared with oracle).
+
+Mandated by BASELINE.json north_star ("PDF/layout text-span parser").
+The payload format (defined in FIXTURES.md §2.2) is JSON-lines of
+positioned text spans:
+
+    {"page": 1, "x": 72.0, "y": 100.0, "size": 11.0, "text": "..."}
+
+Semantics reproduced:
+- reading order: sort by (page, y, x) — the payload may arrive with
+  lines out of reading order;
+- header/footer removal: a line whose exact text repeats on 2+ distinct
+  pages at an extreme y position (top/bottom decile of its page's y
+  range) is dropped;
+- de-hyphenation: a line ending in "-" joins the next line without a
+  space (the broken-hyphenation contract of FIXTURES.md §2.2);
+- headings: size >= 1.5x the median size -> span kind "heading",
+  else "body";
+- whitespace: final text is reference ``clean_text``
+  (/root/reference/src/scraper_app/scraper.py:36-40); span offsets
+  index into the cleaned text (end exclusive).
+
+Never raises: empty payload -> no_text_found; any unparseable line ->
+error_processing (soft-failure contract, reference ocr.py:94-113).
+"""
+
+from __future__ import annotations
+
+import json
+
+from . import status as st
+from .textclean import clean_text
+
+
+def _parse_lines(payload: str) -> list[dict]:
+    rows = []
+    for line in payload.split("\n"):
+        if not line.strip():
+            continue
+        rec = json.loads(line)
+        rows.append(
+            {
+                "page": int(rec["page"]),
+                "x": float(rec["x"]),
+                "y": float(rec["y"]),
+                "size": float(rec.get("size", 10.0)),
+                "text": str(rec["text"]),
+            }
+        )
+    return rows
+
+
+def _drop_repeated_furniture(rows: list[dict]) -> list[dict]:
+    """Remove header/footer lines repeated across pages at extreme y."""
+    by_page: dict[int, list[float]] = {}
+    for r in rows:
+        by_page.setdefault(r["page"], []).append(r["y"])
+    extremes: dict[int, tuple[float, float]] = {}
+    for page, ys in by_page.items():
+        lo, hi = min(ys), max(ys)
+        band = (hi - lo) * 0.1
+        extremes[page] = (lo + band, hi - band)
+
+    pages_by_text: dict[str, set[int]] = {}
+    for r in rows:
+        lo_cut, hi_cut = extremes[r["page"]]
+        if r["y"] <= lo_cut or r["y"] >= hi_cut:
+            pages_by_text.setdefault(r["text"], set()).add(r["page"])
+
+    def is_furniture(r: dict) -> bool:
+        lo_cut, hi_cut = extremes[r["page"]]
+        at_extreme = r["y"] <= lo_cut or r["y"] >= hi_cut
+        return at_extreme and len(pages_by_text.get(r["text"], ())) >= 2
+
+    return [r for r in rows if not is_furniture(r)]
+
+
+def parse_pdf_spans(payload: str) -> dict:
+    """{clean_text, spans, status}; spans offsets into clean_text."""
+    try:
+        rows = _parse_lines(payload)
+        if not rows:
+            return {"clean_text": "", "spans": [], "status": st.NO_TEXT_FOUND}
+
+        rows = _drop_repeated_furniture(rows)
+        rows.sort(key=lambda r: (r["page"], r["y"], r["x"]))
+
+        sizes = sorted(r["size"] for r in rows)
+        median_size = sizes[len(sizes) // 2] if sizes else 10.0
+        heading_cut = 1.5 * median_size
+
+        # Merge lines into logical spans with de-hyphenation; a heading
+        # line always starts its own span.
+        merged: list[tuple[str, str]] = []  # (kind, raw_text)
+        for r in rows:
+            kind = "heading" if r["size"] >= heading_cut else "body"
+            txt = r["text"]
+            if (
+                merged
+                and merged[-1][0] == "body"
+                and kind == "body"
+                and merged[-1][1].rstrip().endswith("-")
+            ):
+                prev_kind, prev_txt = merged[-1]
+                merged[-1] = (prev_kind, prev_txt.rstrip()[:-1] + txt.lstrip())
+            elif merged and merged[-1][0] == kind == "body":
+                merged[-1] = (kind, merged[-1][1] + " " + txt)
+            else:
+                merged.append((kind, txt))
+
+        pieces: list[str] = []
+        spans: list[tuple[str, int, int]] = []
+        offset = 0
+        for kind, raw in merged:
+            text = clean_text(raw)
+            if not text:
+                continue
+            start = offset + (1 if pieces else 0)
+            pieces.append(text)
+            spans.append((kind, start, start + len(text)))
+            offset = start + len(text)
+
+        out = " ".join(pieces)
+        return {
+            "clean_text": out,
+            "spans": spans,
+            "status": st.SUCCESS if out else st.NO_TEXT_FOUND,
+        }
+    except Exception:
+        return {"clean_text": "", "spans": [], "status": st.ERROR_PROCESSING}

@@ -1,0 +1,30 @@
+"""Closed status taxonomy, from the reference OCR contract
+(/root/reference/src/scraper_app/ocr.py:29-32).
+
+Every extraction kernel returns one of these statuses and NEVER raises —
+the reference's per-item soft-failure contract (ocr.py:36-113): a bad
+payload is a status row, not a task failure.
+"""
+
+SUCCESS = "success"
+NO_TEXT_FOUND = "no_text_found"
+ERROR_UNSUPPORTED_FORMAT = "error_unsupported_format"
+ERROR_PROCESSING = "error_processing"
+ERROR_FILE_NOT_FOUND = "error_file_not_found"
+ERROR_TESSERACT = "error_tesseract"
+
+ALL_STATUSES = (
+    SUCCESS,
+    NO_TEXT_FOUND,
+    ERROR_UNSUPPORTED_FORMAT,
+    ERROR_PROCESSING,
+    ERROR_FILE_NOT_FOUND,
+    ERROR_TESSERACT,
+)
+
+ERROR_STATUSES = (
+    ERROR_UNSUPPORTED_FORMAT,
+    ERROR_PROCESSING,
+    ERROR_FILE_NOT_FOUND,
+    ERROR_TESSERACT,
+)

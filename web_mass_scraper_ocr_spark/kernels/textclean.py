@@ -1,0 +1,38 @@
+"""Text-cleaning kernel shared by the Spark engine and the test oracle.
+
+Reproduces the reference's whitespace semantics exactly
+(/root/reference/src/scraper_app/scraper.py:36-40): collapse every run
+of whitespace to a single space, then strip.  The reference's second
+regex (``\\n\\s*\\n -> \\n``) is a no-op after the first collapse, so the
+net contract is simply "single-space-normalized, stripped".
+
+Per-turn text equality is gated on this function, so it must stay a
+pure function of its input: no locale, no environment, no randomness.
+"""
+
+from __future__ import annotations
+
+import re
+
+_WS_RE = re.compile(r"\s+")
+
+
+def clean_text(text: str) -> str:
+    """Whitespace-normalize text (reference scraper.py:36-40 semantics)."""
+    return _WS_RE.sub(" ", text).strip()
+
+
+def text_stats(text: str) -> tuple[int, int]:
+    """(char_count, word_count) per the reference contract.
+
+    char_count = len(text); word_count = len(text.split())
+    (/root/reference/src/scraper_app/ocr.py:77-78,
+     /root/reference/src/scraper_app/utils.py:269-275).
+    """
+    return len(text), len(text.split())
+
+
+def paragraph_count(raw_text: str) -> int:
+    """Non-blank-line count over the *raw* (pre-clean) text
+    (/root/reference/src/scraper_app/utils.py:274)."""
+    return sum(1 for line in raw_text.split("\n") if line.strip())

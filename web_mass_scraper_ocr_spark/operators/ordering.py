@@ -1,0 +1,26 @@
+"""Stable turn ordering (THE ordering requirement — SURVEY.md §2.8).
+
+The reference pins a deterministic total order on its work scan
+(`ORDER BY created_at ASC, client_id ASC`,
+/root/reference/src/scraper_app/db_utils.py:56) so paged runs are
+reproducible.  Spark scans are unordered, so the new engine materializes
+the order as a column: row_number over conv_id ordered by (turn_idx, ts)
+— ts is the tiebreaker for duplicate turn_idx rows (north_star).
+
+Scale note: the window shuffles on conv_id ONCE, before extraction, and
+its partitioning is reused by the salted extraction repartition only if
+needed — extraction itself is per-turn, so the plan keeps the window
+narrow (conv_id, turn_idx, ts in; one int out).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def with_turn_rank(df: DataFrame, rank_col: str = "turn_rank") -> DataFrame:
+    w = Window.partitionBy("conv_id").orderBy(
+        F.col("turn_idx").asc(), F.col("ts").asc()
+    )
+    return df.withColumn(rank_col, F.row_number().over(w).cast("int"))

@@ -1,0 +1,63 @@
+"""Idempotent resume via MERGE-style anti-join of completed partitions.
+
+The reference probes per-URL: ``SELECT 1 FROM scraping_logs WHERE
+url_scraped=%s AND status='completed'`` before re-scraping
+(/root/reference/src/scraper_app/db_utils.py:76-123, call loop
+main.py:563-568).  At 10^12 turns a per-row probe is impossible; the
+new engine's work unit is a conv_id hash bucket, and resume is ONE
+left_anti join of the input against the checkpoint table's completed
+buckets for (snapshot_id, extractor_version) — north_rule's
+"MERGE-style anti-join of completed partitions".
+
+The checkpoint side is tiny (n_buckets rows) -> broadcast anti-join:
+no shuffle of the big input at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+CHECKPOINT_SCHEMA = StructType(
+    [
+        StructField("run_id", StringType()),
+        StructField("snapshot_id", StringType()),
+        StructField("conv_bucket", IntegerType()),
+        StructField("row_count", LongType()),
+        StructField("ok_count", LongType()),
+        StructField("err_count", LongType()),
+        StructField("extractor_version", StringType()),
+        StructField("completed_at", TimestampType()),
+    ]
+)
+
+
+def with_conv_bucket(df: DataFrame, n_buckets: int, col: str = "conv_bucket") -> DataFrame:
+    return df.withColumn(
+        col, F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
+    )
+
+
+def completed_buckets(
+    checkpoint_df: DataFrame, snapshot_id: str, extractor_version: str
+) -> DataFrame:
+    return (
+        checkpoint_df.where(
+            (F.col("snapshot_id") == snapshot_id)
+            & (F.col("extractor_version") == extractor_version)
+        )
+        .select("conv_bucket")
+        .distinct()
+    )
+
+
+def remaining_work(input_df: DataFrame, completed: DataFrame) -> DataFrame:
+    """input rows whose bucket has no completion record (broadcast anti-join)."""
+    return input_df.join(F.broadcast(completed), "conv_bucket", "left_anti")

@@ -1,0 +1,25 @@
+"""Skew handling: salted repartition on conv_id (north_rule).
+
+One pathological conversation can hold a huge share of rows; a plain
+``repartition('conv_id')`` would put all of it on one task.  Extraction
+is per-turn (embarrassingly parallel), so we can legally shard a
+conversation: salt = pmod(hash(turn_idx), salt_factor), repartition on
+(conv_id, salt).  The salt NEVER feeds output values — it exists only to
+spread the shuffle (SURVEY.md §4 "Partitioning / shuffle").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def salted_repartition(
+    df: DataFrame,
+    num_partitions: int | None,
+    salt_factor: int = 8,
+    key: str = "conv_id",
+) -> DataFrame:
+    salt = F.pmod(F.xxhash64("turn_idx"), F.lit(salt_factor))
+    if num_partitions:
+        return df.repartition(num_partitions, F.col(key), salt)
+    return df.repartition(F.col(key), salt)

@@ -1,0 +1,216 @@
+"""The end-to-end extraction pipeline (the engine's flagship plan).
+
+Dataflow (SURVEY.md §3 "new engine lifecycle"):
+
+    read transcripts -> validate (filter w/ diagnosis) -> stable turn
+    ordering -> bucket -> anti-join vs checkpoint (resume) -> salted
+    repartition (skew) -> pandas-UDF extraction -> write output
+    partitioned by bucket (dynamic overwrite = idempotent redo) ->
+    append per-bucket lineage rows to the checkpoint table -> metrics.
+
+Replaces the reference's per-URL loop (main.py:561-592) + per-row
+status bookkeeping (db_utils.py) with one declarative plan.
+
+Failure/atomicity model: a bucket is the unit of redo.  If the job dies
+after writing some buckets but before checkpointing them, the rerun
+reprocesses those buckets and the dynamic-partition overwrite replaces
+their files — no duplicates, no loss (FIXTURES.md §4 scenario).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+from dataclasses import asdict
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..config import ExtractionConfig
+from ..kernels.dispatch import EXTRACTOR_VERSION
+from ..functions.extract_udf import extract_udf
+from ..operators.ordering import with_turn_rank
+from ..operators.resume import (
+    CHECKPOINT_SCHEMA,
+    completed_buckets,
+    remaining_work,
+    with_conv_bucket,
+)
+from ..operators.skew import salted_repartition
+from ..sources import tableio
+
+OUTPUT_COLUMNS = [
+    "conv_id",
+    "turn_idx",
+    "turn_rank",
+    "role",
+    "content_kind",
+    "clean_text",
+    "spans",
+    "status",
+    "n_chars",
+    "n_words",
+    "extractor_version",
+]
+
+
+def build_extraction_df(
+    transcripts: DataFrame, cfg: ExtractionConfig | None = None
+) -> DataFrame:
+    """The pure transformation (no sinks): transcripts -> extractions.
+
+    Used directly by entry()/tests; run_extraction adds checkpoint +
+    lineage around it.
+    """
+    cfg = cfg or ExtractionConfig()
+    valid = transcripts.where(
+        F.col("text").isNotNull() & (F.col("text") != F.lit(""))
+    )
+    ordered = with_turn_rank(valid)
+    salted = salted_repartition(ordered, cfg.extraction_partitions, cfg.salt_factor)
+    extracted = salted.withColumn("x", extract_udf(F.col("text"), F.col("tool")))
+    return extracted.select(
+        "conv_id",
+        "turn_idx",
+        "turn_rank",
+        "role",
+        F.col("x.content_kind").alias("content_kind"),
+        F.col("x.clean_text").alias("clean_text"),
+        F.col("x.spans").alias("spans"),
+        F.col("x.status").alias("status"),
+        F.col("x.n_chars").alias("n_chars"),
+        F.col("x.n_words").alias("n_words"),
+        F.lit(cfg.extractor_version).alias("extractor_version"),
+    )
+
+
+def rejected_rows(transcripts: DataFrame) -> DataFrame:
+    """Filter-with-diagnosis: rows the validation filter removed, with a
+    reason column (the reference routes failures to status+message, not
+    silence — main.py:405-407, :442-444)."""
+    return transcripts.where(
+        F.col("text").isNull() | (F.col("text") == F.lit(""))
+    ).withColumn(
+        "reject_reason",
+        F.when(F.col("text").isNull(), F.lit("null_payload")).otherwise(
+            F.lit("empty_payload")
+        ),
+    )
+
+
+def run_extraction(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    warehouse: str | Path,
+    run_id: str | None = None,
+    snapshot_id: str = "adhoc",
+    cfg: ExtractionConfig | None = None,
+) -> dict:
+    """Full run with checkpoint/lineage/metrics; returns a report dict
+    (the session-summary analogue of reference main.py:72-123)."""
+    cfg = cfg or ExtractionConfig()
+    run_id = run_id or f"run-{uuid.uuid4().hex[:10]}"
+    warehouse = Path(warehouse)
+    out_tbl = tableio.table(warehouse, "extractions")
+    ckpt_tbl = tableio.table(warehouse, "extraction_checkpoint")
+    metrics_tbl = tableio.table(warehouse, "extraction_metrics")
+
+    t0 = time.monotonic()
+
+    bucketed = with_conv_bucket(transcripts, cfg.n_buckets)
+    if ckpt_tbl.exists():
+        done = completed_buckets(ckpt_tbl.read(spark), snapshot_id, cfg.extractor_version)
+        todo = remaining_work(bucketed, done)
+        n_done_buckets = done.count()
+    else:
+        todo = bucketed
+        n_done_buckets = 0
+
+    result = build_extraction_df(todo, cfg).withColumn(
+        "conv_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(cfg.n_buckets)).cast("int")
+    )
+
+    # Sink 1: output table, partitioned by bucket; dynamic overwrite makes
+    # bucket redo idempotent (reference's completed-skip semantics).
+    out_tbl.overwrite_partitions(result, ["conv_bucket"])
+
+    # Sink 2: per-bucket lineage rows — computed from the *written* data so
+    # counts are truthful even if an executor retried.
+    if out_tbl.exists():
+        written = out_tbl.read(spark)
+    else:
+        # every row was filtered out -> zero-row table; keep the plan alive
+        # with an empty frame of the output schema
+        written = spark.createDataFrame([], result.schema)
+    lineage = (
+        written.join(
+            F.broadcast(todo.select("conv_bucket").distinct()), "conv_bucket", "left_semi"
+        )
+        .groupBy("conv_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("row_count"),
+            F.count(F.when(F.col("status") == "success", 1)).alias("ok_count"),
+            F.count(F.when(F.col("status").startswith("error"), 1)).alias("err_count"),
+        )
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.lit(snapshot_id).alias("snapshot_id"),
+            F.col("conv_bucket").cast("int"),
+            F.col("row_count").cast("long"),
+            F.col("ok_count").cast("long"),
+            F.col("err_count").cast("long"),
+            F.lit(cfg.extractor_version).alias("extractor_version"),
+            F.current_timestamp().alias("completed_at"),
+        )
+    )
+    # buckets whose every row was filtered out still need completion marks
+    all_todo_buckets = todo.select("conv_bucket").distinct()
+    empty_buckets = all_todo_buckets.join(
+        lineage.select("conv_bucket"), "conv_bucket", "left_anti"
+    ).select(
+        F.lit(run_id).alias("run_id"),
+        F.lit(snapshot_id).alias("snapshot_id"),
+        F.col("conv_bucket").cast("int"),
+        F.lit(0).cast("long").alias("row_count"),
+        F.lit(0).cast("long").alias("ok_count"),
+        F.lit(0).cast("long").alias("err_count"),
+        F.lit(cfg.extractor_version).alias("extractor_version"),
+        F.current_timestamp().alias("completed_at"),
+    )
+    ckpt_tbl.append(lineage.unionByName(empty_buckets))
+
+    wall = time.monotonic() - t0
+
+    # Sink 3: metrics rows (FIXTURES.md §5 schema).
+    counts = {
+        r["status"]: r["cnt"]
+        for r in written.groupBy("status").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    turns_total = int(sum(counts.values()))
+    metric_rows = [
+        ("turns_total", float(turns_total)),
+        ("turns_ok", float(counts.get("success", 0))),
+        ("turns_no_text_found", float(counts.get("no_text_found", 0))),
+        ("turns_error", float(sum(v for k, v in counts.items() if k.startswith("error")))),
+        ("wall_seconds", wall),
+        ("turns_per_sec", turns_total / wall if wall > 0 else 0.0),
+        ("buckets_skipped_resume", float(n_done_buckets)),
+    ]
+    metrics_df = spark.createDataFrame(
+        [(run_id, m, v) for m, v in metric_rows], "run_id string, metric string, value double"
+    ).withColumn("recorded_at", F.current_timestamp())
+    metrics_tbl.append(metrics_df)
+
+    report = {
+        "run_id": run_id,
+        "snapshot_id": snapshot_id,
+        "extractor_version": cfg.extractor_version,
+        "config": asdict(cfg),
+        "buckets_skipped_resume": n_done_buckets,
+        "wall_seconds": round(wall, 3),
+        "status_counts": counts,
+        "turns_total": turns_total,
+    }
+    (warehouse / f"run_summary_{run_id}.json").write_text(json.dumps(report, indent=2))
+    return report

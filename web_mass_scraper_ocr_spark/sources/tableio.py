@@ -1,0 +1,100 @@
+"""TableIO — a thin Iceberg-surface shim over Parquet directories.
+
+This sandbox has no Iceberg runtime jars (SURVEY.md §7.0), so we emulate
+the slice of the Iceberg surface the pipeline needs — named tables,
+append, snapshot ids for lineage rows — with a Parquet directory plus a
+JSON manifest.  On a real cluster the same call sites bind to
+``spark.read.table`` / ``df.writeTo(...).append()`` against a
+``spark.sql.catalog.*`` Iceberg catalog; the lineage schema already
+carries ``snapshot_id`` so nothing else changes (BASELINE.json
+north_star: "lineage rows (input snapshot id, ...)").
+
+Layout:  <root>/<name>/data/*.parquet  +  <root>/<name>/manifest.json
+Snapshot id = sha256 over the sorted (path, size) listing — content
+addressed, so identical data -> identical id (stable across reruns).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Table:
+    def __init__(self, root: str | Path, name: str):
+        self.dir = Path(root) / name
+        self.data_dir = self.dir / "data"
+        self.manifest_path = self.dir / "manifest.json"
+        self.name = name
+
+    # -- metadata ---------------------------------------------------------
+    def exists(self) -> bool:
+        return self.data_dir.exists() and any(self.data_dir.rglob("*.parquet"))
+
+    def _listing(self) -> list[tuple[str, int]]:
+        if not self.data_dir.exists():
+            return []
+        return sorted(
+            (str(p.relative_to(self.data_dir)), p.stat().st_size)
+            for p in self.data_dir.rglob("*.parquet")
+        )
+
+    def snapshot_id(self) -> str:
+        h = hashlib.sha256()
+        for rel, size in self._listing():
+            h.update(rel.encode())
+            h.update(str(size).encode())
+        return h.hexdigest()[:16]
+
+    def _write_manifest(self, op: str) -> None:
+        manifest = {"snapshots": []}
+        if self.manifest_path.exists():
+            manifest = json.loads(self.manifest_path.read_text())
+        manifest["snapshots"].append(
+            {
+                "snapshot_id": self.snapshot_id(),
+                "sequence": len(manifest["snapshots"]),
+                "operation": op,
+                "files": len(self._listing()),
+            }
+        )
+        self.manifest_path.write_text(json.dumps(manifest, indent=1))
+
+    # -- IO ----------------------------------------------------------------
+    def read(self, spark: SparkSession) -> DataFrame:
+        # append-mode tables nest files under commit-* dirs (glob them in);
+        # partition-overwrite tables use hive-style key=value dirs (plain
+        # read so partition-column inference works)
+        if any(p.name.startswith("commit-") for p in self.data_dir.iterdir() if p.is_dir()):
+            return spark.read.parquet(str(self.data_dir / "commit-*"))
+        return spark.read.parquet(str(self.data_dir))
+
+    def append(self, df: DataFrame) -> str:
+        self.data_dir.mkdir(parents=True, exist_ok=True)
+        # append = write into a fresh uuid subdir (atomic-ish: the manifest
+        # is bumped only after the files land, like an Iceberg commit)
+        part = self.data_dir / f"commit-{uuid.uuid4().hex[:12]}"
+        df.write.mode("overwrite").parquet(str(part))
+        self._write_manifest("append")
+        return self.snapshot_id()
+
+    def overwrite_partitions(self, df: DataFrame, partition_cols: list[str]) -> str:
+        """Dynamic-partition overwrite (idempotent per-bucket redo)."""
+        self.data_dir.mkdir(parents=True, exist_ok=True)
+        (
+            df.write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(str(self.data_dir))
+        )
+        self._write_manifest("overwrite_partitions")
+        return self.snapshot_id()
+
+
+def table(root: str | Path, name: str) -> Table:
+    return Table(root, name)

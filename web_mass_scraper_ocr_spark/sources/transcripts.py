@@ -1,0 +1,292 @@
+"""Deterministic synthetic transcript generator (FIXTURES.md §1-2).
+
+Produces the input table mandated by BASELINE.json input_hint:
+(conv_id:string, turn_idx:int, role:string, text:string, tool:string,
+ts:timestamp) — seed-fixed, self-contained, no external data.
+
+Payload kinds embed *known golden main content*, so the shared kernels
+(web_mass_scraper_ocr_spark.kernels) act as the oracle: goldens are the
+kernels applied serially in pandas (FIXTURES.md §3).
+
+Scale notes: for bench-scale inputs (millions of turns) use
+``payload_pool`` + ``build_transcripts_df`` which tiles a small pool of
+distinct payloads across N rows Spark-side (generation never becomes
+the bottleneck being measured).
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta
+
+import pandas as pd
+
+_VOCAB = (
+    "spark catalyst tungsten shuffle partition executor driver arrow batch "
+    "vector column parquet iceberg snapshot lineage checkpoint resume salt "
+    "skew straggler window ordering turn conversation transcript extract "
+    "content boilerplate density readability span offset status metric "
+    "throughput scaling efficiency pipeline kernel golden oracle equality"
+).split()
+
+_ROLES = ("user", "assistant", "tool", "system")
+
+_BASE_TS = datetime(2025, 1, 1, 0, 0, 0)
+
+
+def _sentence(rng: random.Random, n_words: int) -> str:
+    words = [rng.choice(_VOCAB) for _ in range(n_words)]
+    words[0] = words[0].capitalize()
+    return " ".join(words) + "."
+
+
+def _paragraph(rng: random.Random) -> str:
+    return " ".join(_sentence(rng, rng.randint(5, 14)) for _ in range(rng.randint(1, 4)))
+
+
+def html_payload(rng: random.Random, malformed: bool = False, huge: bool = False) -> str:
+    """HTML doc with known main content + boilerplate (FIXTURES.md §2.1)."""
+    n_paras = rng.randint(2, 5) if not huge else 400
+    paras = [_paragraph(rng) for _ in range(n_paras)]
+    heading = _sentence(rng, rng.randint(2, 5)).rstrip(".")
+    nav_links = "".join(
+        f'<a href="/{w}">{w}</a> ' for w in rng.sample(_VOCAB, 4)
+    )
+    body_paras = []
+    for i, p in enumerate(paras):
+        if i % 3 == 1:
+            # nested inline tags + entity inside a paragraph
+            p = p.replace(" ", " <b>bold &amp; strong</b> ", 1)
+        body_paras.append(f"<p>{p}</p>")
+    img = '<img src="data:image/png;base64,aGVsbG8=" alt="">'
+    doc = (
+        "<html><head><title>title text dropped</title>"
+        "<style>p{color:red}</style><script>var x=1;</script></head>"
+        "<body>"
+        f'<nav class="nav">{nav_links}</nav>'
+        f'<header id="site-header"><a href="/">home</a></header>'
+        f'<div class="cookie-banner">We use cookies. <a href="#">Accept</a></div>'
+        f"<article><h1>{heading}</h1>{img}"
+        + "".join(body_paras)
+        + "<br><br>"
+        "</article>"
+        f'<aside class="sidebar"><a href="/a">ad one</a><a href="/b">ad two</a></aside>'
+        '<footer class="footer"><a href="/imprint">imprint</a> &copy; 2025</footer>'
+        "<!-- comment dropped -->"
+        "</body></html>"
+    )
+    if malformed:
+        # unclosed tags, stray close, truncation (FIXTURES.md §2.1)
+        doc = doc.replace("</p>", "", 2).replace("</body></html>", "</div>")
+        doc = doc[: int(len(doc) * 0.9)]
+    return doc
+
+
+def pdf_payload(rng: random.Random) -> str:
+    """JSON-lines layout spans: out-of-order lines, hyphen breaks,
+    repeated header/footer per page (FIXTURES.md §2.2)."""
+    import json
+
+    lines = []
+    n_pages = rng.randint(1, 3)
+    for page in range(1, n_pages + 1):
+        # repeated furniture at extreme y
+        lines.append({"page": page, "x": 72.0, "y": 20.0, "size": 8.0, "text": "ACME Quarterly Report"})
+        lines.append({"page": page, "x": 72.0, "y": 780.0, "size": 8.0, "text": f"confidential"})
+        y = 100.0
+        lines.append({"page": page, "x": 72.0, "y": y, "size": 18.0, "text": _sentence(rng, 3).rstrip(".")})
+        y += 40
+        for _ in range(rng.randint(2, 5)):
+            sent = _sentence(rng, rng.randint(6, 12))
+            if rng.random() < 0.5 and " " in sent[10:]:
+                # split with a hyphen break mid-word
+                cut = sent.index(" ", 10)
+                word_cut = max(sent.rfind(" ", 0, cut) + 3, 3)
+                lines.append({"page": page, "x": 72.0, "y": y, "size": 10.0, "text": sent[:word_cut] + "-"})
+                y += 14
+                lines.append({"page": page, "x": 72.0, "y": y, "size": 10.0, "text": sent[word_cut:].lstrip()})
+            else:
+                lines.append({"page": page, "x": 72.0, "y": y, "size": 10.0, "text": sent})
+            y += 14
+    rng.shuffle(lines)  # out of reading order on purpose
+    return "\n".join(json.dumps(l) for l in lines)
+
+
+def ocr_payload(rng: random.Random) -> str:
+    """OCR-noisy plain text (FIXTURES.md §2.3)."""
+    paras = [_paragraph(rng) for _ in range(rng.randint(1, 3))]
+    noisy = []
+    for p in paras:
+        words = p.split()
+        out = []
+        for w in words:
+            if rng.random() < 0.06 and len(w) > 5:
+                cut = len(w) // 2
+                out.append(w[:cut] + "-\n" + w[cut:])
+            elif rng.random() < 0.05:
+                out.append(w + "\x0c")  # stray control char
+            else:
+                out.append(w)
+            if rng.random() < 0.08:
+                out.append(" " * rng.randint(2, 5) + "\t")
+        noisy.append(" ".join(out))
+    sep = "\r\n" * rng.randint(1, 3)
+    return sep.join(noisy)
+
+
+def plain_payload(rng: random.Random) -> str:
+    return "  " + _paragraph(rng) + "   \n\n " + _sentence(rng, 6)
+
+
+def _payload_for(kind: str, rng: random.Random, malformed: bool = False, huge: bool = False) -> str:
+    if kind == "html":
+        return html_payload(rng, malformed=malformed, huge=huge)
+    if kind == "pdf":
+        return pdf_payload(rng)
+    if kind == "ocr":
+        return ocr_payload(rng)
+    return plain_payload(rng)
+
+
+def _pick_kind(rng: random.Random) -> str:
+    r = rng.random()
+    if r < 0.4:
+        return "html"
+    if r < 0.6:
+        return "pdf"
+    if r < 0.8:
+        return "ocr"
+    return ""
+
+
+def generate_transcripts(
+    n_convs: int = 200, seed: int = 42, skew: bool = True
+) -> pd.DataFrame:
+    """Small-scale fixture per FIXTURES.md §1 (pytest correctness set).
+
+    Long-tail conversation lengths; one skew conversation holding
+    ~30-50%% of all rows; deterministic edge rows: empty text, NULL
+    text, malformed HTML, duplicate (conv_id, turn_idx) pairs split by
+    ts, one >100KB payload.
+    """
+    rng = random.Random(seed)
+    rows: list[dict] = []
+
+    def add_turn(conv: str, idx: int, kind: str, text, ts_offset_s: float, role=None):
+        rows.append(
+            {
+                "conv_id": conv,
+                "turn_idx": idx,
+                "role": role or rng.choice(_ROLES),
+                "text": text,
+                "tool": kind,
+                "ts": _BASE_TS + timedelta(seconds=ts_offset_s),
+            }
+        )
+
+    clock = 0.0
+    for c in range(n_convs):
+        conv = f"conv-{c:06d}"
+        n_turns = min(3 + int(rng.expovariate(1 / 5.0)), 40)
+        for t in range(n_turns):
+            clock += 1.0
+            kind = _pick_kind(rng)
+            add_turn(conv, t, kind, _payload_for(kind, rng), clock)
+
+        # deterministic edge rows sprinkled by conversation index
+        if c % 17 == 0:
+            clock += 1.0
+            add_turn(conv, n_turns, "ocr", "", clock)  # empty -> no_text_found
+        if c % 23 == 0:
+            clock += 1.0
+            add_turn(conv, n_turns + 1, "html", None, clock)  # NULL -> source filter
+        if c % 13 == 0:
+            clock += 1.0
+            add_turn(conv, n_turns + 2, "html", html_payload(rng, malformed=True), clock)
+        if c % 29 == 0:
+            # duplicate turn_idx, ts is the ordering tiebreaker
+            clock += 1.0
+            add_turn(conv, 1, "ocr", ocr_payload(rng), clock)
+        if c == 7:
+            clock += 1.0
+            add_turn(conv, n_turns + 3, "html", html_payload(rng, huge=True), clock)
+        if c % 31 == 0:
+            clock += 1.0
+            add_turn(conv, n_turns + 4, "binary", "\x00\x01payload", clock)  # unknown tool
+
+    if skew:
+        # one pathological conversation with ~35% of all rows (salt test)
+        conv = "conv-skewed"
+        n_skew = int(len(rows) * 0.55)
+        for t in range(n_skew):
+            clock += 0.25
+            kind = _pick_kind(rng)
+            add_turn(conv, t, kind, _payload_for(kind, rng), clock)
+
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    return df
+
+
+def payload_pool(seed: int = 42, n: int = 2000) -> pd.DataFrame:
+    """Pool of distinct payloads for bench-scale inputs: (pool_id, tool, text)."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        kind = _pick_kind(rng)
+        rows.append({"pool_id": i, "tool": kind, "text": _payload_for(kind, rng)})
+    return pd.DataFrame(rows)
+
+
+def build_transcripts_df(
+    spark,
+    n_turns: int,
+    n_convs: int,
+    seed: int = 42,
+    pool_size: int = 2000,
+    skew_frac: float = 0.3,
+):
+    """Bench-scale transcript frame built Spark-side (SURVEY.md §7.1).
+
+    ``range(n_turns)`` -> derive (conv_id, turn_idx, ts) arithmetically,
+    broadcast-join a small payload pool on pool_id.  A fraction
+    ``skew_frac`` of rows lands in one conversation to exercise the
+    salted-repartition path at scale.
+    """
+    from pyspark.sql import functions as F
+
+    pool = spark.createDataFrame(payload_pool(seed=seed, n=pool_size))
+    n_skew_convs = max(int(skew_frac * n_convs), 1)
+    base = spark.range(n_turns).withColumnRenamed("id", "row_id")
+    # Shuffle-free generation: conv/turn derived arithmetically so the
+    # generator never becomes the thing the bench measures.  The first
+    # `n_skew_convs` conv slots all fold into one pathological conv-skewed
+    # (unique turn_idx preserved by the (raw_turn, raw_conv) encoding).
+    raw_conv = F.pmod(F.col("row_id"), F.lit(n_convs))
+    raw_turn = (F.col("row_id") / F.lit(n_convs)).cast("long")
+    is_skew = raw_conv < F.lit(n_skew_convs)
+    df = (
+        base.withColumn(
+            "conv_id",
+            F.when(is_skew, F.lit("conv-skewed")).otherwise(
+                F.concat(F.lit("conv-"), F.lpad(raw_conv.cast("string"), 6, "0"))
+            ),
+        )
+        .withColumn(
+            "turn_idx",
+            F.when(is_skew, raw_turn * n_convs + raw_conv).otherwise(raw_turn).cast("int"),
+        )
+        .withColumn(
+            "role",
+            F.element_at(
+                F.array(*[F.lit(r) for r in _ROLES]),
+                (F.pmod(F.col("row_id"), F.lit(4)) + 1).cast("int"),
+            ),
+        )
+        .withColumn("ts", F.timestamp_seconds(F.lit(1735689600) + F.col("row_id")))
+        .withColumn("pool_id", F.pmod(F.xxhash64("row_id"), F.lit(pool_size)).cast("long"))
+    )
+    df = df.join(F.broadcast(pool), "pool_id", "left").select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+    return df
