@@ -1,0 +1,21 @@
+import shutil
+import tempfile
+
+import pytest
+
+from web_mass_scraper_ocr_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="tests", master="local[4]", shuffle_partitions=8)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+@pytest.fixture()
+def tmp_warehouse():
+    d = tempfile.mkdtemp(prefix="wms_wh_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)

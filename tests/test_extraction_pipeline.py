@@ -1,0 +1,103 @@
+"""Per-turn equality harness — THE north-rule gate (SURVEY.md §5 item 2).
+
+Runs the Spark pipeline on the synthetic transcript table and joins the
+result to the golden frame computed by applying the *same kernels*
+serially in plain pandas (the oracle).  Asserts exact equality of
+clean_text / spans / status for every (conv_id, turn_idx, turn_rank)
+under stable turn ordering.
+"""
+
+import pandas as pd
+import pytest
+
+from web_mass_scraper_ocr_spark.kernels.dispatch import extract_turn
+from web_mass_scraper_ocr_spark.plans.extraction import build_extraction_df
+from web_mass_scraper_ocr_spark.sources.transcripts import generate_transcripts
+
+
+def golden_frame(transcripts: pd.DataFrame) -> pd.DataFrame:
+    """The oracle: serial pandas application of the shared kernels
+    (FIXTURES.md §3), with stable ordering (turn_idx, ts tiebreak)."""
+    df = transcripts[transcripts["text"].notna() & (transcripts["text"] != "")].copy()
+    df = df.sort_values(["conv_id", "turn_idx", "ts"], kind="mergesort")
+    df["turn_rank"] = df.groupby("conv_id").cumcount() + 1
+    results = [extract_turn(t, k) for t, k in zip(df["text"], df["tool"])]
+    df["content_kind"] = [r["content_kind"] for r in results]
+    df["clean_text"] = [r["clean_text"] for r in results]
+    df["spans"] = [tuple(tuple(s) for s in r["spans"]) for r in results]
+    df["status"] = [r["status"] for r in results]
+    df["n_chars"] = [r["n_chars"] for r in results]
+    df["n_words"] = [r["n_words"] for r in results]
+    return df
+
+
+@pytest.fixture(scope="module")
+def transcripts_pd():
+    return generate_transcripts(n_convs=60)
+
+
+@pytest.fixture(scope="module")
+def engine_out(spark_module, transcripts_pd):
+    sdf = spark_module.createDataFrame(transcripts_pd)
+    return build_extraction_df(sdf).toPandas()
+
+
+@pytest.fixture(scope="module")
+def spark_module(request):
+    return request.getfixturevalue("spark")
+
+
+def test_per_turn_text_equality(engine_out, transcripts_pd):
+    golden = golden_frame(transcripts_pd)
+    got = engine_out.copy()
+    got["spans"] = got["spans"].apply(
+        lambda spans: tuple((s["kind"], s["start"], s["end"]) for s in spans)
+    )
+    merged = golden.merge(
+        got,
+        on=["conv_id", "turn_idx", "turn_rank"],
+        how="outer",
+        suffixes=("_gold", "_got"),
+        indicator=True,
+    )
+    assert (merged["_merge"] == "both").all(), merged[merged["_merge"] != "both"].head()
+
+    for col in ["clean_text", "spans", "status", "content_kind", "n_chars", "n_words"]:
+        mism = merged[merged[f"{col}_gold"] != merged[f"{col}_got"]]
+        assert mism.empty, f"{col}: {len(mism)} mismatches\n{mism.head(3)}"
+
+
+def test_row_count_matches_valid_rows(engine_out, transcripts_pd):
+    n_valid = int((transcripts_pd["text"].notna() & (transcripts_pd["text"] != "")).sum())
+    assert len(engine_out) == n_valid
+
+
+def test_stable_ordering_ties_broken_by_ts(engine_out, transcripts_pd):
+    """Duplicate (conv_id, turn_idx) rows must rank by ts (north_star)."""
+    golden = golden_frame(transcripts_pd)
+    dups = golden[golden.duplicated(["conv_id", "turn_idx"], keep=False)]
+    assert not dups.empty, "fixture must contain duplicate turn_idx rows"
+    got = engine_out.set_index(["conv_id", "turn_idx", "turn_rank"])
+    for key, grp in dups.groupby(["conv_id", "turn_idx"]):
+        ranks_by_ts = grp.sort_values("ts")["turn_rank"].tolist()
+        assert ranks_by_ts == sorted(ranks_by_ts)
+        for _, row in grp.iterrows():
+            assert (row["conv_id"], row["turn_idx"], row["turn_rank"]) in got.index
+
+
+def test_turn_rank_dense_per_conversation(engine_out):
+    for conv, grp in engine_out.groupby("conv_id"):
+        ranks = sorted(grp["turn_rank"])
+        assert ranks == list(range(1, len(ranks) + 1)), conv
+
+
+def test_skew_conversation_processed(engine_out, transcripts_pd):
+    """The pathological conversation (~35% of rows) completes fully."""
+    n_skew_valid = int(
+        (
+            (transcripts_pd["conv_id"] == "conv-skewed")
+            & transcripts_pd["text"].notna()
+            & (transcripts_pd["text"] != "")
+        ).sum()
+    )
+    assert (engine_out["conv_id"] == "conv-skewed").sum() == n_skew_valid

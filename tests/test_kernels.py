@@ -1,0 +1,196 @@
+"""Kernel unit tests (pure Python, no Spark) — SURVEY.md §5 item 1.
+
+Edge cases derive from the reference contracts:
+- whitespace-collapse semantics (reference scraper.py:36-40)
+- empty payload -> no_text_found (reference ocr.py:81-83)
+- malformed payload -> a status, never an exception (ocr.py:94-113)
+- counting semantics char/word (ocr.py:77-78)
+"""
+
+import json
+import random
+
+from web_mass_scraper_ocr_spark.kernels import (
+    clean_text,
+    extract_html,
+    extract_turn,
+    normalize_ocr,
+    parse_pdf_spans,
+    status as st,
+    text_stats,
+)
+from web_mass_scraper_ocr_spark.sources.transcripts import (
+    generate_transcripts,
+    html_payload,
+    ocr_payload,
+    pdf_payload,
+)
+
+
+class TestCleanText:
+    def test_collapses_all_whitespace(self):
+        assert clean_text("a  b\t c\n\n d") == "a b c d"
+
+    def test_strips(self):
+        assert clean_text("   x   ") == "x"
+
+    def test_empty(self):
+        assert clean_text("") == ""
+        assert clean_text(" \n\t ") == ""
+
+    def test_stats(self):
+        assert text_stats("ab cd") == (5, 2)
+        assert text_stats("") == (0, 0)
+
+
+class TestHtmlExtract:
+    def test_strips_script_style_head(self):
+        r = extract_html(
+            "<html><head><title>T</title><style>p{}</style>"
+            "<script>bad()</script></head><body><p>keep this text</p></body></html>"
+        )
+        assert r["status"] == st.SUCCESS
+        assert r["clean_text"] == "keep this text"
+        assert "bad" not in r["clean_text"]
+
+    def test_strips_nav_footer_cookie(self):
+        r = extract_html(
+            '<body><nav class="nav"><a href="/">home</a></nav>'
+            '<div class="cookie-banner">We use cookies <a href="#">ok</a></div>'
+            "<p>real content stays here</p>"
+            '<footer class="footer"><a href="/i">imprint</a></footer></body>'
+        )
+        assert r["clean_text"] == "real content stays here"
+
+    def test_link_density_drops_linkfarm(self):
+        r = extract_html(
+            '<body><div><a href="a">one link</a> <a href="b">two link</a> '
+            '<a href="c">three link</a></div><p>actual paragraph text</p></body>'
+        )
+        assert r["clean_text"] == "actual paragraph text"
+
+    def test_entities_decoded(self):
+        r = extract_html("<body><p>salt &amp; pepper costs &#36;5</p></body>")
+        assert r["clean_text"] == "salt & pepper costs $5"
+
+    def test_empty_doc_no_text_found(self):
+        assert extract_html("<html><body></body></html>")["status"] == st.NO_TEXT_FOUND
+
+    def test_malformed_never_raises(self):
+        for payload in ["<div><p>unclosed", "</div>stray", "<p>trunc<", "", "<"]:
+            r = extract_html(payload)
+            assert r["status"] in st.ALL_STATUSES
+
+    def test_spans_index_into_clean_text(self):
+        r = extract_html("<body><h1>Head Line</h1><p>first para text</p></body>")
+        assert [s[0] for s in r["spans"]] == ["h1", "p"]
+        for kind, start, end in r["spans"]:
+            assert r["clean_text"][start:end] == r["clean_text"][start:end].strip()
+        k, s0, e0 = r["spans"][0]
+        assert r["clean_text"][s0:e0] == "Head Line"
+
+    def test_hidden_elements_dropped(self):
+        r = extract_html(
+            '<body><div style="display:none">invisible</div><p>visible text</p></body>'
+        )
+        assert r["clean_text"] == "visible text"
+
+
+class TestPdfSpans:
+    def test_reading_order_restored(self):
+        lines = [
+            {"page": 1, "x": 72.0, "y": 200.0, "size": 10.0, "text": "second line here"},
+            {"page": 1, "x": 72.0, "y": 100.0, "size": 10.0, "text": "first line here"},
+        ]
+        r = parse_pdf_spans("\n".join(json.dumps(l) for l in lines))
+        assert r["clean_text"] == "first line here second line here"
+
+    def test_dehyphenation(self):
+        lines = [
+            {"page": 1, "x": 72.0, "y": 100.0, "size": 10.0, "text": "an exam-"},
+            {"page": 1, "x": 72.0, "y": 114.0, "size": 10.0, "text": "ple word"},
+        ]
+        r = parse_pdf_spans("\n".join(json.dumps(l) for l in lines))
+        assert r["clean_text"] == "an example word"
+
+    def test_repeated_furniture_dropped(self):
+        lines = []
+        for page in (1, 2):
+            lines.append({"page": page, "x": 0.0, "y": 10.0, "size": 8.0, "text": "HEADER"})
+            lines.append({"page": page, "x": 0.0, "y": 400.0, "size": 10.0, "text": f"body {page} content"})
+            lines.append({"page": page, "x": 0.0, "y": 790.0, "size": 8.0, "text": "footer 1"})
+        r = parse_pdf_spans("\n".join(json.dumps(l) for l in lines))
+        assert "HEADER" not in r["clean_text"]
+        assert "footer" not in r["clean_text"]
+        assert "body 1 content" in r["clean_text"]
+
+    def test_heading_span_kind(self):
+        lines = [
+            {"page": 1, "x": 0.0, "y": 50.0, "size": 20.0, "text": "Big Title"},
+            {"page": 1, "x": 0.0, "y": 100.0, "size": 10.0, "text": "body text line"},
+            {"page": 1, "x": 0.0, "y": 114.0, "size": 10.0, "text": "more body text"},
+        ]
+        r = parse_pdf_spans("\n".join(json.dumps(l) for l in lines))
+        assert r["spans"][0][0] == "heading"
+        assert r["clean_text"][r["spans"][0][1] : r["spans"][0][2]] == "Big Title"
+
+    def test_empty_and_malformed(self):
+        assert parse_pdf_spans("")["status"] == st.NO_TEXT_FOUND
+        assert parse_pdf_spans("not json at all")["status"] == st.ERROR_PROCESSING
+
+
+class TestOcrNormalize:
+    def test_noise_removed(self):
+        r = normalize_ocr("hel-\nlo   world\r\nnext\x0cline")
+        assert r["clean_text"] == "hello world nextline"
+        assert r["status"] == st.SUCCESS
+
+    def test_empty_is_no_text_found(self):
+        assert normalize_ocr("")["status"] == st.NO_TEXT_FOUND
+        assert normalize_ocr("  \r\n \x00 ")["status"] == st.NO_TEXT_FOUND
+
+    def test_crlf_normalized(self):
+        assert normalize_ocr("a\r\nb\rc")["clean_text"] == "a b c"
+
+
+class TestDispatch:
+    def test_null_payload(self):
+        assert extract_turn(None, "html")["status"] == st.ERROR_FILE_NOT_FOUND
+
+    def test_unknown_tool(self):
+        r = extract_turn("xx", "binary")
+        assert r["status"] == st.ERROR_UNSUPPORTED_FORMAT
+        assert r["content_kind"] == "unknown"
+
+    def test_plain(self):
+        r = extract_turn("  a   b ", "")
+        assert r["clean_text"] == "a b"
+        assert (r["n_chars"], r["n_words"]) == (3, 2)
+
+    def test_counts_match_contract(self):
+        r = extract_turn("<body><p>three little words</p></body>", "html")
+        assert r["n_chars"] == len(r["clean_text"])
+        assert r["n_words"] == len(r["clean_text"].split())
+
+    def test_never_raises_on_generated_corpus(self):
+        rng = random.Random(7)
+        payloads = (
+            [(html_payload(rng), "html") for _ in range(20)]
+            + [(html_payload(rng, malformed=True), "html") for _ in range(10)]
+            + [(pdf_payload(rng), "pdf") for _ in range(20)]
+            + [(ocr_payload(rng), "ocr") for _ in range(20)]
+        )
+        for text, tool in payloads:
+            r = extract_turn(text, tool)
+            assert r["status"] in st.ALL_STATUSES
+            for kind, s, e in r["spans"]:
+                assert 0 <= s <= e <= len(r["clean_text"])
+
+
+def test_generator_is_deterministic():
+    a = generate_transcripts(n_convs=20)
+    b = generate_transcripts(n_convs=20)
+    assert a.equals(b)
+    # skew conversation holds 30-60% of rows (FIXTURES.md §1)
+    share = (a["conv_id"] == "conv-skewed").mean()
+    assert 0.3 <= share <= 0.6

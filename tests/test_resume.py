@@ -1,0 +1,101 @@
+"""Resume / idempotence tests (SURVEY.md §5 items 3-4; FIXTURES.md §4).
+
+Mirrors the reference's interrupted-run recovery semantics
+(/root/reference/USAGE.md:277-285): reruns must skip completed work,
+redo incomplete work, and never duplicate output rows.
+"""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_mass_scraper_ocr_spark.config import ExtractionConfig
+from web_mass_scraper_ocr_spark.plans.extraction import run_extraction
+from web_mass_scraper_ocr_spark.sources import tableio
+from web_mass_scraper_ocr_spark.sources.transcripts import generate_transcripts
+
+CFG = ExtractionConfig(n_buckets=16)
+
+
+@pytest.fixture(scope="module")
+def transcripts(request):
+    spark = request.getfixturevalue("spark")
+    return spark.createDataFrame(generate_transcripts(n_convs=40))
+
+
+def _output_keys(spark, wh):
+    out = tableio.table(wh, "extractions").read(spark)
+    return out.select("conv_id", "turn_idx", "turn_rank").toPandas()
+
+
+def test_rerun_is_idempotent(spark, transcripts, tmp_warehouse):
+    r1 = run_extraction(spark, transcripts, tmp_warehouse, snapshot_id="s1", cfg=CFG)
+    keys1 = _output_keys(spark, tmp_warehouse)
+
+    r2 = run_extraction(spark, transcripts, tmp_warehouse, snapshot_id="s1", cfg=CFG)
+    keys2 = _output_keys(spark, tmp_warehouse)
+
+    assert r2["buckets_skipped_resume"] > 0
+    assert len(keys1) == len(keys2) == r1["turns_total"]
+    assert keys2.duplicated(["conv_id", "turn_idx", "turn_rank"]).sum() == 0
+
+
+def test_partial_checkpoint_resumes_missing_buckets(spark, transcripts, tmp_warehouse):
+    run_extraction(spark, transcripts, tmp_warehouse, snapshot_id="s1", cfg=CFG)
+    keys_full = _output_keys(spark, tmp_warehouse)
+
+    # simulated crash: keep only half the checkpoint's completed buckets
+    ckpt = tableio.table(tmp_warehouse, "extraction_checkpoint")
+    kept = ckpt.read(spark).where(F.pmod(F.col("conv_bucket"), F.lit(2)) == 0)
+    kept_buckets = {r["conv_bucket"] for r in kept.select("conv_bucket").collect()}
+    kept_pd = kept.toPandas()
+    shutil.rmtree(ckpt.dir)
+    ckpt2 = tableio.table(tmp_warehouse, "extraction_checkpoint")
+    ckpt2.append(spark.createDataFrame(kept_pd, schema=kept.schema))
+
+    r = run_extraction(spark, transcripts, tmp_warehouse, snapshot_id="s1", cfg=CFG)
+    assert r["buckets_skipped_resume"] == len(kept_buckets)
+
+    keys_after = _output_keys(spark, tmp_warehouse)
+    assert len(keys_after) == len(keys_full)
+    assert keys_after.duplicated(["conv_id", "turn_idx", "turn_rank"]).sum() == 0
+    merged = keys_full.merge(keys_after, how="outer", indicator=True)
+    assert (merged["_merge"] == "both").all()
+
+
+def test_new_extractor_version_reprocesses(spark, transcripts, tmp_warehouse):
+    run_extraction(spark, transcripts, tmp_warehouse, snapshot_id="s1", cfg=CFG)
+    cfg2 = ExtractionConfig(n_buckets=16, extractor_version="2.0.0-test")
+    r = run_extraction(spark, transcripts, tmp_warehouse, snapshot_id="s1", cfg=cfg2)
+    # different extractor version -> checkpoint rows don't match -> full redo
+    assert r["buckets_skipped_resume"] == 0
+
+
+def test_metrics_reconcile_with_output(spark, transcripts, tmp_warehouse):
+    """FIXTURES.md §5: counter totals reconcile with groupBy(status)."""
+    run_extraction(spark, transcripts, tmp_warehouse, snapshot_id="s1", cfg=CFG)
+    out = tableio.table(tmp_warehouse, "extractions").read(spark)
+    metrics = tableio.table(tmp_warehouse, "extraction_metrics").read(spark)
+    m = {r["metric"]: r["value"] for r in metrics.collect()}
+    counts = {r["status"]: r["count"] for r in out.groupBy("status").count().collect()}
+    assert m["turns_total"] == sum(counts.values())
+    assert m["turns_ok"] == counts.get("success", 0)
+    assert m["turns_error"] == sum(v for k, v in counts.items() if k.startswith("error"))
+
+
+def test_checkpoint_covers_all_buckets(spark, transcripts, tmp_warehouse):
+    run_extraction(spark, transcripts, tmp_warehouse, snapshot_id="s1", cfg=CFG)
+    ckpt = tableio.table(tmp_warehouse, "extraction_checkpoint").read(spark)
+    from web_mass_scraper_ocr_spark.operators.resume import with_conv_bucket
+
+    expected = {
+        r["conv_bucket"]
+        for r in with_conv_bucket(transcripts, CFG.n_buckets)
+        .select("conv_bucket")
+        .distinct()
+        .collect()
+    }
+    got = {r["conv_bucket"] for r in ckpt.select("conv_bucket").distinct().collect()}
+    assert got == expected
