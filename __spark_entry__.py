@@ -1,38 +1,705 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``: flagship extraction pipeline on sf0.001.
+``queries()``: one entry per implemented operator (SURVEY.md §2 + the
+training-data-pipeline operators), each (spark, sf_dir) -> DataFrame.
+``oracle_sql()``: DuckDB-equivalent ANSI SQL per query (omitted only for
+genuinely non-SQL-expressible kernels -> rows-only check).
+
+Determinism rules shared by both sides:
+- no float aggregation without an exact decimal carrier, cast to double
+  only at the end (identical IEEE doubles both engines);
+- ratios are unrounded doubles derived from identical integer counts;
+- similarity rankings output ids + ranks, never raw floats;
+- all hashing is md5 (reproducible in ANSI SQL), never engine-native.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from web_mass_scraper_ocr_spark.functions import text as T
+from web_mass_scraper_ocr_spark.operators import dedup as D
+from web_mass_scraper_ocr_spark.operators import similarity as S
+
+# shared parameters (mirrored verbatim into the SQL oracles)
+SHINGLE_N = 3
+JACCARD_THRESHOLD = 0.5
+MINHASH_K = 16
+BAND_SIZE = 4
+SIMHASH_BITS = 32
+TOPK = 5
+N_QUERY_VECS = 20
+IVF_MODULUS = 50
+SHIP_CUT = "1999-01-01 00:00:00"
+
+# SQL fragments shared across oracles
+_CLEAN = "trim(regexp_replace({c}, '[ \\t\\r\\n]+', ' ', 'g'))"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# transcript derivation (deterministic, same shape as BASELINE input_hint)
+# ---------------------------------------------------------------------------
+
+
+def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically reshape `documents` into the transcript schema
+    (conv_id, turn_idx, role, text, tool, ts), wrapping each doc's text
+    into an html/pdf/ocr/plain payload by doc_id."""
+    d = _t(spark, sf_dir, "documents")
+    tool = F.element_at(
+        F.array(F.lit("html"), F.lit("pdf"), F.lit("ocr"), F.lit("")),
+        (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("int"),
+    )
+    html_wrap = F.concat(
+        F.lit('<html><body><nav class="nav"><a href="/">home</a></nav>'
+              "<article><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit('</p></article><footer class="footer">imprint</footer></body></html>'),
+    )
+    pdf_wrap = F.concat(
+        F.lit('{"page": 1, "x": 72.0, "y": 100.0, "size": 10.0, "text": "'),
+        F.col("text"),
+        F.lit('"}'),
+    )
+    ocr_wrap = F.concat(F.col("text"), F.lit("\r\n extra line"))
+    payload = (
+        F.when(tool == "html", html_wrap)
+        .when(tool == "pdf", pdf_wrap)
+        .when(tool == "ocr", ocr_wrap)
+        .otherwise(F.col("text"))
+    )
+    return d.select(
+        F.concat(
+            F.lit("conv-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(50)).cast("string"), 4, "0"),
+        ).alias("conv_id"),
+        F.floor(F.col("doc_id") / F.lit(50)).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        payload.alias("text"),
+        tool.alias("tool"),
+        F.timestamp_seconds(F.lit(1735689600) + F.col("doc_id")).alias("ts"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction pipeline on sf0.001 transcripts."""
+    from web_mass_scraper_ocr_spark.plans.extraction import build_extraction_df
+
+    transcripts = derive_transcripts(spark, "/root/testdata/sf0.001")
+    return build_extraction_df(transcripts)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _dec(c: str, p: int, s: int):
+    return F.col(c).cast(f"decimal({p},{s})")
+
+
+def q_pricing_rollup(spark, sf_dir):
+    """TPC-H Q1 shape: the reference's multi-counter rollups
+    (SURVEY.md §2.5) as one hash aggregate with exact decimal carriers."""
+    li = _t(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(6,4)")
+    qty, price = _dec("l_quantity", 15, 4), _dec("l_extendedprice", 15, 4)
+    disc, tax = _dec("l_discount", 6, 4), _dec("l_tax", 6, 4)
+    return (
+        li.where(F.col("l_shipdate") <= F.lit(SHIP_CUT).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (one - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (one - disc) * (one + tax)).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_scan_order_limit(spark, sf_dir):
+    """Deterministic ORDER BY + LIMIT/OFFSET paging (reference
+    db_utils.py:56) via row_number range filter."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.orderBy(F.col("doc_id").asc())
+    return (
+        d.where(F.col("text").isNotNull() & (F.col("text") != ""))
+        .withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") > 100) & (F.col("rn") <= 200))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+def q_anti_join(spark, sf_dir):
+    """THE resume operator (reference check_url_scraped,
+    db_utils.py:76-123): work items with no completion record."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_semi_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_nationkey"
+    )
+
+
+def q_dim_lookup(spark, sf_dir):
+    """Broadcast dimension lookup join (reference get_company_name,
+    db_utils.py:171-205) + grouped rollup."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice", 18, 4)).cast("double").alias("revenue"),
+        )
+    )
+
+
+def q_stable_order(spark, sf_dir):
+    """Stable ordering window (north_rule): row_number per key ordered
+    by (ts, event_id tiebreak)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return e.select(
+        "user_id", "event_id", F.row_number().over(w).cast("int").alias("turn_rank")
+    )
+
+
+def q_status_pivot(spark, sf_dir):
+    """Status-bucketing rollup with the guarded rate formula (reference
+    generate_scraping_summary, main.py:168-199)."""
+    e = _t(spark, sf_dir, "events")
+    n_total = F.count(F.lit(1))
+    n_err = F.count(F.when(F.col("event_type") == "error", 1))
+    n_purchase = F.count(F.when(F.col("event_type") == "purchase", 1))
+    n_click = F.count(F.when(F.col("event_type") == "click", 1))
+    return e.groupBy("user_id").agg(
+        n_total.alias("n_total"),
+        n_err.alias("n_error"),
+        n_purchase.alias("n_purchase"),
+        n_click.alias("n_click"),
+        F.when(n_total > 0, F.lit(100.0) * n_err.cast("double") / n_total.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("error_rate"),
+    )
+
+
+def q_distinct_sorted(spark, sf_dir):
+    """collect_set + array_sort (reference sorted extension set,
+    main.py:171,209) emitted as a joined string."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types_sorted")
+    )
+
+
+def q_ordered_concat(spark, sf_dir):
+    """Order-stable collect_list concat (reference OCR text concat,
+    utils.py:311-312): sort keys ride along in a struct — collect_list
+    alone is nondeterministic (SURVEY.md §2.5)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            "|",
+        ).alias("events_in_order")
+    )
+
+
+def q_topk_per_group(spark, sf_dir):
+    e = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        e.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select("o_custkey", "rank", "o_orderkey")
+    )
+
+
+def q_multilevel_rollup(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice", 18, 4)).cast("double").alias("revenue"),
+        )
+    )
+
+
+def q_clean_text(spark, sf_dir):
+    """SQL-native reference clean_text (scraper.py:36-40)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.clean_text_col(F.col("text")).alias("clean_text"))
+
+
+def q_text_stats(spark, sf_dir):
+    """Per-doc text stats (reference create_text_metadata, utils.py:269-275)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.n_chars(F.col("text")).cast("long").alias("text_length"),
+        T.n_words(F.col("text")).cast("long").alias("word_count"),
+        T.n_paragraphs(F.col("text")).cast("long").alias("paragraph_count"),
+    )
+
+
+def q_token_count(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.n_tokens(F.col("text")).cast("long").alias("n_tokens"),
+        T.n_words(F.col("text")).cast("long").alias("n_ws_tokens"),
+    )
+
+
+def q_quality_score(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    f = T.quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        f["punct_ratio"].alias("punct_ratio"),
+        f["alpha_ratio"].alias("alpha_ratio"),
+        f["stopword_ratio"].alias("stopword_ratio"),
+        f["mean_word_len"].alias("mean_word_len"),
+        T.quality_score(F.col("text")).alias("quality_score"),
+    )
+
+
+def q_langid(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.lang_guess(F.col("text")).alias("lang_guess"))
+
+
+def q_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+def q_exact_dedup(spark, sf_dir):
+    """Exact dedup: keep min-id doc per normalized-text fingerprint."""
+    d = _t(spark, sf_dir, "documents")
+    return D.dedup_exact(d, "doc_id", "text").select("doc_id", "lang")
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=SHINGLE_N, threshold=JACCARD_THRESHOLD
+    ).select(
+        F.col("id_a").alias("id_a"),
+        F.col("id_b").alias("id_b"),
+        F.col("common_shingles"),
+        F.col("jaccard"),
+    )
+
+
+def q_minhash_lsh(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.lsh_candidate_pairs(
+        d, "doc_id", "text", n=SHINGLE_N, num_hashes=MINHASH_K, band_size=BAND_SIZE
+    )
+
+
+def q_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.simhash(d, "doc_id", "text", bits=SIMHASH_BITS)
+
+
+def q_embedding_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
+    return S.brute_force_topk(emb, queries, k=TOPK)
+
+
+def q_ivf_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
+    return S.ivf_topk(emb, queries, n_cells_modulus=IVF_MODULUS, k=TOPK)
+
+
+def q_extract_plain(spark, sf_dir):
+    """The real pandas-UDF dispatch kernel on plain payloads — gated
+    against the SQL clean-text oracle (kernel/SQL semantic parity)."""
+    from web_mass_scraper_ocr_spark.functions.extract_udf import extract_udf
+
+    d = _t(spark, sf_dir, "documents")
+    x = d.withColumn("x", extract_udf(F.col("text"), F.lit("")))
+    return x.select(
+        "doc_id",
+        F.col("x.clean_text").alias("clean_text"),
+        F.col("x.status").alias("status"),
+        F.col("x.n_chars").cast("long").alias("n_chars"),
+        F.col("x.n_words").cast("long").alias("n_words"),
+    )
+
+
+def q_extract_pipeline(spark, sf_dir):
+    """Full extraction pipeline over derived transcripts: ordering +
+    salting + kernel dispatch.  Oracle reproduces the golden main text
+    per payload kind in pure SQL (possible because the wrapping is
+    deterministic)."""
+    from web_mass_scraper_ocr_spark.plans.extraction import build_extraction_df
+
+    transcripts = derive_transcripts(spark, sf_dir)
+    out = build_extraction_df(transcripts)
+    return out.select(
+        "conv_id", "turn_idx", "turn_rank", "content_kind", "clean_text", "status",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+def q_multimodal_meta(spark, sf_dir):
+    from web_mass_scraper_ocr_spark.multimodal.binary_ops import decode_metadata
+
+    d = _t(spark, sf_dir, "documents")
+    return decode_metadata(d)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pricing_rollup": q_pricing_rollup,
+        "scan_order_limit": q_scan_order_limit,
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "dim_lookup": q_dim_lookup,
+        "stable_order": q_stable_order,
+        "status_pivot": q_status_pivot,
+        "distinct_sorted": q_distinct_sorted,
+        "ordered_concat": q_ordered_concat,
+        "topk_per_group": q_topk_per_group,
+        "multilevel_rollup": q_multilevel_rollup,
+        "clean_text": q_clean_text,
+        "text_stats": q_text_stats,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "langid": q_langid,
+        "fingerprint": q_fingerprint,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "embedding_topk": q_embedding_topk,
+        "ivf_topk": q_ivf_topk,
+        "extract_plain": q_extract_plain,
+        "extract_pipeline": q_extract_pipeline,
+        "multimodal_meta": q_multimodal_meta,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles (DuckDB ANSI SQL on the pre-registered views)
+# ---------------------------------------------------------------------------
+
+_CLEAN_TEXT = _CLEAN.format(c="text")
+_TOKENS = f"string_split(lower({_CLEAN_TEXT}), ' ')"
+_STOP = {
+    lang: r"(^|[ \t\r\n])(" + "|".join(words) + r")([ \t\r\n]|$)"
+    for lang, words in T.STOPWORDS.items()
+}
+
+
+def _shingle_cte(n: int = SHINGLE_N) -> str:
+    return f"""
+shingles AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len({_TOKENS}) - {n - 1}, 0)),
+           i -> array_to_string(list_slice({_TOKENS}, i, i + {n - 1}), ' ')
+         ))) AS shingle
+  FROM documents
+)"""
+
+
+def _minhash_cte() -> str:
+    mins = ", ".join(
+        f"min(md5(concat('{i}#', shingle))) AS mh_{i}" for i in range(MINHASH_K)
+    )
+    return f"WITH {_shingle_cte()}, sig AS (SELECT doc_id, {mins} FROM shingles GROUP BY doc_id)"
+
+
+def _simhash_sql() -> str:
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN weight ELSE -weight END) AS b{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    sim_expr = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, token, count(*) AS weight,
+         CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest({_TOKENS}) AS token FROM documents)
+  WHERE token <> '' GROUP BY doc_id, token
+), bits AS (SELECT doc_id, {bit_sums} FROM toks GROUP BY doc_id)
+SELECT doc_id, {sim_expr} AS simhash FROM bits"""
+
+
+def _quality_sql() -> str:
+    chars = f"length(text)"
+    words = f"(CASE WHEN {_CLEAN_TEXT} = '' THEN 0 ELSE len(string_split({_CLEAN_TEXT}, ' ')) END)"
+    punct = r"len(regexp_extract_all(text, '[^A-Za-z0-9 \t\r\n]'))"
+    alpha = "len(regexp_extract_all(text, '[A-Za-z]'))"
+    stop_en = f"len(regexp_extract_all(lower(text), '{_STOP['en']}'))"
+    safe_chars = f"(CASE WHEN {chars} > 0 THEN {chars} ELSE 1 END)::DOUBLE"
+    safe_words = f"(CASE WHEN {words} > 0 THEN {words} ELSE 1 END)::DOUBLE"
+    punct_ratio = f"({punct}::DOUBLE / {safe_chars})"
+    alpha_ratio = f"({alpha}::DOUBLE / {safe_chars})"
+    stop_ratio = f"({stop_en}::DOUBLE / {safe_words})"
+    mean_wl = f"({chars}::DOUBLE / {safe_words})"
+    length_ok = f"(CASE WHEN {words} >= 5 AND {words} <= 100000 THEN 1.0 ELSE 0.0 END)"
+    score = (
+        f"0.4 * {alpha_ratio} + 0.3 * least({stop_ratio} * 2.0, 1.0) "
+        f"+ 0.2 * {length_ok} + 0.1 * (1.0 - least({punct_ratio} * 4.0, 1.0))"
+    )
+    return f"""
+SELECT doc_id, {punct_ratio} AS punct_ratio, {alpha_ratio} AS alpha_ratio,
+       {stop_ratio} AS stopword_ratio, {mean_wl} AS mean_word_len,
+       {score} AS quality_score
+FROM documents"""
+
+
+def _langid_sql() -> str:
+    hits = {
+        lang: f"len(regexp_extract_all(lower(text), '{pat}'))"
+        for lang, pat in _STOP.items()
+    }
+    best = f"greatest({hits['en']}, {hits['de']}, {hits['fr']}, {hits['es']})"
+    return f"""
+SELECT doc_id,
+  CASE WHEN {best} <= 0 THEN 'und'
+       WHEN {hits['en']} = {best} THEN 'en'
+       WHEN {hits['de']} = {best} THEN 'de'
+       WHEN {hits['fr']} = {best} THEN 'fr'
+       WHEN {hits['es']} = {best} THEN 'es'
+       ELSE 'und' END AS lang_guess
+FROM documents"""
+
+
+def _transcript_cte() -> str:
+    """SQL twin of derive_transcripts + the per-kind golden extraction."""
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         concat('conv-', lpad(CAST(doc_id % 50 AS VARCHAR), 4, '0')) AS conv_id,
+         CAST(floor(doc_id / 50) AS INT) AS turn_idx,
+         CASE doc_id % 4 WHEN 0 THEN 'html' WHEN 1 THEN 'pdf' WHEN 2 THEN 'ocr' ELSE '' END AS tool,
+         text,
+         to_timestamp(1735689600 + doc_id) AS ts
+  FROM documents
+), extracted AS (
+  SELECT conv_id, turn_idx, ts,
+         CASE WHEN tool = '' THEN 'plain' ELSE tool END AS content_kind,
+         CASE tool
+           WHEN 'html' THEN concat('Doc ', CAST(doc_id AS VARCHAR), ' ', {_CLEAN_TEXT})
+           WHEN 'pdf'  THEN {_CLEAN_TEXT}
+           WHEN 'ocr'  THEN concat({_CLEAN_TEXT}, ' extra line')
+           ELSE {_CLEAN_TEXT}
+         END AS clean_text
+  FROM t
+)"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    clean = _CLEAN_TEXT
+    words = f"(CASE WHEN {clean} = '' THEN 0 ELSE len(string_split({clean}, ' ')) END)"
+    sql = {
+        "pricing_rollup": f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(15,4))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(15,4)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS sum_disc_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(15,4)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))) AS DOUBLE) AS sum_charge,
+  CAST(sum(CAST(l_quantity AS DECIMAL(15,4))) AS DOUBLE) / count(*) AS avg_qty,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '{SHIP_CUT}'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+        "scan_order_limit": """
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars, row_number() OVER (ORDER BY doc_id ASC) AS rn
+  FROM documents WHERE text IS NOT NULL AND text <> ''
+) WHERE rn > 100 AND rn <= 200""",
+        "anti_join": """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')""",
+        "semi_join": """
+SELECT c_custkey, c_nationkey FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+        "dim_lookup": """
+SELECT n_name, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name""",
+        "stable_order": """
+SELECT user_id, event_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS INT) AS turn_rank
+FROM events""",
+        "status_pivot": """
+SELECT user_id, count(*) AS n_total,
+  count(*) FILTER (event_type = 'error') AS n_error,
+  count(*) FILTER (event_type = 'purchase') AS n_purchase,
+  count(*) FILTER (event_type = 'click') AS n_click,
+  CASE WHEN count(*) > 0
+       THEN 100.0 * (count(*) FILTER (event_type = 'error'))::DOUBLE / count(*)::DOUBLE
+       ELSE 0.0 END AS error_rate
+FROM events GROUP BY user_id""",
+        "distinct_sorted": """
+SELECT user_id, string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_sorted
+FROM events GROUP BY user_id""",
+        "ordered_concat": """
+SELECT user_id, string_agg(event_type, '|' ORDER BY ts, event_id) AS events_in_order
+FROM events GROUP BY user_id""",
+        "topk_per_group": """
+SELECT o_custkey, rank, o_orderkey FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rank
+  FROM orders
+) WHERE rank <= 3""",
+        "multilevel_rollup": """
+SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS order_year, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name, year(o_orderdate)""",
+        "clean_text": f"SELECT doc_id, {clean} AS clean_text FROM documents",
+        "text_stats": f"""
+SELECT doc_id, length(text) AS text_length,
+       CAST({words} AS BIGINT) AS word_count,
+       CAST(len(list_filter(string_split(text, chr(10)), x -> len(trim(x)) > 0)) AS BIGINT) AS paragraph_count
+FROM documents""",
+        "token_count": f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\r\\n]')) AS BIGINT) AS n_tokens,
+       CAST({words} AS BIGINT) AS n_ws_tokens
+FROM documents""",
+        "quality_score": _quality_sql(),
+        "langid": _langid_sql(),
+        "fingerprint": f"SELECT doc_id, md5(lower({clean})) AS fingerprint FROM documents",
+        "exact_dedup": f"""
+SELECT doc_id, lang FROM documents
+WHERE doc_id IN (
+  SELECT min(doc_id) FROM documents GROUP BY md5(lower({clean}))
+)""",
+        "ngram_jaccard": f"""
+WITH {_shingle_cte()},
+sizes AS (SELECT doc_id, count(*) AS set_size FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common_shingles
+  FROM shingles a JOIN shingles b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT id_a, id_b, common_shingles,
+       common_shingles::DOUBLE / (sa.set_size + sb.set_size - common_shingles)::DOUBLE AS jaccard
+FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE common_shingles::DOUBLE / (sa.set_size + sb.set_size - common_shingles)::DOUBLE >= {JACCARD_THRESHOLD}""",
+        "minhash_lsh": _minhash_cte()
+        + f"""
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM ({_band_select_sql()}) a
+JOIN ({_band_select_sql()}) b USING (band_idx, band_key)
+WHERE a.doc_id < b.doc_id""",
+        "simhash": _simhash_sql(),
+        "embedding_topk": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+  FROM c CROSS JOIN q WHERE neighbor_id <> query_id
+)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {TOPK}""",
+        "ivf_topk": f"""
+WITH cent AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cent_vec FROM embeddings WHERE vec_id % {IVF_MODULUS} = 0),
+assign AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cent_vec) DESC, c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, centroid_id FROM assign WHERE vec_id < {N_QUERY_VECS}),
+scored AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv, a.embedding::DOUBLE[]) AS cos
+  FROM assign a JOIN q ON a.centroid_id = q.centroid_id
+  WHERE a.vec_id <> q.query_id
+)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {TOPK}""",
+        "extract_plain": f"""
+SELECT doc_id, {clean} AS clean_text,
+       CASE WHEN {clean} = '' THEN 'no_text_found' ELSE 'success' END AS status,
+       CAST(length({clean}) AS BIGINT) AS n_chars,
+       CAST({words} AS BIGINT) AS n_words
+FROM documents""",
+        "extract_pipeline": _transcript_cte()
+        + """
+SELECT conv_id, turn_idx,
+       CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx ASC, ts ASC) AS INT) AS turn_rank,
+       content_kind, clean_text,
+       CASE WHEN clean_text = '' THEN 'no_text_found' ELSE 'success' END AS status,
+       CAST(length(clean_text) AS BIGINT) AS n_chars
+FROM extracted""",
+        "multimodal_meta": """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+       CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height,
+       'image' AS media_kind
+FROM documents""",
+    }
+    return sql
+
+
+def _band_select_sql() -> str:
+    """Band rows for the LSH oracle: (doc_id, band_idx, band_key)."""
+    n_bands = MINHASH_K // BAND_SIZE
+    selects = []
+    for b in range(n_bands):
+        cols = ", ".join(f"mh_{b * BAND_SIZE + j}" for j in range(BAND_SIZE))
+        selects.append(
+            f"SELECT doc_id, {b} AS band_idx, md5(concat_ws('|', {cols})) AS band_key FROM sig"
+        )
+    return " UNION ALL ".join(selects)

@@ -1,0 +1,101 @@
+"""Local mirror of the driver's correctness gate: run each queries()
+entry on Spark and its oracle_sql() twin on DuckDB at the same sf_dir,
+compare row count, column names, and (column-name-sorted,
+row-sorted) values.  Usage:
+
+    python scripts/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entrymod
+from web_mass_scraper_ocr_spark.session import get_spark
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def values_equal(a, b) -> bool:
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b or abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+    return a == b
+
+
+def compare(name: str, spark_pd: pd.DataFrame, oracle_pd: pd.DataFrame) -> str:
+    if len(spark_pd) != len(oracle_pd):
+        return f"ROWCOUNT spark={len(spark_pd)} oracle={len(oracle_pd)}"
+    s, o = normalize(spark_pd), normalize(oracle_pd)
+    if list(s.columns) != list(o.columns):
+        return f"COLUMNS spark={list(s.columns)} oracle={list(o.columns)}"
+    for c in s.columns:
+        sv, ov = s[c].tolist(), o[c].tolist()
+        for i, (x, y) in enumerate(zip(sv, ov)):
+            if not values_equal(x, y):
+                return f"VALUE col={c} row={i}: spark={x!r} oracle={y!r}"
+    return "OK"
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    spark = get_spark(master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            spark_pd = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"{name:22s} SPARK-ERROR {type(e).__name__}: {str(e)[:200]}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"{name:22s} rows-only  rows={len(spark_pd)}")
+            continue
+        try:
+            oracle_pd = con.sql(oracles[name]).df()
+        except Exception as e:
+            print(f"{name:22s} ORACLE-ERROR {type(e).__name__}: {str(e)[:200]}")
+            failures += 1
+            continue
+        verdict = compare(name, spark_pd, oracle_pd)
+        status = "ok" if verdict == "OK" else "FAIL"
+        print(f"{name:22s} {status:4s} rows={len(spark_pd)} {'' if verdict == 'OK' else verdict}")
+        if verdict != "OK":
+            failures += 1
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+"""Column-level text-analysis functions — pure Spark built-ins (JVM-side,
+whole-stage-codegen friendly; no Python in the hot path).
+
+These are the large-scale training-data-pipeline operations layered on
+the engine: SQL-native text cleaning (the reference clean_text
+semantics, /root/reference/src/scraper_app/scraper.py:36-40, expressed
+with regexp_replace), token counting, quality scoring, language ID and
+document fingerprinting (md5 — the reference's key-derivation hash,
+utils.py:240,:247,:267).
+
+Determinism note: every function here has an exact ANSI-SQL twin in
+``__spark_entry__.oracle_sql`` — ratios stay unrounded doubles derived
+from integer counts (identical IEEE ops -> identical bits), and no
+float aggregation happens without an exact (integer/decimal) carrier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# whitespace class shared with the SQL oracle (ASCII; Java and RE2 agree)
+WS = "[ \\t\\r\\n]+"
+
+# BPE-ish token pattern: letter runs, digit runs, single punctuation.
+TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\r\\n]"
+
+# small deterministic stopword inventories for the n-gram language heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "für", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "que", "pour", "dans", "une"],
+    "es": ["el", "la", "los", "que", "es", "por", "con", "para", "una"],
+}
+
+
+def clean_text_col(col: Column) -> Column:
+    """SQL-native reference clean_text: collapse whitespace runs + trim."""
+    return F.trim(F.regexp_replace(col, WS, " "))
+
+
+def n_chars(col: Column) -> Column:
+    return F.length(col)
+
+
+def n_words(col: Column) -> Column:
+    """len(text.split()) semantics (reference ocr.py:78): whitespace-split,
+    empties dropped — i.e. count of non-space runs."""
+    cleaned = clean_text_col(col)
+    return F.when(cleaned == "", F.lit(0)).otherwise(
+        F.size(F.split(cleaned, " "))
+    )
+
+
+def n_tokens(col: Column) -> Column:
+    """BPE-ish regex token count (letters / digits / punct singles)."""
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_RE), 0))
+
+
+def n_paragraphs(col: Column) -> Column:
+    """Non-blank-line count (reference utils.py:274)."""
+    return F.size(
+        F.filter(F.split(col, "\n"), lambda x: F.trim(x) != F.lit(""))
+    )
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    pat = r"(^|[ \t\r\n])(" + "|".join(STOPWORDS[lang]) + r")([ \t\r\n]|$)"
+    return F.regexp_count(F.lower(col), F.lit(pat))
+
+
+def punct_count(col: Column) -> Column:
+    return F.regexp_count(col, F.lit(r"[^A-Za-z0-9 \t\r\n]"))
+
+
+def alpha_count(col: Column) -> Column:
+    return F.regexp_count(col, F.lit("[A-Za-z]"))
+
+
+def quality_features(col: Column) -> dict[str, Column]:
+    """Quality-scoring features: all exact integer counts + derived
+    unrounded double ratios (deterministic across engines)."""
+    chars = n_chars(col).cast("long")
+    words = n_words(col).cast("long")
+    safe_chars = F.when(chars > 0, chars).otherwise(F.lit(1)).cast("double")
+    safe_words = F.when(words > 0, words).otherwise(F.lit(1)).cast("double")
+    return {
+        "n_chars": chars,
+        "n_words": words,
+        "punct_ratio": punct_count(col).cast("double") / safe_chars,
+        "alpha_ratio": alpha_count(col).cast("double") / safe_chars,
+        "stopword_ratio": stopword_hits(col, "en").cast("double") / safe_words,
+        "mean_word_len": chars.cast("double") / safe_words,
+    }
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1]-ish quality score from the features; a deterministic
+    linear blend (the exact weights are engine policy, mirrored in SQL)."""
+    f = quality_features(col)
+    length_ok = F.when((f["n_words"] >= 5) & (f["n_words"] <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+    return (
+        F.lit(0.4) * f["alpha_ratio"]
+        + F.lit(0.3) * F.least(f["stopword_ratio"] * F.lit(2.0), F.lit(1.0))
+        + F.lit(0.2) * length_ok
+        + F.lit(0.1) * (F.lit(1.0) - F.least(f["punct_ratio"] * F.lit(4.0), F.lit(1.0)))
+    )
+
+
+def lang_guess(col: Column) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hits with a
+    fixed tie order (en > de > fr > es > und); zero hits -> 'und'."""
+    hits = {lang: stopword_hits(col, lang) for lang in ("en", "de", "fr", "es")}
+    best = F.greatest(*hits.values())
+    out = F.when(best <= 0, F.lit("und"))
+    for lang in ("en", "de", "fr", "es"):  # fixed priority on ties
+        out = out.when(hits[lang] == best, F.lit(lang))
+    return out.otherwise(F.lit("und"))
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized lowercase
+    text (the exact-dedup key)."""
+    return F.md5(F.lower(clean_text_col(col)))

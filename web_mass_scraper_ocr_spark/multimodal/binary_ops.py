@@ -1,0 +1,74 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The reference downloads images to disk and OCRs them per file
+(/root/reference/src/scraper_app/utils.py:193-230, ocr.py:15-113).  At
+scale, media rides as an opaque ``binary`` column with typed metadata;
+decode / feature-extract run as Arrow-batched functions over
+``mapInPandas`` (real plumbing: schema, batching, partitioning), while
+the actual image/audio decoding is STUBBED — this container has no
+PIL/ffmpeg — behind ``decode_image_stub`` (deterministic fake) and
+``decode_image_real`` (NotImplementedError marker for cluster builds).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+METADATA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("media_kind", StringType()),
+    ]
+)
+
+
+def decode_image_real(payload: bytes) -> dict:
+    """Real decoder slot: wire PIL/libvips here on a real cluster."""
+    raise NotImplementedError(
+        "image decoding requires PIL/libvips, not present in this sandbox; "
+        "use decode_image_stub for plumbing tests"
+    )
+
+
+def decode_image_stub(payload: bytes) -> dict:
+    """Deterministic fake decode: metadata derived purely from bytes, so
+    tests and oracles can verify the Spark-side plumbing end to end."""
+    n = len(payload)
+    return {"n_bytes": n, "width": n % 640, "height": (n * 7) % 480, "media_kind": "image"}
+
+
+def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Treat the text payload as an opaque binary column (utf-8 bytes) —
+    the shape a real media column would have."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "utf-8").cast(BinaryType()))
+
+
+def decode_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas decode pass: binary in, typed metadata out.
+
+    Arrow-batched; one Python roundtrip for the whole batch, never
+    per-row Spark-side.
+    """
+    src = with_binary_payload(df).select(id_col, "payload")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = [decode_image_stub(b) for b in pdf["payload"]]
+            out = pd.DataFrame(metas)
+            out.insert(0, id_col, pdf[id_col].values)
+            yield out
+
+    return src.mapInPandas(batches, schema=METADATA_SCHEMA)

@@ -1,0 +1,266 @@
+"""Deduplication operators for training-data pipelines, Spark-first.
+
+All shuffle-aware: exact dedup is one hash-aggregate on a fingerprint;
+near-dup (n-gram Jaccard, MinHash+LSH, SimHash) explodes shingles and
+joins on shingle/band/bucket keys so candidate generation is an equi-join
+Catalyst can plan (shuffle or broadcast), never an O(n^2) cross product.
+
+Hashing is md5-based everywhere (not xxhash) so the DuckDB oracle can
+reproduce signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import WS, clean_text_col, fingerprint
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical (normalized) docs: one row per duplicate
+    group with the keeper (min id) and the group size.  Single hash-agg."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the min-id row per fingerprint (the classic exact-dedup pass)."""
+    keep = (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingling (shared by jaccard / minhash)
+# ---------------------------------------------------------------------------
+
+
+def token_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct n-token shingles per doc: (id, shingle).
+
+    Tokens = lowercase whitespace-split of normalized text; shingle =
+    n consecutive tokens joined with a space.  Built-ins only
+    (split + transform over slice), no UDF.
+    """
+    toks = F.split(F.lower(clean_text_col(F.col(text_col))), " ")
+    n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    shingles = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Doc pairs with shingle-set Jaccard >= threshold.
+
+    Plan shape: explode -> self equi-join on shingle (AQE handles hot
+    shingles) -> pair-count agg -> join per-doc set sizes (broadcastable
+    when the corpus is reduced) -> filter.  Returns (id_a, id_b,
+    common_shingles, jaccard) with id_a < id_b.
+    """
+    sh = token_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common_shingles"))
+    )
+    out = (
+        common.join(sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common_shingles").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("common_shingles")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "common_shingles", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 16
+) -> DataFrame:
+    """(id, mh_0..mh_{k-1}): per-doc MinHash signature.
+
+    Hash family i = md5(i || '#' || shingle) (string min over fixed-width
+    hex == numeric min — md5 hex is zero-padded).  One explode + one
+    grouped agg; md5 keeps the oracle reproducible in ANSI SQL.
+    """
+    sh = token_shingles(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}#"), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 4,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the MinHash signature.
+
+    band key = md5(band_idx || concat(band's hashes)); candidates =
+    self equi-join on (band_idx, band_key).  Returns distinct
+    (id_a, id_b) with id_a < id_b.
+    """
+    assert num_hashes % band_size == 0
+    sig = minhash_signature(df, id_col, text_col, n, num_hashes)
+    n_bands = num_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+            )
+        )
+    exploded = sig.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("band")
+    ).select(id_col, F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key"))
+
+    a = exploded.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
+    b = exploded.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash near-dup pass: LSH candidates verified by true
+    Jaccard (candidate set is small, verification is an equi-join)."""
+    cands = lsh_candidate_pairs(df, id_col, text_col, n, num_hashes, band_size)
+    verified = ngram_jaccard_pairs(df, id_col, text_col, n, threshold)
+    return cands.join(verified, ["id_a", "id_b"], "inner")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """(id, simhash): per-doc SimHash over unigram tokens.
+
+    Bit source: md5(token) -> first 8 hex chars -> 32-bit int (conv()),
+    so the oracle can reproduce it.  Per-bit weighted sums via one
+    explode + agg over bit positions — built-ins only.
+    """
+    toks = F.split(F.lower(clean_text_col(F.col(text_col))), " ")
+    tok_df = (
+        df.select(F.col(id_col), F.explode(toks).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .withColumn(
+            "h", F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
+        )
+    )
+    # contribution of bit i: +weight if set, -weight if not
+    bit_cols = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.col("weight"))
+            .otherwise(-F.col("weight"))
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = tok_df.groupBy(id_col).agg(*bit_cols)
+    sim = None
+    for i in range(bits):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0)).cast("long")
+        sim = term if sim is None else sim + term
+    return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Scale path: block on bit-bands of the simhash (4 bands -> any pair
+    within Hamming 3 shares at least one exact band), equi-join per
+    band, verify Hamming via bit_count — no cross product.
+    """
+    sig = simhash(df, id_col, text_col, bits)
+    n_bands = max_hamming + 1
+    band_bits = bits // n_bands
+    bands = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.shiftright(F.col("simhash"), b * band_bits)
+            .bitwiseAND(F.lit((1 << band_bits) - 1))
+            .alias("band_val"),
+        )
+        for b in range(n_bands)
+    ]
+    exploded = sig.select(id_col, "simhash", F.explode(F.array(*bands)).alias("band")).select(
+        id_col, "simhash", F.col("band.band_idx").alias("band_idx"), F.col("band.band_val").alias("band_val")
+    )
+    a = exploded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "band_idx", "band_val")
+    b = exploded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "band_idx", "band_val")
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,138 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline; an IVF-bucketed variant
+as the scale path (search only the query's cluster instead of the whole
+corpus).  All vector math uses built-in higher-order functions
+(zip_with + aggregate) in double precision — JVM-side, no Python UDF.
+
+Scale shape: queries are broadcast (a query set is small relative to a
+100 TB corpus), so the brute-force scan is one broadcast nested-loop
+over corpus partitions — embarrassingly parallel, no shuffle of the
+corpus; top-k is a per-query window over the (|Q| x |C|) score frame.
+IVF cuts the scanned fraction to ~1/n_cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (self excluded).
+
+    Returns (query_id, rank, neighbor_id) — ids only, ranked by
+    (cosine desc, neighbor_id asc) so output is reproducible and
+    float-representation-free across engines.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine, tie ->
+    lower centroid id).  Centroids are broadcast."""
+    cent = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+    )
+    scored = corpus.crossJoin(F.broadcast(cent)).withColumn(
+        "cos", cosine(F.col(vec_col), F.col("cent_vec"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cos").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(id_col, vec_col, "centroid_id")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells_modulus: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """IVF ANN: centroids = vectors with id % modulus == 0 (deterministic,
+    data-independent pick); each query searches only its own cell.
+
+    Approximate: recall < 1 vs brute force, scan cost ~1/n_cells.
+    """
+    centroids = corpus.where(F.col(id_col) % n_cells_modulus == 0)
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    q_assigned = (
+        ivf_assign(queries, centroids, id_col, vec_col)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            "centroid_id",
+        )
+    )
+    scored = (
+        assigned.withColumnRenamed(id_col, "neighbor_id")
+        .withColumnRenamed(vec_col, "c_vec")
+        .join(F.broadcast(q_assigned), "centroid_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
