@@ -49,11 +49,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def derive_transcripts(spark: SparkSession, sf_dir: str, fatten: int = 1) -> DataFrame:
     """Deterministically reshape `documents` into the transcript schema
     (conv_id, turn_idx, role, text, tool, ts), wrapping each doc's text
-    into an html/pdf/ocr/plain payload by doc_id."""
+    into an html/pdf/ocr/plain payload by doc_id.
+
+    ``fatten`` > 1 repeats each doc's text that many times before
+    wrapping (used only by the scaling bench to get realistic KB-scale
+    payloads; the oracle-gated queries always use the default 1)."""
     d = _t(spark, sf_dir, "documents")
+    if fatten > 1:
+        d = d.withColumn(
+            "text", F.concat_ws(" ", F.array_repeat(F.col("text"), fatten))
+        )
     tool = F.element_at(
         F.array(F.lit("html"), F.lit("pdf"), F.lit("ocr"), F.lit("")),
         (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("int"),
@@ -287,14 +295,13 @@ def q_token_count(spark, sf_dir):
 
 def q_quality_score(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    f = T.quality_features(F.col("text"))
-    return d.select(
+    return T.quality_frame(d, "text").select(
         "doc_id",
-        f["punct_ratio"].alias("punct_ratio"),
-        f["alpha_ratio"].alias("alpha_ratio"),
-        f["stopword_ratio"].alias("stopword_ratio"),
-        f["mean_word_len"].alias("mean_word_len"),
-        T.quality_score(F.col("text")).alias("quality_score"),
+        "punct_ratio",
+        "alpha_ratio",
+        "stopword_ratio",
+        "mean_word_len",
+        "quality_score",
     )
 
 

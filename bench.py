@@ -1,0 +1,84 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries from __spark_entry__.queries() plus the
+flagship extraction pipeline at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a noop sink (full computation, no
+driver collect — the same shape a cluster write has).  The flagship
+extraction throughput (turns/sec) is reported alongside inside the JSON
+line under "extraction_turns_per_sec".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from web_mass_scraper_ocr_spark.session import get_spark
+
+
+def force(df) -> int:
+    """Materialize the full plan without driver-side collect."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qmap = entrymod.queries()
+    timings: dict[str, float] = {}
+
+    # warm the JVM + Python workers once (excluded from timings)
+    force(entrymod.derive_transcripts(spark, sf_dir).limit(1000))
+
+    for name, fn in qmap.items():
+        t0 = time.monotonic()
+        force(fn(spark, sf_dir))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # flagship extraction throughput at this sf
+    transcripts = entrymod.derive_transcripts(spark, sf_dir)
+    n_turns = transcripts.count()
+    from web_mass_scraper_ocr_spark.plans.extraction import build_extraction_df
+
+    t0 = time.monotonic()
+    force(build_extraction_df(transcripts))
+    extract_wall = time.monotonic() - t0
+    timings["extraction_e2e"] = round(extract_wall, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": int(cpus),
+                "extraction_turns": n_turns,
+                "extraction_turns_per_sec": round(n_turns / extract_wall, 1)
+                if extract_wall > 0
+                else 0.0,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,129 @@
+"""Scaling-efficiency benchmark (the north_rule two-cluster-size criterion).
+
+A real cluster isn't available in the sandbox, so per the driver
+instruction the criterion is evidenced by running the SAME extraction
+job at two parallelism levels — local[N] and local[4N] — on the SAME
+input, reporting throughput at both plus efficiency:
+
+    efficiency = (throughput_4N / throughput_N) / 4        (target >= 0.8)
+
+Each level runs in its own subprocess (fresh JVM) so the levels can't
+share executor state.  Results land in BENCH/BASELINE.md.
+
+Usage: python scripts/bench_scaling.py [replication=32] [N=8]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from datetime import datetime, timezone
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+INPUT = REPO / ".bench" / "transcripts_scaling.parquet"
+
+
+def prepare_input(replication: int) -> None:
+    """Replicate the derived sf0.1 transcripts `replication`x with distinct
+    conv_ids (deterministic), so the measured runs chew a non-trivial
+    corpus.  Written once and reused."""
+    if INPUT.exists():
+        return
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from web_mass_scraper_ocr_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-scaling-prep", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    # fatten=10 -> ~3KB payloads: realistic per-turn document sizes so the
+    # kernel compute (not task overhead) is what the scaling run measures
+    t = entrymod.derive_transcripts(spark, SF_DIR, fatten=10)
+    reps = spark.range(replication).select(F.col("id").alias("rep"))
+    big = t.crossJoin(reps).select(
+        F.concat("conv_id", F.lit("-r"), F.col("rep").cast("string")).alias("conv_id"),
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        "ts",
+    )
+    big.repartition(128).write.mode("overwrite").parquet(str(INPUT))
+    spark.stop()
+
+
+def run_level(cores: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "bench_scaling_worker.py"),
+         str(cores), str(INPUT)],
+        capture_output=True, text=True, cwd=str(REPO), timeout=3000,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    replication = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    prepare_input(replication)
+    lo = run_level(n)
+    hi = run_level(4 * n)
+    eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / 4.0
+    report = {
+        "n_cores": n,
+        "4n_cores": 4 * n,
+        "turns": lo["turns"],
+        "throughput_n": lo["turns_per_sec"],
+        "throughput_4n": hi["turns_per_sec"],
+        "wall_n_sec": lo["wall_sec"],
+        "wall_4n_sec": hi["wall_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(report))
+
+    bench_dir = REPO / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    ts = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    md = f"""# BENCH/BASELINE.md — scaling-efficiency evidence
+
+North-rule criterion: >=0.8 throughput scaling efficiency between N and
+4N executors.  No real cluster exists in this sandbox, so (per driver
+instruction) the same job ran at two local parallelism levels on the
+same input, fresh JVM per level, shuffle partitions scaled 4x with
+cores, steady-state timing (warmup run excluded, best of 2 measured
+runs).
+
+Measured {ts}; input = sf0.1-derived transcripts replicated
+{report['turns'] // 5000}x = {report['turns']:,} turns
+(HTML/PDF/OCR/plain payload mix), flagship plan
+`build_extraction_df`: validate -> stable turn ordering ->
+salted repartition on conv_id -> Arrow pandas-UDF kernel dispatch.
+
+| parallelism | wall (s) | throughput (turns/sec) |
+|---|---|---|
+| local[{n}]  (N)  | {report['wall_n_sec']} | {report['throughput_n']:,} |
+| local[{4*n}] (4N) | {report['wall_4n_sec']} | {report['throughput_4n']:,} |
+
+**Scaling efficiency = ({report['throughput_4n']:,} / {report['throughput_n']:,}) / 4
+= {report['scaling_efficiency']}** — {'PASS (>=0.8)' if report['pass'] else 'FAIL (<0.8)'}
+
+Reference throughput context (BASELINE.md): the reference engine is
+architecturally capped at ~2 pages/sec/host
+(SCRAPER_MAX_REQUESTS_PER_SECOND, reference config.py:48-49); this
+engine sustains {report['throughput_4n']:,} turns/sec on one 32-core box.
+
+Reproduce: `python scripts/bench_scaling.py`.
+"""
+    (bench_dir / "BASELINE.md").write_text(md)
+    print(f"wrote {bench_dir / 'BASELINE.md'}")
+
+
+if __name__ == "__main__":
+    main()

@@ -68,3 +68,93 @@ def _extract_batch(text: pd.Series, tool: pd.Series) -> pd.DataFrame:
 
 
 extract_udf = F.pandas_udf(_extract_batch, returnType=EXTRACT_RESULT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow fast path (the production extraction stage)
+# ---------------------------------------------------------------------------
+#
+# Measured on this box (640k turns, ~3KB payloads): building pyarrow
+# arrays directly instead of round-tripping through pandas cuts the
+# per-row plumbing ~1.6x, and small Arrow batches (<=1000 rows) keep the
+# per-worker live set cache-resident — batch 10000 was up to 4x slower
+# at 32 concurrent workers (memory-footprint contention, not GC: the
+# effect persists with gc disabled).  See BENCH/BASELINE.md.
+
+_SPANS_ARROW = None
+
+
+def _arrow_spans_type():
+    global _SPANS_ARROW
+    if _SPANS_ARROW is None:
+        import pyarrow as pa
+
+        _SPANS_ARROW = pa.list_(
+            pa.struct(
+                [("kind", pa.string()), ("start", pa.int32()), ("end", pa.int32())]
+            )
+        )
+    return _SPANS_ARROW
+
+
+def _extract_arrow_batches(it):
+    """Iterator[pa.RecordBatch] -> Iterator[pa.RecordBatch]: pass through
+    the key columns, append the extraction result columns."""
+    import pyarrow as pa
+
+    for batch in it:
+        texts = batch.column("text").to_pylist()
+        tools = batch.column("tool").to_pylist()
+        kinds, cleans, spans, stats, nchars, nwords = [], [], [], [], [], []
+        for t, k in zip(texts, tools):
+            r = extract_turn(t, k)
+            kinds.append(r["content_kind"])
+            cleans.append(r["clean_text"])
+            spans.append(
+                [{"kind": s[0], "start": s[1], "end": s[2]} for s in r["spans"]]
+            )
+            stats.append(r["status"])
+            nchars.append(r["n_chars"])
+            nwords.append(r["n_words"])
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column("conv_id"),
+                batch.column("turn_idx"),
+                batch.column("turn_rank"),
+                batch.column("role"),
+                pa.array(kinds, pa.string()),
+                pa.array(cleans, pa.string()),
+                pa.array(spans, _arrow_spans_type()),
+                pa.array(stats, pa.string()),
+                pa.array(nchars, pa.int32()),
+                pa.array(nwords, pa.int32()),
+            ],
+            [
+                "conv_id",
+                "turn_idx",
+                "turn_rank",
+                "role",
+                "content_kind",
+                "clean_text",
+                "spans",
+                "status",
+                "n_chars",
+                "n_words",
+            ],
+        )
+
+
+EXTRACT_ARROW_SCHEMA = (
+    "conv_id string, turn_idx int, turn_rank int, role string, "
+    "content_kind string, clean_text string, "
+    "spans array<struct<kind:string,start:int,end:int>>, "
+    "status string, n_chars int, n_words int"
+)
+
+
+def extract_map_in_arrow(df):
+    """Run the extraction kernels over (conv_id, turn_idx, turn_rank,
+    role, text, tool) rows via mapInArrow — the vectorized production
+    path (Arrow batches in, Arrow batches out, zero pandas overhead)."""
+    sel = df.select("conv_id", "turn_idx", "turn_rank", "role", "text", "tool")
+    return sel.mapInArrow(_extract_arrow_batches, EXTRACT_ARROW_SCHEMA)

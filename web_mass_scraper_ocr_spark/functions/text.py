@@ -106,6 +106,48 @@ def quality_score(col: Column) -> Column:
     )
 
 
+def quality_frame(df, text_col: str = "text"):
+    """Two-stage quality scoring: one projection computes each integer
+    count exactly once, a second derives the ratio/score columns from
+    those counts.  Equivalent to quality_features/quality_score but
+    avoids re-deriving every regex count per output column — at 100 TB
+    each text pass is a real cost, and the duplicated expression trees
+    also blow up codegen compile time."""
+    c = F.col(text_col)
+    counts = df.withColumns(
+        {
+            "_chars": n_chars(c).cast("long"),
+            "_words": n_words(c).cast("long"),
+            "_punct": punct_count(c).cast("long"),
+            "_alpha": alpha_count(c).cast("long"),
+            "_stop": stopword_hits(c, "en").cast("long"),
+        }
+    )
+    safe_chars = F.when(F.col("_chars") > 0, F.col("_chars")).otherwise(F.lit(1)).cast("double")
+    safe_words = F.when(F.col("_words") > 0, F.col("_words")).otherwise(F.lit(1)).cast("double")
+    punct_ratio = F.col("_punct").cast("double") / safe_chars
+    alpha_ratio = F.col("_alpha").cast("double") / safe_chars
+    stop_ratio = F.col("_stop").cast("double") / safe_words
+    length_ok = F.when(
+        (F.col("_words") >= 5) & (F.col("_words") <= 100000), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    score = (
+        F.lit(0.4) * alpha_ratio
+        + F.lit(0.3) * F.least(stop_ratio * F.lit(2.0), F.lit(1.0))
+        + F.lit(0.2) * length_ok
+        + F.lit(0.1) * (F.lit(1.0) - F.least(punct_ratio * F.lit(4.0), F.lit(1.0)))
+    )
+    return counts.withColumns(
+        {
+            "punct_ratio": punct_ratio,
+            "alpha_ratio": alpha_ratio,
+            "stopword_ratio": stop_ratio,
+            "mean_word_len": F.col("_chars").cast("double") / safe_words,
+            "quality_score": score,
+        }
+    ).drop("_chars", "_words", "_punct", "_alpha", "_stop")
+
+
 def lang_guess(col: Column) -> Column:
     """Heuristic language ID: argmax of per-language stopword hits with a
     fixed tie order (en > de > fr > es > und); zero hits -> 'und'."""

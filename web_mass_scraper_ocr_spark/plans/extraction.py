@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..config import ExtractionConfig
 from ..kernels.dispatch import EXTRACTOR_VERSION
-from ..functions.extract_udf import extract_udf
+from ..functions.extract_udf import extract_map_in_arrow
 from ..operators.ordering import with_turn_rank
 from ..operators.resume import (
     CHECKPOINT_SCHEMA,
@@ -69,19 +69,11 @@ def build_extraction_df(
     )
     ordered = with_turn_rank(valid)
     salted = salted_repartition(ordered, cfg.extraction_partitions, cfg.salt_factor)
-    extracted = salted.withColumn("x", extract_udf(F.col("text"), F.col("tool")))
-    return extracted.select(
-        "conv_id",
-        "turn_idx",
-        "turn_rank",
-        "role",
-        F.col("x.content_kind").alias("content_kind"),
-        F.col("x.clean_text").alias("clean_text"),
-        F.col("x.spans").alias("spans"),
-        F.col("x.status").alias("status"),
-        F.col("x.n_chars").alias("n_chars"),
-        F.col("x.n_words").alias("n_words"),
-        F.lit(cfg.extractor_version).alias("extractor_version"),
+    # mapInArrow fast path: Arrow batches straight into the kernels, no
+    # pandas round-trip (see extract_udf.py + BENCH/BASELINE.md numbers)
+    extracted = extract_map_in_arrow(salted)
+    return extracted.withColumn(
+        "extractor_version", F.lit(cfg.extractor_version)
     )
 
 

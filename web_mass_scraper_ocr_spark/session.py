@@ -27,7 +27,11 @@ def get_spark(
         .master(master)
         # Arrow path for pandas UDFs (vectorized batches, no per-row Python)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Small Arrow batches keep each python worker's live set
+        # cache-resident under high per-node concurrency; measured 10000
+        # was up to 4x slower than 1000 at 32 workers on KB-size text
+        # payloads (memory-footprint effect — persists with gc off).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1000")
         # AQE: runtime coalesce + skew-join splitting (north_star stragglers)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
