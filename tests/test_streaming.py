@@ -1,0 +1,93 @@
+"""Structured-Streaming tests (SURVEY.md §2.9): availableNow drain of a
+transcript directory, exactly-once resume via the streaming checkpoint,
+and watermarked windowed status metrics."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from web_mass_scraper_ocr_spark.config import ExtractionConfig
+from web_mass_scraper_ocr_spark.sources.transcripts import generate_transcripts
+from web_mass_scraper_ocr_spark.streaming.ingest import (
+    stream_extraction,
+    windowed_status_metrics,
+)
+
+CFG = ExtractionConfig(n_buckets=8)
+
+
+@pytest.fixture()
+def input_dir(spark, tmp_path):
+    path = tmp_path / "transcripts_in"
+    df = spark.createDataFrame(generate_transcripts(n_convs=20))
+    df.repartition(4).write.parquet(str(path))
+    return path
+
+
+def _drain(spark, input_dir, out, ckpt):
+    q = stream_extraction(spark, input_dir, out, ckpt, cfg=CFG)
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def test_available_now_drains_everything(spark, input_dir, tmp_path):
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    _drain(spark, input_dir, out, ckpt)
+    got = spark.read.parquet(str(out))
+    src = spark.read.parquet(str(input_dir)).where(
+        F.col("text").isNotNull() & (F.col("text") != "")
+    )
+    assert got.count() == src.count()
+    # per-turn extraction identical to the batch path (same code path)
+    assert got.where(F.col("status").isNull()).count() == 0
+
+
+def test_streaming_checkpoint_resume_no_duplicates(spark, input_dir, tmp_path):
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    _drain(spark, input_dir, out, ckpt)
+    n1 = spark.read.parquet(str(out)).count()
+    # rerun with the SAME checkpoint: source already committed -> no new rows
+    _drain(spark, input_dir, out, ckpt)
+    n2 = spark.read.parquet(str(out)).count()
+    assert n2 == n1
+    # (conv_id, turn_idx) alone is non-unique by design (fixture has
+    # duplicate turn_idx rows split by ts) — the rank disambiguates
+    keys = spark.read.parquet(str(out)).select("conv_id", "turn_idx", "turn_rank")
+    assert keys.count() == keys.distinct().count()
+
+
+def test_new_files_processed_incrementally(spark, input_dir, tmp_path):
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    _drain(spark, input_dir, out, ckpt)
+    n1 = spark.read.parquet(str(out)).count()
+    # late-arriving file: new conversations appended to the source dir
+    late = spark.createDataFrame(generate_transcripts(n_convs=5, seed=99))
+    late = late.withColumn("conv_id", F.concat(F.lit("late-"), "conv_id"))
+    late.coalesce(1).write.mode("append").parquet(str(input_dir))
+    _drain(spark, input_dir, out, ckpt)
+    got = spark.read.parquet(str(out))
+    n_late_src = late.where(F.col("text").isNotNull() & (F.col("text") != "")).count()
+    assert got.count() == n1 + n_late_src
+    assert got.where(F.col("conv_id").startswith("late-")).count() == n_late_src
+
+
+def test_windowed_status_metrics_batch_semantics(spark):
+    # semantics check on a bounded frame (watermark is a no-op in batch):
+    # counts per 5-minute event-time window and status
+    from datetime import datetime
+
+    rows = [
+        ("c1", "success", datetime(2026, 1, 1, 0, 1)),
+        ("c2", "success", datetime(2026, 1, 1, 0, 2)),
+        ("c3", "no_text_found", datetime(2026, 1, 1, 0, 3)),
+        ("c4", "success", datetime(2026, 1, 1, 0, 7)),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, status string, ts timestamp")
+    got = windowed_status_metrics(df).orderBy("window_start", "status").collect()
+    assert [(r.status, r.n_turns) for r in got] == [
+        ("no_text_found", 1),
+        ("success", 2),
+        ("success", 1),
+    ]
+    assert got[0].window_start == pd.Timestamp("2026-01-01 00:00:00")
+    assert got[2].window_end == pd.Timestamp("2026-01-01 00:10:00")

@@ -20,6 +20,16 @@ class ExtractionConfig:
     salt_factor: int = 8
     # Parallelism of the extraction stage; None -> spark.sql.shuffle.partitions.
     extraction_partitions: int | None = None
+    # Ordering strategy:
+    #   "sorted" (default): ONE shuffle — repartition(conv_id) +
+    #     sortWithinPartitions(conv_id, turn_idx, ts), turn_rank computed
+    #     as a running counter inside the Arrow kernel.  Half the network
+    #     of the window path at 10^12-turn scale.
+    #   "salted_window": row_number window (shuffle 1) then salted
+    #     repartition (shuffle 2).  Use when single conversations are
+    #     pathologically long (a mega-conv makes one "sorted" partition
+    #     fat; the salt shards it because extraction is per-turn).
+    ordering_mode: str = "sorted"
     extractor_version: str = "1.0.0"
     # Arrow batch rows for the pandas UDF (bounds executor memory like the
     # reference's 8KB chunked download bounded its memory, utils.py:210-212).

@@ -158,3 +158,70 @@ def extract_map_in_arrow(df):
     path (Arrow batches in, Arrow batches out, zero pandas overhead)."""
     sel = df.select("conv_id", "turn_idx", "turn_rank", "role", "text", "tool")
     return sel.mapInArrow(_extract_arrow_batches, EXTRACT_ARROW_SCHEMA)
+
+
+def _extract_arrow_batches_ranked(it):
+    """Single-shuffle variant: input arrives hash-partitioned by conv_id
+    and sorted within the partition by (conv_id, turn_idx, ts), so
+    turn_rank is a running counter — no window shuffle needed.  State
+    carries across Arrow batches within the task (a conversation may
+    straddle batches; it can never straddle tasks)."""
+    import pyarrow as pa
+
+    cur_conv, rank = None, 0
+    for batch in it:
+        convs = batch.column("conv_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        tools = batch.column("tool").to_pylist()
+        ranks = []
+        kinds, cleans, spans, stats, nchars, nwords = [], [], [], [], [], []
+        for conv, t, k in zip(convs, texts, tools):
+            if conv != cur_conv:
+                cur_conv, rank = conv, 1
+            else:
+                rank += 1
+            ranks.append(rank)
+            r = extract_turn(t, k)
+            kinds.append(r["content_kind"])
+            cleans.append(r["clean_text"])
+            spans.append(
+                [{"kind": s[0], "start": s[1], "end": s[2]} for s in r["spans"]]
+            )
+            stats.append(r["status"])
+            nchars.append(r["n_chars"])
+            nwords.append(r["n_words"])
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column("conv_id"),
+                batch.column("turn_idx"),
+                pa.array(ranks, pa.int32()),
+                batch.column("role"),
+                pa.array(kinds, pa.string()),
+                pa.array(cleans, pa.string()),
+                pa.array(spans, _arrow_spans_type()),
+                pa.array(stats, pa.string()),
+                pa.array(nchars, pa.int32()),
+                pa.array(nwords, pa.int32()),
+            ],
+            [
+                "conv_id",
+                "turn_idx",
+                "turn_rank",
+                "role",
+                "content_kind",
+                "clean_text",
+                "spans",
+                "status",
+                "n_chars",
+                "n_words",
+            ],
+        )
+
+
+def extract_map_in_arrow_ranked(df):
+    """Extraction + in-kernel turn ranking over rows pre-arranged as
+    hash-partitioned by conv_id and sorted by (conv_id, turn_idx, ts).
+    Saves the entire window shuffle vs extract_map_in_arrow — at
+    10^12-turn scale that is half the job's network traffic."""
+    sel = df.select("conv_id", "turn_idx", "role", "text", "tool")
+    return sel.mapInArrow(_extract_arrow_batches_ranked, EXTRACT_ARROW_SCHEMA)

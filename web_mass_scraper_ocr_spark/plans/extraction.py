@@ -29,7 +29,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..config import ExtractionConfig
 from ..kernels.dispatch import EXTRACTOR_VERSION
-from ..functions.extract_udf import extract_map_in_arrow
+from ..functions.extract_udf import (
+    extract_map_in_arrow,
+    extract_map_in_arrow_ranked,
+)
 from ..operators.ordering import with_turn_rank
 from ..operators.resume import (
     CHECKPOINT_SCHEMA,
@@ -67,11 +70,21 @@ def build_extraction_df(
     valid = transcripts.where(
         F.col("text").isNotNull() & (F.col("text") != F.lit(""))
     )
-    ordered = with_turn_rank(valid)
-    salted = salted_repartition(ordered, cfg.extraction_partitions, cfg.salt_factor)
-    # mapInArrow fast path: Arrow batches straight into the kernels, no
-    # pandas round-trip (see extract_udf.py + BENCH/BASELINE.md numbers)
-    extracted = extract_map_in_arrow(salted)
+    if cfg.ordering_mode == "sorted":
+        # single-shuffle path: co-locate each conversation, sort within
+        # the partition, rank with a running counter inside the kernel
+        if cfg.extraction_partitions:
+            arranged = valid.repartition(cfg.extraction_partitions, F.col("conv_id"))
+        else:
+            arranged = valid.repartition(F.col("conv_id"))
+        arranged = arranged.sortWithinPartitions("conv_id", "turn_idx", "ts")
+        extracted = extract_map_in_arrow_ranked(arranged)
+    else:
+        # two-shuffle skew path: window rank, then salted repartition so a
+        # pathologically long conversation shards across salt_factor tasks
+        ordered = with_turn_rank(valid)
+        salted = salted_repartition(ordered, cfg.extraction_partitions, cfg.salt_factor)
+        extracted = extract_map_in_arrow(salted)
     return extracted.withColumn(
         "extractor_version", F.lit(cfg.extractor_version)
     )

@@ -1,0 +1,15 @@
+"""Structured Streaming surface: availableNow micro-batch ingest with
+checkpointed exactly-once resume, plus watermarked event-time metrics
+(SURVEY.md §2.9)."""
+
+from .ingest import (
+    read_transcript_stream,
+    stream_extraction,
+    windowed_status_metrics,
+)
+
+__all__ = [
+    "read_transcript_stream",
+    "stream_extraction",
+    "windowed_status_metrics",
+]

@@ -1,0 +1,106 @@
+"""Structured Streaming ingest — the continuous analogue of the
+reference's pending-queue drain loop (SURVEY.md §2.9;
+/root/reference/src/scraper_app/url_processor.py:8-45).
+
+The reference hand-rolls a micro-batch stream: claim a batch of pending
+rows, process, mark completed, repeat until drained.  Spark's native
+form is ``readStream -> writeStream.trigger(availableNow=True)`` with a
+``checkpointLocation``: each micro-batch is processed exactly once per
+checkpoint, a crashed run resumes from the last committed offset, and a
+drained source stops the query — the whole url_processor module
+collapses into configuration.
+
+Two operators:
+
+- ``stream_extraction``: per-micro-batch extraction via foreachBatch
+  (the batch plan reused verbatim — one code path for batch and
+  streaming, so the per-turn equality gate covers both).  Stable
+  ordering note: ``turn_rank`` is computed within each micro-batch;
+  cross-batch ranking for conversations that straddle batch boundaries
+  is resolved downstream by (turn_idx, ts), which the rank is derived
+  from and which is total given unique (conv_id, turn_idx, ts).
+- ``windowed_status_metrics``: watermarked event-time rollup of
+  extraction statuses (the streaming form of the reference's
+  ScrapingSession counters, main.py:46-64) tolerating late rows.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..config import ExtractionConfig
+from ..plans.extraction import build_extraction_df
+
+TRANSCRIPT_DDL = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+def read_transcript_stream(
+    spark: SparkSession, input_path: str | Path, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Parquet-directory stream of transcript rows (the Iceberg
+    ``readStream.table`` analogue in the sandbox's Parquet shim).
+    ``maxFilesPerTrigger`` is the reference's
+    SCRAPER_DB_PENDING_BATCH_SIZE knob (reference config.py:35)."""
+    reader = spark.readStream.schema(TRANSCRIPT_DDL)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(str(input_path))
+
+
+def stream_extraction(
+    spark: SparkSession,
+    input_path: str | Path,
+    output_path: str | Path,
+    checkpoint_location: str | Path,
+    cfg: ExtractionConfig | None = None,
+    available_now: bool = True,
+):
+    """Run the extraction pipeline as a micro-batch stream.
+
+    foreachBatch reuses ``build_extraction_df`` unchanged; Spark's
+    streaming checkpoint (offsets + commits under
+    ``checkpoint_location``) supplies exactly-once-per-batch semantics,
+    replacing the reference's claim/complete status dance
+    (db_utils.py:125-170, :251-295).  Returns the StreamingQuery.
+    """
+    cfg = cfg or ExtractionConfig()
+    stream = read_transcript_stream(spark, input_path)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = build_extraction_df(batch_df, cfg).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        out.write.mode("append").parquet(str(output_path))
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", str(checkpoint_location)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_status_metrics(
+    extracted_stream: DataFrame,
+    watermark: str = "10 minutes",
+    window_length: str = "5 minutes",
+) -> DataFrame:
+    """Event-time status counts with late-data tolerance: the streaming
+    session-summary (reference main.py:72-123) as a watermarked windowed
+    aggregate.  Input needs (ts, status) columns."""
+    return (
+        extracted_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_length).alias("win"), "status")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "status",
+            "n_turns",
+        )
+    )
