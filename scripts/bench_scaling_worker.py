@@ -1,15 +1,17 @@
 """Single-parallelism-level worker for the scaling benchmark.
 
-Spawned as a subprocess (one JVM per parallelism level):
+Spawned as a subprocess, CPU-pinned by the orchestrator so that
+"local[N]" really means an N-core machine (unpinned, the local-mode
+JVM's helper threads — shuffle, Arrow writers, GC — silently use extra
+cores and flatter the small-N baseline):
 
-    python scripts/bench_scaling_worker.py <cores> <input_parquet>
+    taskset -c 0-{N-1} python scripts/bench_scaling_worker.py \
+        <cores> <input_parquet> [ordering_mode]
 
-Runs the flagship extraction plan over the prepared transcript table on
-local[<cores>], warms up (JVM codegen + Python workers) on a slice, then
-times two full measured runs and prints one JSON line with the best
-throughput (steady-state; session startup and compile excluded per
-SURVEY.md §7.3 item 7).
-"""
+Runs the flagship extraction plan on local[<cores>], warms up (JVM
+codegen + Python workers), then times two full measured runs and prints
+one JSON line with the best throughput (steady-state; session startup
+and compile excluded per SURVEY.md §7.3 item 7)."""
 
 from __future__ import annotations
 
@@ -20,6 +22,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from web_mass_scraper_ocr_spark.config import ExtractionConfig
 from web_mass_scraper_ocr_spark.session import get_spark
 from web_mass_scraper_ocr_spark.plans.extraction import build_extraction_df
 
@@ -27,34 +30,43 @@ from web_mass_scraper_ocr_spark.plans.extraction import build_extraction_df
 def main() -> None:
     cores = int(sys.argv[1])
     input_path = sys.argv[2]
-    # scale shuffle partitions with cores, like a real cluster would
+    ordering_mode = sys.argv[3] if len(sys.argv) > 3 else "clustered"
+    cfg = ExtractionConfig(ordering_mode=ordering_mode)
+    # scale shuffle partitions with cores, like a real cluster would;
+    # shuffle dirs on tmpfs = the cluster-grade local-NVMe assumption
     spark = get_spark(
         app_name=f"bench-scaling-{cores}",
         master=f"local[{cores}]",
         shuffle_partitions=4 * cores,
-        # identical at both levels: keep AQE from coalescing below the
-        # high level's core count (2 GB shuffle / 16 MB ≈ 128 partitions)
-        extra_conf={"spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m"},
+        extra_conf={
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
+            "spark.local.dir": "/dev/shm/spark-tmp",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     transcripts = spark.read.parquet(input_path)
     n_turns = transcripts.count()
 
-    # warmup: compile plans, fork python workers
-    build_extraction_df(transcripts.limit(5000)).write.format("noop").mode(
+    # warmup: compile plans, fork python workers (sorted mode so the
+    # limit() slice needs no layout contract)
+    warm_cfg = ExtractionConfig(ordering_mode="sorted")
+    build_extraction_df(transcripts.limit(5000), warm_cfg).write.format("noop").mode(
         "overwrite"
     ).save()
 
     walls = []
     for _ in range(2):
         t0 = time.monotonic()
-        build_extraction_df(transcripts).write.format("noop").mode("overwrite").save()
+        build_extraction_df(transcripts, cfg).write.format("noop").mode(
+            "overwrite"
+        ).save()
         walls.append(time.monotonic() - t0)
     wall = min(walls)
     print(
         json.dumps(
             {
                 "cores": cores,
+                "ordering_mode": ordering_mode,
                 "turns": n_turns,
                 "wall_sec": round(wall, 2),
                 "walls": [round(w, 2) for w in walls],

@@ -101,3 +101,50 @@ def test_skew_conversation_processed(engine_out, transcripts_pd):
         ).sum()
     )
     assert (engine_out["conv_id"] == "conv-skewed").sum() == n_skew_valid
+
+
+def test_all_ordering_modes_equal(spark_module, transcripts_pd, engine_out):
+    """'salted_window' (two shuffles) and 'clustered' (zero shuffles, on
+    properly laid-out input) must produce exactly the rows of the
+    default 'sorted' mode."""
+    from pyspark.sql import functions as F
+
+    from web_mass_scraper_ocr_spark.config import ExtractionConfig
+
+    key = ["conv_id", "turn_idx", "turn_rank"]
+    base = engine_out.sort_values(key, kind="mergesort").reset_index(drop=True)
+    cols = [c for c in base.columns if c != "spans"]
+
+    sdf = spark_module.createDataFrame(transcripts_pd)
+    salted = build_extraction_df(
+        sdf, ExtractionConfig(ordering_mode="salted_window")
+    ).toPandas()
+
+    # clustered contract: conv-contiguous, sorted input files
+    arranged = (
+        sdf.repartition(8, F.col("conv_id"))
+        .sortWithinPartitions("conv_id", "turn_idx", "ts")
+    )
+    clustered = build_extraction_df(
+        arranged, ExtractionConfig(ordering_mode="clustered")
+    ).toPandas()
+
+    for name, got in [("salted_window", salted), ("clustered", clustered)]:
+        got = got.sort_values(key, kind="mergesort").reset_index(drop=True)
+        pd.testing.assert_frame_equal(base[cols], got[cols], obj=name)
+
+
+def test_clustered_mode_layout_guard(spark_module, transcripts_pd):
+    """Non-contiguous conv_ids under 'clustered' mode must fail fast,
+    not silently mis-rank."""
+    from pyspark.sql import functions as F
+
+    from web_mass_scraper_ocr_spark.config import ExtractionConfig
+
+    sdf = spark_module.createDataFrame(transcripts_pd)
+    # single partition sorted ONLY by turn_idx -> conv_ids interleave
+    broken = sdf.coalesce(1).sortWithinPartitions("turn_idx")
+    with pytest.raises(Exception, match="clustered layout contract"):
+        build_extraction_df(
+            broken, ExtractionConfig(ordering_mode="clustered")
+        ).toPandas()

@@ -29,6 +29,13 @@ class ExtractionConfig:
     #     repartition (shuffle 2).  Use when single conversations are
     #     pathologically long (a mega-conv makes one "sorted" partition
     #     fat; the salt shards it because extraction is per-turn).
+    #   "clustered": ZERO shuffles — the input table's write-time layout
+    #     already clusters each conversation into one file and sorts by
+    #     (conv_id, turn_idx, ts) (an Iceberg sort-order/bucket spec).
+    #     The kernel ranks with a running counter and fails fast if the
+    #     layout contract is violated (conv_id reappears non-contiguously).
+    #     This is the 100 TB production mode: the extractor never moves
+    #     the corpus over the network.
     ordering_mode: str = "sorted"
     extractor_version: str = "1.0.0"
     # Arrow batch rows for the pandas UDF (bounds executor memory like the

@@ -165,10 +165,17 @@ def _extract_arrow_batches_ranked(it):
     and sorted within the partition by (conv_id, turn_idx, ts), so
     turn_rank is a running counter — no window shuffle needed.  State
     carries across Arrow batches within the task (a conversation may
-    straddle batches; it can never straddle tasks)."""
+    straddle batches; it can never straddle tasks).
+
+    Layout guard: if a conv_id RE-appears after the stream moved on to a
+    different conversation, the input wasn't conv-contiguous (broken
+    clustering contract / missing repartition) and ranks would silently
+    be wrong — that is a misconfiguration, so unlike payload errors it
+    fails fast."""
     import pyarrow as pa
 
     cur_conv, rank = None, 0
+    seen_convs: set = set()
     for batch in it:
         convs = batch.column("conv_id").to_pylist()
         texts = batch.column("text").to_pylist()
@@ -177,6 +184,13 @@ def _extract_arrow_batches_ranked(it):
         kinds, cleans, spans, stats, nchars, nwords = [], [], [], [], [], []
         for conv, t, k in zip(convs, texts, tools):
             if conv != cur_conv:
+                if conv in seen_convs:
+                    raise ValueError(
+                        "extract_map_in_arrow_ranked: conv_id "
+                        f"{conv!r} is not contiguous within the partition "
+                        "— input violates the conv-clustered layout contract"
+                    )
+                seen_convs.add(conv)
                 cur_conv, rank = conv, 1
             else:
                 rank += 1

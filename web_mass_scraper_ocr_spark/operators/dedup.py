@@ -185,10 +185,36 @@ def minhash_near_duplicates(
     threshold: float = 0.8,
 ) -> DataFrame:
     """Full MinHash near-dup pass: LSH candidates verified by true
-    Jaccard (candidate set is small, verification is an equi-join)."""
+    Jaccard computed ONLY over the candidate pairs (two equi-joins that
+    restrict the shingle join to candidates) — never the corpus-wide
+    all-pairs shingle self-join, which is the whole point of LSH at
+    10^9-doc scale."""
     cands = lsh_candidate_pairs(df, id_col, text_col, n, num_hashes, band_size)
-    verified = ngram_jaccard_pairs(df, id_col, text_col, n, threshold)
-    return cands.join(verified, ["id_a", "id_b"], "inner")
+    sh = token_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    common = (
+        cands.join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common_shingles"))
+    )
+    return (
+        common.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("common_shingles").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("common_shingles")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "common_shingles", "jaccard")
+    )
 
 
 # ---------------------------------------------------------------------------

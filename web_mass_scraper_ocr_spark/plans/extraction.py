@@ -70,7 +70,13 @@ def build_extraction_df(
     valid = transcripts.where(
         F.col("text").isNotNull() & (F.col("text") != F.lit(""))
     )
-    if cfg.ordering_mode == "sorted":
+    if cfg.ordering_mode == "clustered":
+        # zero-shuffle path: the table's write-time layout (Iceberg
+        # sort order + conv bucketing; one conversation never spans two
+        # files) already provides conv-contiguous, (turn_idx, ts)-sorted
+        # rows — rank in-kernel, fail fast on contract violations
+        extracted = extract_map_in_arrow_ranked(valid)
+    elif cfg.ordering_mode == "sorted":
         # single-shuffle path: co-locate each conversation, sort within
         # the partition, rank with a running counter inside the kernel
         if cfg.extraction_partitions:
