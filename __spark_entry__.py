@@ -388,6 +388,114 @@ def q_extract_pipeline(spark, sf_dir):
     )
 
 
+def q_paragraph_explode(spark, sf_dir):
+    """Per-item fan-out with stable enumeration (reference per-image
+    loop + idx+1 numbering, scraper.py:72-76,217-277): posexplode of
+    paragraph splits, blank items filtered AFTER numbering so positions
+    are stable."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), "\n")).alias("pos", "para"),
+        )
+        .where(F.length(F.trim(F.col("para"))) > 0)
+        .select(
+            "doc_id",
+            (F.col("pos") + 1).cast("int").alias("para_idx"),
+            "para",
+        )
+    )
+
+
+def q_source_union(spark, sf_dir):
+    """Union of heterogeneous work sources into one work list
+    (reference source-selection branches, main.py:506-549, as a true
+    unionByName)."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("work_id"),
+        F.lit("document").alias("source_kind"),
+        F.col("text").alias("payload"),
+    )
+    e = _t(spark, sf_dir, "events").where(F.col("event_type") == "error").select(
+        F.concat(F.lit("evt-"), F.col("event_id").cast("string")).alias("work_id"),
+        F.lit("event").alias("source_kind"),
+        F.col("props").alias("payload"),
+    )
+    return d.unionByName(e)
+
+
+def q_by_type_map(spark, sf_dir):
+    """The by_type string->count map rollup (reference main.py:170),
+    emitted as a deterministic sorted 'k:v' string (map columns don't
+    hash-compare across engines)."""
+    e = _t(spark, sf_dir, "events")
+    per_type = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return per_type.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("event_type", "cnt"))),
+                lambda s: F.concat(
+                    s["event_type"], F.lit(":"), s["cnt"].cast("string")
+                ),
+            ),
+            ",",
+        ).alias("by_type")
+    )
+
+
+def q_json_props(spark, sf_dir):
+    """JSON field extraction (the reference stores whole JSON documents
+    in scraped_pages.summary, main.py:436, db_utils.py:332-345)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+    )
+
+
+def q_safe_key(spark, sf_dir):
+    """Deterministic composite work-unit key: sanitized prefix + 8-hex
+    md5 (reference get_url_specific_safe_dirname, utils.py:372-390)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lower(F.regexp_replace(F.col("lang"), "[^A-Za-z0-9_-]", "_")),
+            F.lit("_"),
+            F.substring(F.md5(F.col("text")), 1, 8),
+        ).alias("safe_key"),
+    )
+
+
+def q_guarded_rollup(spark, sf_dir):
+    """Variant-B conditional rollup (reference generate_ocr_summary,
+    ocr.py:115-186: totals counted only over successful items) with the
+    guarded zero-division rate (main.py:195-199).  Money-style exact
+    sums via floor(value*100) integer cents."""
+    e = _t(spark, sf_dir, "events")
+    is_purchase = F.col("event_type") == "purchase"
+    n_total = F.count(F.lit(1))
+    n_purchase = F.count(F.when(is_purchase, 1))
+    cents = F.floor(F.col("value") * 100).cast("long")
+    return e.groupBy("user_id").agg(
+        n_total.alias("n_total"),
+        n_purchase.alias("n_purchase"),
+        F.coalesce(F.sum(F.when(is_purchase, cents)), F.lit(0)).alias(
+            "purchase_cents"
+        ),
+        F.when(
+            n_purchase > 0,
+            F.coalesce(F.sum(F.when(is_purchase, cents)), F.lit(0)).cast("double")
+            / n_purchase.cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("avg_purchase_cents"),
+    )
+
+
 def q_multimodal_meta(spark, sf_dir):
     from web_mass_scraper_ocr_spark.multimodal.binary_ops import decode_metadata
 
@@ -423,6 +531,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_plain": q_extract_plain,
         "extract_pipeline": q_extract_pipeline,
         "multimodal_meta": q_multimodal_meta,
+        "paragraph_explode": q_paragraph_explode,
+        "source_union": q_source_union,
+        "by_type_map": q_by_type_map,
+        "json_props": q_json_props,
+        "safe_key": q_safe_key,
+        "guarded_rollup": q_guarded_rollup,
     }
 
 
@@ -689,6 +803,46 @@ SELECT conv_id, turn_idx,
        CASE WHEN clean_text = '' THEN 'no_text_found' ELSE 'success' END AS status,
        CAST(length(clean_text) AS BIGINT) AS n_chars
 FROM extracted""",
+        "paragraph_explode": """
+WITH p AS (SELECT doc_id, string_split(text, chr(10)) AS paras FROM documents)
+SELECT doc_id, CAST(i AS INT) AS para_idx, paras[i] AS para
+FROM p, UNNEST(generate_series(1, len(paras))) AS t(i)
+WHERE len(trim(paras[i])) > 0""",
+        "source_union": """
+SELECT concat('doc-', CAST(doc_id AS VARCHAR)) AS work_id,
+       'document' AS source_kind, text AS payload
+FROM documents
+UNION ALL
+SELECT concat('evt-', CAST(event_id AS VARCHAR)) AS work_id,
+       'event' AS source_kind, props AS payload
+FROM events WHERE event_type = 'error'""",
+        "by_type_map": """
+WITH per_type AS (
+  SELECT user_id, event_type, count(*) AS cnt FROM events
+  GROUP BY user_id, event_type
+)
+SELECT user_id,
+       string_agg(concat(event_type, ':', CAST(cnt AS VARCHAR)), ','
+                  ORDER BY event_type, cnt) AS by_type
+FROM per_type GROUP BY user_id""",
+        "json_props": """
+SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events""",
+        "safe_key": """
+SELECT doc_id,
+       concat(lower(regexp_replace(lang, '[^A-Za-z0-9_-]', '_', 'g')), '_',
+              substr(md5(text), 1, 8)) AS safe_key
+FROM documents""",
+        "guarded_rollup": """
+SELECT user_id, count(*) AS n_total,
+  count(*) FILTER (event_type = 'purchase') AS n_purchase,
+  coalesce(sum(CASE WHEN event_type = 'purchase'
+                    THEN CAST(floor(value * 100) AS BIGINT) END), 0) AS purchase_cents,
+  CASE WHEN count(*) FILTER (event_type = 'purchase') > 0
+       THEN coalesce(sum(CASE WHEN event_type = 'purchase'
+                              THEN CAST(floor(value * 100) AS BIGINT) END), 0)::DOUBLE
+            / (count(*) FILTER (event_type = 'purchase'))::DOUBLE
+       ELSE 0.0 END AS avg_purchase_cents
+FROM events GROUP BY user_id""",
         "multimodal_meta": """
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -14,7 +14,7 @@ Faithful-emulation details (all applied identically at every level):
   cores beyond the N task slots and flatter the small-N baseline);
 - shuffle partitions scale 4x with cores; shuffle dirs on tmpfs
   (cluster-grade local NVMe assumption);
-- steady-state timing: warmup run excluded, best of 2 measured runs.
+- steady-state timing: warmup excluded (incl. a full cache-priming input scan), median of 3 measured runs.
 
 Two plan modes are measured:
 - "clustered" (production): input written conv-clustered + sorted
@@ -127,8 +127,8 @@ input.  Fairness: each level is CPU-pinned (`taskset -c 0..N-1`) so
 local[N] really is an N-core machine — unpinned, the local-mode JVM's
 helper threads use cores beyond the N task slots and flatter the
 small-N baseline; fresh JVM per level; shuffle partitions scale 4x with
-cores; shuffle dirs on tmpfs (cluster-grade local NVMe); warmup run
-excluded, best of 2 measured runs.
+cores; shuffle dirs on tmpfs (cluster-grade local NVMe); warmup excluded (incl. a full
+cache-priming input scan), median of 3 measured runs.
 
 Measured {ts}; input = sf0.1-derived transcripts, text fattened to
 ~3KB payloads, replicated to {turns:,} turns (HTML/PDF/OCR/plain mix).
