@@ -165,6 +165,15 @@ shuffle before the kernel.
 
 ## Notes
 
+- **Primary evidence: the production (clustered) 4 -> 16 pair.**  The
+  8 -> 32 pair saturates a whole-box ceiling (~53k turns/sec): at 32 of
+  32 cores the top level no longer has 4x the bottom level's resources
+  — it shares cores with the OS and the harness, and memory bandwidth
+  is box-wide, not per-level.  Raw multiprocessing of the identical
+  kernel code (zero Spark) flattens the same way at full-box width.
+  On a real cluster, 4N executors mean 4x of EVERY resource (cores,
+  memory bandwidth, NICs, disks) — the regime the 4 -> 16 pair
+  emulates.
 - The stage barrier of the shuffle (map stage must finish before the
   kernel stage starts) plus reduce-side JVM work sharing the pinned
   cores with the Python workers is what separates the two modes; at
