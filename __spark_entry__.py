@@ -565,10 +565,21 @@ shingles AS (
 
 
 def _minhash_cte() -> str:
-    mins = ", ".join(
-        f"min(md5(concat('{i}#', shingle))) AS mh_{i}" for i in range(MINHASH_K)
+    from web_mass_scraper_ocr_spark.operators.dedup import (
+        MINHASH_PRIME as P,
+        minhash_params,
     )
-    return f"WITH {_shingle_cte()}, sig AS (SELECT doc_id, {mins} FROM shingles GROUP BY doc_id)"
+
+    base = f"(CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) % {P})"
+    mins = ", ".join(
+        f"min((h * {a} + {b}) % {P}) AS mh_{i}"
+        for i, (a, b) in enumerate(minhash_params(MINHASH_K))
+    )
+    return (
+        f"WITH {_shingle_cte()}, "
+        f"hashed AS (SELECT doc_id, {base} AS h FROM shingles), "
+        f"sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id)"
+    )
 
 
 def _simhash_sql() -> str:
@@ -859,7 +870,9 @@ def _band_select_sql() -> str:
     n_bands = MINHASH_K // BAND_SIZE
     selects = []
     for b in range(n_bands):
-        cols = ", ".join(f"mh_{b * BAND_SIZE + j}" for j in range(BAND_SIZE))
+        cols = ", ".join(
+            f"CAST(mh_{b * BAND_SIZE + j} AS VARCHAR)" for j in range(BAND_SIZE)
+        )
         selects.append(
             f"SELECT doc_id, {b} AS band_idx, md5(concat_ws('|', {cols})) AS band_key FROM sig"
         )

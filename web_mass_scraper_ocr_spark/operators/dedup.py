@@ -50,6 +50,18 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _fan_out_small_input(df: DataFrame) -> DataFrame:
+    """Shingling/token explosion multiplies rows ~50x; if the scan gave
+    fewer partitions than cores (tiny files), the whole expansion runs
+    on one task.  A cheap pre-expansion repartition of the (small, or it
+    would already have many partitions) input unlocks full parallelism;
+    big inputs pass through untouched."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def token_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct n-token shingles per doc: (id, shingle).
 
@@ -57,6 +69,7 @@ def token_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Dat
     n consecutive tokens joined with a space.  Built-ins only
     (split + transform over slice), no UDF.
     """
+    df = _fan_out_small_input(df)
     toks = F.split(F.lower(clean_text_col(F.col(text_col))), " ")
     n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
     shingles = F.transform(
@@ -118,19 +131,39 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+# MinHash permutation family: h_i(x) = (a_i * x + b_i) mod P over a
+# 31-bit prime.  ONE md5 per shingle + k cheap integer ops (instead of k
+# md5 passes — 16x less hashing); constants derived deterministically so
+# the SQL oracle regenerates the identical family.
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    return [
+        ((2 * i + 1) * 2_654_435_761 % MINHASH_PRIME, (i * 40_503 + 1) % MINHASH_PRIME)
+        for i in range(num_hashes)
+    ]
+
+
 def minhash_signature(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 16
 ) -> DataFrame:
     """(id, mh_0..mh_{k-1}): per-doc MinHash signature.
 
-    Hash family i = md5(i || '#' || shingle) (string min over fixed-width
-    hex == numeric min — md5 hex is zero-padded).  One explode + one
-    grouped agg; md5 keeps the oracle reproducible in ANSI SQL.
+    Base hash = first 8 hex chars of md5(shingle) as a 32-bit int
+    (md5 so the DuckDB oracle reproduces it bit-for-bit), reduced mod P;
+    family = affine permutations (a_i*h + b_i) mod P.  One explode + one
+    grouped agg; products stay < 2^62, no overflow.
     """
     sh = token_shingles(df, id_col, text_col, n)
+    h = (
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
+        % F.lit(MINHASH_PRIME)
+    )
+    sh = sh.withColumn("h", h)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}#"), F.col("shingle")))).alias(f"mh_{i}")
-        for i in range(num_hashes)
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
     ]
     return sh.groupBy(id_col).agg(*aggs)
 
@@ -154,7 +187,10 @@ def lsh_candidate_pairs(
     n_bands = num_hashes // band_size
     bands = []
     for b in range(n_bands):
-        cols = [F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
+        cols = [
+            F.col(f"mh_{b * band_size + j}").cast("string")
+            for j in range(band_size)
+        ]
         bands.append(
             F.struct(
                 F.lit(b).alias("band_idx"),
@@ -231,7 +267,8 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     """
     toks = F.split(F.lower(clean_text_col(F.col(text_col))), " ")
     tok_df = (
-        df.select(F.col(id_col), F.explode(toks).alias("token"))
+        _fan_out_small_input(df)
+        .select(F.col(id_col), F.explode(toks).alias("token"))
         .where(F.col("token") != "")
         .groupBy(id_col, "token")
         .agg(F.count(F.lit(1)).alias("weight"))
