@@ -40,8 +40,21 @@ SHIP_CUT = "1999-01-01 00:00:00"
 _CLEAN = "trim(regexp_replace({c}, '[ \\t\\r\\n]+', ' ', 'g'))"
 
 
+# fact tables big enough that single-core scans starve the plan; the
+# testdata parquet files are single-row-group (unsplittable), so when the
+# scan yields fewer partitions than cores we fan out once after the scan.
+# At production scale scans have >= cores partitions and this is a no-op
+# (the filter still pushes through the repartition to the scan).
+_FACT_TABLES = {"lineitem", "orders", "events", "documents"}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in _FACT_TABLES:
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
+    return df
 
 
 # ---------------------------------------------------------------------------
