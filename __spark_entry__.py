@@ -509,6 +509,47 @@ def q_guarded_rollup(spark, sf_dir):
     )
 
 
+def q_data_url_decode(spark, sf_dir):
+    """data:-URL inline payload decode (reference handle_data_url,
+    utils.py:166-191): synthesize a deterministic data URL per doc, then
+    extract mime + base64-decode the payload back."""
+    d = _t(spark, sf_dir, "documents")
+    data_url = F.concat(
+        F.lit("data:text/plain;base64,"), F.base64(F.encode(F.col("text"), "utf-8"))
+    )
+    u = d.select("doc_id", data_url.alias("data_url"))
+    # (?s) dotall: Spark's base64() MIME-chunks long output with newlines
+    payload = F.unbase64(F.regexp_extract(F.col("data_url"), "(?s)base64,(.*)$", 1))
+    return u.select(
+        "doc_id",
+        F.regexp_extract(F.col("data_url"), "^data:([^;]+);", 1).alias("mime"),
+        F.md5(payload).alias("payload_md5"),
+        F.length(payload).cast("long").alias("payload_bytes"),
+    )
+
+
+def q_url_parse(spark, sf_dir):
+    """URL component extraction (reference urlparse usage throughout,
+    utils.py:24,38,112,235): host / path / query from synthesized URLs
+    via parse_url."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("lang"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?src="),
+        F.col("source"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY")).alias("query"),
+    )
+
+
 def q_multimodal_meta(spark, sf_dir):
     from web_mass_scraper_ocr_spark.multimodal.binary_ops import decode_metadata
 
@@ -550,6 +591,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": q_json_props,
         "safe_key": q_safe_key,
         "guarded_rollup": q_guarded_rollup,
+        "data_url_decode": q_data_url_decode,
+        "url_parse": q_url_parse,
     }
 
 
@@ -856,6 +899,28 @@ SELECT doc_id,
        concat(lower(regexp_replace(lang, '[^A-Za-z0-9_-]', '_', 'g')), '_',
               substr(md5(text), 1, 8)) AS safe_key
 FROM documents""",
+        "data_url_decode": """
+WITH u AS (
+  SELECT doc_id, concat('data:text/plain;base64,', to_base64(encode(text))) AS data_url
+  FROM documents
+)
+SELECT doc_id,
+       regexp_extract(data_url, '^data:([^;]+);', 1) AS mime,
+       md5(decode(from_base64(regexp_extract(data_url, 'base64,(.*)$', 1)))) AS payload_md5,
+       CAST(octet_length(from_base64(regexp_extract(data_url, 'base64,(.*)$', 1))) AS BIGINT) AS payload_bytes
+FROM u""",
+        "url_parse": """
+WITH u AS (
+  SELECT doc_id,
+         concat('https://', lang, '.example.com/docs/', CAST(doc_id AS VARCHAR),
+                '?src=', source) AS url
+  FROM documents
+)
+SELECT doc_id,
+       regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+       regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+       regexp_extract(url, '\\?(.*)$', 1) AS query
+FROM u""",
         "guarded_rollup": """
 SELECT user_id, count(*) AS n_total,
   count(*) FILTER (event_type = 'purchase') AS n_purchase,

@@ -1,0 +1,169 @@
+"""Unit tests for the analytics operators (dedup / similarity / text
+functions) on small deterministic frames — pytest-level coverage
+complementing the DuckDB oracle gate (SURVEY.md §5 item 3)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_mass_scraper_ocr_spark.functions import text as T
+from web_mass_scraper_ocr_spark.operators import dedup as D
+from web_mass_scraper_ocr_spark.operators import similarity as S
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat"),  # near dup of 1
+    (4, "completely different content about spark engines"),
+    (5, "  the   quick\tbrown fox jumps over the lazy dog \n"),  # ws-dup of 1
+]
+
+
+@pytest.fixture(scope="module")
+def docs(request):
+    spark = request.getfixturevalue("spark")
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    kept = sorted(r.doc_id for r in D.dedup_exact(docs, "doc_id", "text").collect())
+    # 2 and 5 normalize to doc 1's fingerprint
+    assert kept == [1, 3, 4]
+
+
+def test_exact_duplicate_groups(docs):
+    groups = D.exact_duplicates(docs, "doc_id", "text").collect()
+    assert len(groups) == 1
+    assert groups[0].keep_id == 1 and groups[0].dup_count == 3
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    # identical docs -> jaccard 1.0
+    assert pairs[(1, 2)] == 1.0 and pairs[(1, 5)] == 1.0
+    # near dup (one word differs at the end): shares most 3-shingles
+    assert 0.5 <= pairs[(1, 3)] < 1.0
+    # unrelated doc never pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_lsh_candidates_cover_true_duplicates(docs):
+    cands = {
+        (r.id_a, r.id_b)
+        for r in D.lsh_candidate_pairs(
+            docs, "doc_id", "text", n=3, num_hashes=16, band_size=4
+        ).collect()
+    }
+    # identical signatures must collide in every band
+    assert (1, 2) in cands and (1, 5) in cands
+
+
+def test_minhash_near_duplicates_end_to_end(docs):
+    out = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.minhash_near_duplicates(
+            docs, "doc_id", "text", n=3, num_hashes=16, band_size=4, threshold=0.9
+        ).collect()
+    }
+    assert out[(1, 2)] == 1.0 and out[(1, 5)] == 1.0
+    assert (1, 4) not in out
+
+
+def test_simhash_identical_texts_equal(docs):
+    sims = {r.doc_id: r.simhash for r in D.simhash(docs, "doc_id", "text").collect()}
+    assert sims[1] == sims[2] == sims[5]
+    assert sims[1] != sims[4]
+    assert all(0 <= v < 2**32 for v in sims.values())
+
+
+def test_simhash_near_duplicates_hamming(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in D.simhash_near_duplicates(
+            docs, "doc_id", "text", bits=32, max_hamming=3
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 0 and pairs[(1, 5)] == 0
+
+
+VECS = [
+    (0, [1.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0]),
+    (2, [0.0, 1.0, 0.0]),
+    (3, [0.0, 0.9, 0.1]),
+    (4, [-1.0, 0.0, 0.0]),
+]
+
+
+@pytest.fixture(scope="module")
+def vecs(request):
+    spark = request.getfixturevalue("spark")
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_exact(vecs):
+    q = vecs.where(F.col("vec_id") == 0)
+    got = {
+        r.rank: r.neighbor_id
+        for r in S.brute_force_topk(vecs, q, k=2).collect()
+    }
+    # nearest to [1,0,0] is [0.9,0.1,0] then one of the orthogonals
+    assert got[1] == 1
+    assert got[2] in (2, 3)
+
+
+def test_cosine_column_matches_math(request):
+    spark = request.getfixturevalue("spark")
+    df = spark.createDataFrame([([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], "a array<double>, b array<double>")
+    got = df.select(S.cosine(F.col("a"), F.col("b")).alias("c")).collect()[0].c
+    expect = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert abs(got - expect) < 1e-12
+
+
+def test_ivf_topk_searches_own_cell(vecs):
+    # centroids: vec_id % 2 == 0 -> 0, 2, 4
+    q = vecs.where(F.col("vec_id") == 1)
+    got = S.ivf_topk(vecs, q, n_cells_modulus=2, k=2).collect()
+    assert all(r.query_id == 1 for r in got)
+    assert got[0].neighbor_id == 0  # same cell as its centroid, most similar
+
+
+def test_text_functions_match_python(request):
+    spark = request.getfixturevalue("spark")
+    s = "The quick  brown\tfox! 42 times.\n\nand the lazy dog"
+    df = spark.createDataFrame([(s,)], "text string")
+    row = df.select(
+        T.clean_text_col(F.col("text")).alias("clean"),
+        T.n_words(F.col("text")).alias("words"),
+        T.n_tokens(F.col("text")).alias("tokens"),
+        T.n_paragraphs(F.col("text")).alias("paras"),
+        T.lang_guess(F.col("text")).alias("lang"),
+        T.fingerprint(F.col("text")).alias("fp"),
+    ).collect()[0]
+    assert row.clean == "The quick brown fox! 42 times. and the lazy dog"
+    assert row.words == len(s.split())
+    assert row.paras == 2
+    assert row.lang == "en"
+    import hashlib
+    import re
+
+    norm = re.sub(r"[ \t\r\n]+", " ", s).strip().lower()
+    assert row.fp == hashlib.md5(norm.encode()).hexdigest()
+
+
+def test_quality_frame_bounds(request):
+    spark = request.getfixturevalue("spark")
+    df = spark.createDataFrame(
+        [("the cat and the dog sat with the hat for fun",), ("!!!???",), ("",)],
+        "text string",
+    )
+    rows = T.quality_frame(df, "text").collect()
+    scores = [r.quality_score for r in rows]
+    assert all(0.0 <= sc <= 1.0 for sc in scores)
+    assert scores[0] > scores[1]  # english prose beats punctuation soup
