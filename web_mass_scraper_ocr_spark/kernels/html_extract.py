@@ -124,7 +124,7 @@ _MAX_LINK_DENSITY = 0.4
 _MIN_WORDS = 2
 
 
-@dataclass
+@dataclass(slots=True)
 class _Node:
     tag: str
     attrs: dict[str, str]
