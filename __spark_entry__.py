@@ -370,6 +370,18 @@ def q_ivf_topk(spark, sf_dir):
     return S.ivf_topk(emb, queries, n_cells_modulus=IVF_MODULUS, k=TOPK)
 
 
+COSINE_DUP_THRESHOLD = 0.45
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact baseline; the bucketed
+    scale variant is dedup.embedding_near_duplicates_bucketed)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return D.embedding_near_duplicates(
+        emb, "vec_id", "embedding", threshold=COSINE_DUP_THRESHOLD
+    )
+
+
 def q_extract_plain(spark, sf_dir):
     """The real pandas-UDF dispatch kernel on plain payloads — gated
     against the SQL clean-text oracle (kernel/SQL semantic parity)."""
@@ -593,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "guarded_rollup": q_guarded_rollup,
         "data_url_decode": q_data_url_decode,
         "url_parse": q_url_parse,
+        "embedding_neardup": q_embedding_neardup,
     }
 
 
@@ -856,6 +869,11 @@ SELECT query_id, rank, neighbor_id FROM (
          CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
   FROM scored
 ) WHERE rank <= {TOPK}""",
+        "embedding_neardup": f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= {COSINE_DUP_THRESHOLD}""",
         "extract_plain": f"""
 SELECT doc_id, {clean} AS clean_text,
        CASE WHEN {clean} = '' THEN 'no_text_found' ELSE 'success' END AS status,

@@ -167,3 +167,32 @@ def test_quality_frame_bounds(request):
     scores = [r.quality_score for r in rows]
     assert all(0.0 <= sc <= 1.0 for sc in scores)
     assert scores[0] > scores[1]  # english prose beats punctuation soup
+
+
+def test_embedding_near_duplicates(vecs):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_near_duplicates(
+            vecs, "vec_id", "embedding", threshold=0.95
+        ).collect()
+    }
+    assert (0, 1) in pairs  # cos([1,0,0],[0.9,0.1,0]) ~ 0.994
+    assert (0, 4) not in pairs  # opposite vectors
+    assert (0, 2) not in pairs  # orthogonal
+
+
+def test_embedding_near_duplicates_bucketed_subset(vecs):
+    # cells from even ids; bucketed result must be a subset of exact
+    cents = vecs.where(F.col("vec_id") % 2 == 0)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_near_duplicates(vecs, threshold=0.9).collect()
+    }
+    bucketed = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_near_duplicates_bucketed(
+            vecs, cents, threshold=0.9
+        ).collect()
+    }
+    assert bucketed <= exact
+    assert (0, 1) in bucketed  # same cell (centroid 0), clearly near-dup

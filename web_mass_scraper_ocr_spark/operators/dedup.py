@@ -254,6 +254,62 @@ def minhash_near_duplicates(
 
 
 # ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Exact embedding near-dup pairs: upper-triangle self-join with
+    cosine >= threshold; emits (id_a, id_b) only (ids, no floats).
+
+    This is the exact baseline (O(n^2) pairs) — at corpus scale use
+    ``embedding_near_duplicates_bucketed``, which pairs only within IVF
+    cells."""
+    from .similarity import cosine
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(cosine(F.col("va"), F.col("vb")) >= F.lit(threshold))
+        .select("id_a", "id_b")
+    )
+
+
+def embedding_near_duplicates_bucketed(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Scale path: assign vectors to IVF cells (broadcast centroids),
+    then compute cosine pairs ONLY within a cell — candidate volume
+    drops ~1/n_cells at the cost of missing cross-cell pairs (recall
+    trade-off, standard ANN-dedup practice)."""
+    from .similarity import cosine, ivf_assign
+
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "centroid_id"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "centroid_id"
+    )
+    return (
+        a.join(b, "centroid_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cosine(F.col("va"), F.col("vb")) >= F.lit(threshold))
+        .select("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
