@@ -1,0 +1,130 @@
+"""Skew benchmark: why `ordering_mode="salted_window"` exists.
+
+Input: half the turns belong to ONE pathological conversation.  In
+"sorted" mode, repartition(conv_id) puts that conversation in a single
+task — one core runs 50% of the kernel work while the rest idle.  The
+salted-window mode shards it across `salt_factor` tasks (extraction is
+per-turn, so the salt is correctness-free).  This script measures both
+at a fixed parallelism and writes BENCH/SKEW.md.
+
+Usage: python scripts/bench_skew.py [cores=16]
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from datetime import datetime, timezone
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+INPUT = REPO / ".bench" / "transcripts_skewed.parquet"
+
+WORKER = """
+import time, sys
+sys.path.insert(0, ".")
+from web_mass_scraper_ocr_spark.config import ExtractionConfig
+from web_mass_scraper_ocr_spark.session import get_spark
+from web_mass_scraper_ocr_spark.plans.extraction import build_extraction_df
+cores, mode = int(sys.argv[1]), sys.argv[2]
+cfg = ExtractionConfig(ordering_mode=mode, salt_factor=16)
+spark = get_spark(app_name=f"bench-skew-{mode}", master=f"local[{cores}]",
+                  shuffle_partitions=4 * cores,
+                  extra_conf={"spark.local.dir": "/dev/shm/spark-tmp"})
+spark.sparkContext.setLogLevel("ERROR")
+t = spark.read.parquet(sys.argv[3])
+t.write.format("noop").mode("overwrite").save()  # cache-prime
+build_extraction_df(t.limit(4000), ExtractionConfig(ordering_mode="sorted")).write.format("noop").mode("overwrite").save()
+walls = []
+for _ in range(3):
+    t0 = time.monotonic()
+    build_extraction_df(t, cfg).write.format("noop").mode("overwrite").save()
+    walls.append(round(time.monotonic() - t0, 2))
+import json
+print(json.dumps({"mode": mode, "cores": cores, "wall_sec": sorted(walls)[1], "walls": walls}))
+spark.stop()
+"""
+
+
+def prepare_input() -> int:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from web_mass_scraper_ocr_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-skew-prep", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = entrymod.derive_transcripts(spark, "/root/testdata/sf0.1", fatten=10)
+    reps = spark.range(32).select(F.col("id").alias("rep"))
+    normal = base.crossJoin(reps).select(
+        F.concat("conv_id", F.lit("-r"), F.col("rep").cast("string")).alias("conv_id"),
+        "turn_idx", "role", "text", "tool", "ts",
+    )
+    # the mega-conversation: same volume again, ONE conv_id
+    mega = base.crossJoin(reps).select(
+        F.lit("conv-mega").alias("conv_id"),
+        (F.col("turn_idx") * 32 + F.col("rep")).cast("int").alias("turn_idx"),
+        "role", "text", "tool", "ts",
+    )
+    both = normal.unionByName(mega)
+    both.repartition(128).write.mode("overwrite").parquet(str(INPUT))
+    n = both.count()
+    spark.stop()
+    return n
+
+
+def main() -> None:
+    cores = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    if not INPUT.exists():
+        n = prepare_input()
+    else:
+        import duckdb
+
+        n = duckdb.sql(f"select count(*) from '{INPUT}/*.parquet'").fetchone()[0]
+    results = {}
+    for mode in ("sorted", "salted_window"):
+        out = subprocess.run(
+            ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", WORKER,
+             str(cores), mode, str(INPUT)],
+            capture_output=True, text=True, cwd=str(REPO), timeout=3000,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[mode] = json.loads(line)
+        print(line)
+
+    so, sa = results["sorted"], results["salted_window"]
+    speedup = round(so["wall_sec"] / sa["wall_sec"], 2)
+    ts = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    md = f"""# BENCH/SKEW.md — mega-conversation skew evidence
+
+Input: {n:,} turns, ~3KB payloads, HALF of them in ONE conversation
+(`conv-mega`).  local[{cores}] CPU-pinned, tmpfs shuffle, median of 3.
+
+| ordering_mode | wall (s) | turns/sec |
+|---|---|---|
+| sorted (repartition by conv_id) | {so['wall_sec']} | {round(n / so['wall_sec']):,} |
+| salted_window (salt_factor=16) | {sa['wall_sec']} | {round(n / sa['wall_sec']):,} |
+
+**salted_window is {speedup}x faster under pathological skew** — in
+sorted mode one task owns the mega-conversation (half the kernel work
+on one core) while the salt shards it across 16 tasks; extraction is
+per-turn so the salt never changes results
+(tests/test_extraction_pipeline.py::test_all_ordering_modes_equal).
+
+On balanced inputs the relation inverts (BENCH/BASELINE.md): sorted's
+single shuffle beats salted_window's two.  Mode choice is a per-table
+decision; the fail-fast layout guard plus these two benches document
+when each applies.
+
+Measured {ts}.  Reproduce: `python scripts/bench_skew.py`.
+"""
+    (REPO / "BENCH").mkdir(exist_ok=True)
+    (REPO / "BENCH" / "SKEW.md").write_text(md)
+    print("wrote BENCH/SKEW.md")
+
+
+if __name__ == "__main__":
+    main()

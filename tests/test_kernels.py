@@ -194,3 +194,54 @@ def test_generator_is_deterministic():
     # skew conversation holds 30-60% of rows (FIXTURES.md §1)
     share = (a["conv_id"] == "conv-skewed").mean()
     assert 0.3 <= share <= 0.6
+
+
+# ---------------------------------------------------------------------------
+# fuzz: the never-raise contract (reference ocr.py:36-113 — every failure
+# becomes a status, never an exception) must hold for arbitrary junk
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+
+from web_mass_scraper_ocr_spark.kernels.dispatch import extract_turn
+from web_mass_scraper_ocr_spark.kernels import status as st_mod
+
+_VALID_STATUSES = {
+    st_mod.SUCCESS,
+    st_mod.NO_TEXT_FOUND,
+    st_mod.ERROR_UNSUPPORTED_FORMAT,
+    st_mod.ERROR_PROCESSING,
+    st_mod.ERROR_FILE_NOT_FOUND,
+}
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    text=hst.one_of(hst.none(), hst.text(max_size=2000)),
+    tool=hst.one_of(
+        hst.none(), hst.sampled_from(["html", "pdf", "ocr", "", "plain", "???"]),
+        hst.text(max_size=8),
+    ),
+)
+def test_extract_turn_never_raises(text, tool):
+    r = extract_turn(text, tool)
+    assert r["status"] in _VALID_STATUSES
+    assert isinstance(r["clean_text"], str)
+    assert r["n_chars"] == len(r["clean_text"])
+    # spans are well-formed, ordered, within bounds
+    prev_end = -1
+    for kind, start, end in r["spans"]:
+        assert 0 <= start <= end <= len(r["clean_text"])
+        assert start >= prev_end
+        prev_end = start
+        assert isinstance(kind, str)
+
+
+@settings(max_examples=150, deadline=None)
+@given(payload=hst.text(alphabet="<>/ab c=\"'!-", max_size=400))
+def test_extract_html_tag_soup_never_raises(payload):
+    from web_mass_scraper_ocr_spark.kernels.html_extract import extract_html
+
+    r = extract_html(payload)
+    assert r["status"] in _VALID_STATUSES

@@ -25,7 +25,7 @@ import uuid
 from dataclasses import asdict
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from ..config import ExtractionConfig
 from ..kernels.dispatch import EXTRACTOR_VERSION
@@ -110,6 +110,21 @@ def rejected_rows(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def _observation_get(obs: Observation, timeout_s: float = 30.0) -> dict:
+    """Observation.get blocks until a task of the observed plan reports;
+    a fully-resumed (zero-task) run would hang it, so bound the wait."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    ex = ThreadPoolExecutor(1)
+    try:
+        fut = ex.submit(lambda: dict(obs.get))
+        return {k: float(v) for k, v in fut.result(timeout_s).items()}
+    except Exception:
+        return {}
+    finally:
+        ex.shutdown(wait=False)
+
+
 def run_extraction(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -138,6 +153,16 @@ def run_extraction(
         todo = bucketed
         n_done_buckets = 0
 
+    # in-flight input counters via observe() — the ScrapingSession
+    # accumulator analogue (reference main.py:46-64), measured during the
+    # write action itself, no extra pass over the input
+    obs = Observation("ingest")
+    todo = todo.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_in"),
+        F.count(F.when(F.col("text").isNull(), 1)).alias("rows_null_payload"),
+        F.count(F.when(F.col("text") == "", 1)).alias("rows_empty_payload"),
+    )
     result = build_extraction_df(todo, cfg).withColumn(
         "conv_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(cfg.n_buckets)).cast("int")
     )
@@ -199,7 +224,8 @@ def run_extraction(
         for r in written.groupBy("status").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
     turns_total = int(sum(counts.values()))
-    metric_rows = [
+    ingest = _observation_get(obs)
+    metric_rows = [(f"ingest_{k}", v) for k, v in ingest.items()] + [
         ("turns_total", float(turns_total)),
         ("turns_ok", float(counts.get("success", 0))),
         ("turns_no_text_found", float(counts.get("no_text_found", 0))),
@@ -222,6 +248,7 @@ def run_extraction(
         "wall_seconds": round(wall, 3),
         "status_counts": counts,
         "turns_total": turns_total,
+        "ingest_counts": {k: int(v) for k, v in ingest.items()},
     }
     (warehouse / f"run_summary_{run_id}.json").write_text(json.dumps(report, indent=2))
     return report
