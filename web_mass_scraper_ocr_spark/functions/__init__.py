@@ -1,0 +1,40 @@
+"""Column-level functions: JVM-side text analytics + the Arrow
+extraction stages."""
+
+from .extract_udf import (
+    EXTRACT_ARROW_SCHEMA,
+    EXTRACT_RESULT_SCHEMA,
+    extract_map_in_arrow,
+    extract_map_in_arrow_ranked,
+    extract_udf,
+)
+from .text import (
+    clean_text_col,
+    fingerprint,
+    lang_guess,
+    n_chars,
+    n_paragraphs,
+    n_tokens,
+    n_words,
+    quality_features,
+    quality_frame,
+    quality_score,
+)
+
+__all__ = [
+    "EXTRACT_ARROW_SCHEMA",
+    "EXTRACT_RESULT_SCHEMA",
+    "clean_text_col",
+    "extract_map_in_arrow",
+    "extract_map_in_arrow_ranked",
+    "extract_udf",
+    "fingerprint",
+    "lang_guess",
+    "n_chars",
+    "n_paragraphs",
+    "n_tokens",
+    "n_words",
+    "quality_features",
+    "quality_frame",
+    "quality_score",
+]

@@ -1,0 +1,17 @@
+"""Multimodal binary-column plumbing (decode stubbed in this sandbox)."""
+
+from .binary_ops import (
+    METADATA_SCHEMA,
+    decode_image_real,
+    decode_image_stub,
+    decode_metadata,
+    with_binary_payload,
+)
+
+__all__ = [
+    "METADATA_SCHEMA",
+    "decode_image_real",
+    "decode_image_stub",
+    "decode_metadata",
+    "with_binary_payload",
+]

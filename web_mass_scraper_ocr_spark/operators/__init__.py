@@ -1,0 +1,51 @@
+"""Relational + analytics operators: stable ordering, skew salting,
+checkpoint anti-join resume, dedup family, similarity search."""
+
+from .dedup import (
+    dedup_exact,
+    embedding_near_duplicates,
+    embedding_near_duplicates_bucketed,
+    exact_duplicates,
+    lsh_candidate_pairs,
+    minhash_near_duplicates,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_duplicates,
+    token_shingles,
+)
+from .ordering import with_turn_rank
+from .resume import (
+    CHECKPOINT_SCHEMA,
+    completed_buckets,
+    remaining_work,
+    with_conv_bucket,
+)
+from .similarity import brute_force_topk, cosine, dot, ivf_assign, ivf_topk, norm
+from .skew import salted_repartition
+
+__all__ = [
+    "CHECKPOINT_SCHEMA",
+    "brute_force_topk",
+    "completed_buckets",
+    "cosine",
+    "dedup_exact",
+    "dot",
+    "embedding_near_duplicates",
+    "embedding_near_duplicates_bucketed",
+    "exact_duplicates",
+    "ivf_assign",
+    "ivf_topk",
+    "lsh_candidate_pairs",
+    "minhash_near_duplicates",
+    "minhash_signature",
+    "ngram_jaccard_pairs",
+    "norm",
+    "remaining_work",
+    "salted_repartition",
+    "simhash",
+    "simhash_near_duplicates",
+    "token_shingles",
+    "with_conv_bucket",
+    "with_turn_rank",
+]

@@ -1,0 +1,12 @@
+"""Input sources: deterministic transcript fixtures + the
+Parquet/Iceberg-shim table IO."""
+
+from . import tableio
+from .transcripts import build_transcripts_df, generate_transcripts, payload_pool
+
+__all__ = [
+    "build_transcripts_df",
+    "generate_transcripts",
+    "payload_pool",
+    "tableio",
+]
