@@ -38,6 +38,9 @@ class ExtractionConfig:
     #     the corpus over the network.
     ordering_mode: str = "sorted"
     extractor_version: str = "1.0.0"
-    # Arrow batch rows for the pandas UDF (bounds executor memory like the
-    # reference's 8KB chunked download bounded its memory, utils.py:210-212).
-    arrow_batch_rows: int = 10000
+    # Arrow batch rows for the kernel stage (bounds executor memory like
+    # the reference's 8KB chunked download did, utils.py:210-212).  Small
+    # batches keep each worker's live set cache-resident: 10k-row batches
+    # measured up to 4x slower at full-width concurrency.  Applied by
+    # run_extraction via spark.conf; get_spark sets the same default.
+    arrow_batch_rows: int = 1000

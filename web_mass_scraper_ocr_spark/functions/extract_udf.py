@@ -81,20 +81,31 @@ extract_udf = F.pandas_udf(_extract_batch, returnType=EXTRACT_RESULT_SCHEMA)
 # at 32 concurrent workers (memory-footprint contention, not GC: the
 # effect persists with gc disabled).  See BENCH/BASELINE.md.
 
-_SPANS_ARROW = None
+def _spans_list_array(per_row_spans):
+    """Build the spans column as a ListArray over flat (kind, start, end)
+    arrays — no per-span dict objects (the naive list-of-dict route
+    allocates 4 PyObjects per span before pyarrow walks them)."""
+    import pyarrow as pa
 
-
-def _arrow_spans_type():
-    global _SPANS_ARROW
-    if _SPANS_ARROW is None:
-        import pyarrow as pa
-
-        _SPANS_ARROW = pa.list_(
-            pa.struct(
-                [("kind", pa.string()), ("start", pa.int32()), ("end", pa.int32())]
-            )
-        )
-    return _SPANS_ARROW
+    offsets = [0]
+    kinds: list[str] = []
+    starts: list[int] = []
+    ends: list[int] = []
+    for spans in per_row_spans:
+        for k, s, e in spans:
+            kinds.append(k)
+            starts.append(s)
+            ends.append(e)
+        offsets.append(len(kinds))
+    values = pa.StructArray.from_arrays(
+        [
+            pa.array(kinds, pa.string()),
+            pa.array(starts, pa.int32()),
+            pa.array(ends, pa.int32()),
+        ],
+        names=["kind", "start", "end"],
+    )
+    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), values)
 
 
 def _extract_arrow_batches(it):
@@ -110,9 +121,7 @@ def _extract_arrow_batches(it):
             r = extract_turn(t, k)
             kinds.append(r["content_kind"])
             cleans.append(r["clean_text"])
-            spans.append(
-                [{"kind": s[0], "start": s[1], "end": s[2]} for s in r["spans"]]
-            )
+            spans.append(r["spans"])
             stats.append(r["status"])
             nchars.append(r["n_chars"])
             nwords.append(r["n_words"])
@@ -124,7 +133,7 @@ def _extract_arrow_batches(it):
                 batch.column("role"),
                 pa.array(kinds, pa.string()),
                 pa.array(cleans, pa.string()),
-                pa.array(spans, _arrow_spans_type()),
+                _spans_list_array(spans),
                 pa.array(stats, pa.string()),
                 pa.array(nchars, pa.int32()),
                 pa.array(nwords, pa.int32()),
@@ -198,9 +207,7 @@ def _extract_arrow_batches_ranked(it):
             r = extract_turn(t, k)
             kinds.append(r["content_kind"])
             cleans.append(r["clean_text"])
-            spans.append(
-                [{"kind": s[0], "start": s[1], "end": s[2]} for s in r["spans"]]
-            )
+            spans.append(r["spans"])
             stats.append(r["status"])
             nchars.append(r["n_chars"])
             nwords.append(r["n_words"])
@@ -212,7 +219,7 @@ def _extract_arrow_batches_ranked(it):
                 batch.column("role"),
                 pa.array(kinds, pa.string()),
                 pa.array(cleans, pa.string()),
-                pa.array(spans, _arrow_spans_type()),
+                _spans_list_array(spans),
                 pa.array(stats, pa.string()),
                 pa.array(nchars, pa.int32()),
                 pa.array(nwords, pa.int32()),

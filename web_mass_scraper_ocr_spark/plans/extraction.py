@@ -136,6 +136,9 @@ def run_extraction(
     """Full run with checkpoint/lineage/metrics; returns a report dict
     (the session-summary analogue of reference main.py:72-123)."""
     cfg = cfg or ExtractionConfig()
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(cfg.arrow_batch_rows)
+    )
     run_id = run_id or f"run-{uuid.uuid4().hex[:10]}"
     warehouse = Path(warehouse)
     out_tbl = tableio.table(warehouse, "extractions")
