@@ -280,6 +280,23 @@ def q_multilevel_rollup(spark, sf_dir):
     )
 
 
+def q_rollup_agg(spark, sf_dir):
+    """Multi-level ROLLUP in one pass (SURVEY.md §2.5 notes the reference
+    hand-rolls separate per-level rollups; Spark computes the hierarchy
+    in one hash aggregate).  GROUPING() markers make NULL-vs-subtotal
+    unambiguous."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice", 18, 4)).cast("double").alias("revenue"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        )
+    )
+
+
 def q_clean_text(spark, sf_dir):
     """SQL-native reference clean_text (scraper.py:36-40)."""
     d = _t(spark, sf_dir, "documents")
@@ -582,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ordered_concat": q_ordered_concat,
         "topk_per_group": q_topk_per_group,
         "multilevel_rollup": q_multilevel_rollup,
+        "rollup_agg": q_rollup_agg,
         "clean_text": q_clean_text,
         "text_stats": q_text_stats,
         "token_count": q_token_count,
@@ -798,6 +816,12 @@ SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS order_year, count(*) AS n_or
 FROM orders JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name, year(o_orderdate)""",
+        "rollup_agg": """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       CAST(grouping(o_orderpriority) AS INT) AS g_priority
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
         "clean_text": f"SELECT doc_id, {clean} AS clean_text FROM documents",
         "text_stats": f"""
 SELECT doc_id, length(text) AS text_length,
