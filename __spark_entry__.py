@@ -280,6 +280,19 @@ def q_multilevel_rollup(spark, sf_dir):
     )
 
 
+def q_set_difference(spark, sf_dir):
+    """Set difference (reference keeps disjoint successful/failed URL
+    lists, main.py:41-42): users who clicked but never errored."""
+    e = _t(spark, sf_dir, "events")
+    clickers = e.where(F.col("event_type") == "click").select("user_id").distinct()
+    erroring = (
+        e.where((F.col("event_type") == "error") & (F.col("value") > 100))
+        .select("user_id")
+        .distinct()
+    )
+    return clickers.exceptAll(erroring)
+
+
 def q_rollup_agg(spark, sf_dir):
     """Multi-level ROLLUP in one pass (SURVEY.md §2.5 notes the reference
     hand-rolls separate per-level rollups; Spark computes the hierarchy
@@ -600,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "multilevel_rollup": q_multilevel_rollup,
         "rollup_agg": q_rollup_agg,
+        "set_difference": q_set_difference,
         "clean_text": q_clean_text,
         "text_stats": q_text_stats,
         "token_count": q_token_count,
@@ -816,6 +830,10 @@ SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS order_year, count(*) AS n_or
 FROM orders JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name, year(o_orderdate)""",
+        "set_difference": """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'error' AND value > 100""",
         "rollup_agg": """
 SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,

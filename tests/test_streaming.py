@@ -91,3 +91,51 @@ def test_windowed_status_metrics_batch_semantics(spark):
     ]
     assert got[0].window_start == pd.Timestamp("2026-01-01 00:00:00")
     assert got[2].window_end == pd.Timestamp("2026-01-01 00:10:00")
+
+
+def test_stateful_turn_rank_across_batches(spark, tmp_path):
+    """applyInPandasWithState: ranks continue across micro-batches for
+    the same conversation (state persists in the state store)."""
+    from web_mass_scraper_ocr_spark.streaming.stateful import streaming_turn_rank
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+
+    from datetime import datetime
+
+    t0 = datetime(2026, 1, 1)
+    write_batch([("c1", 0, "user", "a", "", t0), ("c1", 1, "user", "b", "", t0)])
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            streaming_turn_rank(stream)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    # second batch, same conversation: ranks must CONTINUE (3, 4), not restart
+    write_batch([("c1", 2, "user", "c", "", t0), ("c1", 3, "user", "d", "", t0)])
+    drain()
+
+    got = {
+        (r.conv_id, r.turn_idx): r.turn_rank
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got == {("c1", 0): 1, ("c1", 1): 2, ("c1", 2): 3, ("c1", 3): 4}

@@ -7,9 +7,11 @@ from .ingest import (
     stream_extraction,
     windowed_status_metrics,
 )
+from .stateful import streaming_turn_rank
 
 __all__ = [
     "read_transcript_stream",
     "stream_extraction",
+    "streaming_turn_rank",
     "windowed_status_metrics",
 ]

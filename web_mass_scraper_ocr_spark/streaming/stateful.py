@@ -1,0 +1,65 @@
+"""Custom stateful streaming operator: continuous per-conversation turn
+ranking via ``applyInPandasWithState``.
+
+The batch engine ranks turns with a window (or a sorted running
+counter); in a continuous stream a conversation's turns arrive across
+micro-batches, so the rank must persist between batches.  This operator
+keeps ``(next_rank)`` per conv_id in Spark's state store — the
+streaming analogue of the reference's per-URL status bookkeeping
+(/root/reference/src/scraper_app/db_utils.py:251-295), but held in the
+engine's fault-tolerant state instead of Postgres.
+
+Semantics: within a micro-batch, a conversation's rows are ranked in
+(turn_idx, ts) order starting from the persisted next_rank.  Exact
+cross-batch ordering therefore depends on arrival order (late turns get
+later ranks) — the documented at-arrival semantics of streaming rank;
+the batch job remains the source of truth for reprocessing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+RANKED_SCHEMA = (
+    "conv_id string, turn_idx int, turn_rank int, role string, "
+    "text string, tool string, ts timestamp"
+)
+STATE_SCHEMA = "next_rank int"
+
+
+def _rank_group(
+    key: tuple,
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (conv_id,) = key
+    next_rank = state.get[0] if state.exists else 1
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["turn_idx", "ts"], kind="mergesort").reset_index(
+            drop=True
+        )
+        pdf["turn_rank"] = range(next_rank, next_rank + len(pdf))
+        pdf["turn_rank"] = pdf["turn_rank"].astype("int32")
+        next_rank += len(pdf)
+        yield pdf[
+            ["conv_id", "turn_idx", "turn_rank", "role", "text", "tool", "ts"]
+        ]
+    state.update((next_rank,))
+
+
+def streaming_turn_rank(transcript_stream: DataFrame) -> DataFrame:
+    """Attach a persistent per-conversation turn_rank to a transcript
+    stream.  State = one int per live conversation; no timeout (ranks
+    must survive arbitrarily long gaps — at scale, add a TTL policy and
+    a compaction job if conversations are known to close)."""
+    return transcript_stream.groupBy("conv_id").applyInPandasWithState(
+        _rank_group,
+        outputStructType=RANKED_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
