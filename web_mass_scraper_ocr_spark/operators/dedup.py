@@ -258,26 +258,87 @@ def minhash_near_duplicates(
 # ---------------------------------------------------------------------------
 
 
+def _neardup_block_pairs(threshold: float):
+    """mapInPandas kernel: each input row carries two vector blocks;
+    similarity = one numpy GEMM per block pair (BLAS — ~1000x the
+    throughput of per-pair higher-order-function evaluation)."""
+
+    def fn(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out_a: list[int] = []
+            out_b: list[int] = []
+            for row in pdf.itertuples(index=False):
+                ids_a = np.asarray(row.ids_a, dtype=np.int64)
+                va = np.array([np.asarray(v, dtype=np.float64) for v in row.vecs_a])
+                va /= np.linalg.norm(va, axis=1, keepdims=True)
+                same = row.block_a == row.block_b
+                if same:
+                    ids_b, vb = ids_a, va
+                else:
+                    ids_b = np.asarray(row.ids_b, dtype=np.int64)
+                    vb = np.array(
+                        [np.asarray(v, dtype=np.float64) for v in row.vecs_b]
+                    )
+                    vb /= np.linalg.norm(vb, axis=1, keepdims=True)
+                sims = va @ vb.T
+                ii, jj = np.nonzero(sims >= threshold)
+                ia, ib = ids_a[ii], ids_b[jj]
+                keep = ia != ib
+                ia, ib = ia[keep], ib[keep]
+                lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+                if same:
+                    # both (i,j) and (j,i) hit in a symmetric block: halve
+                    mask = ia < ib
+                    lo, hi = lo[mask], hi[mask]
+                out_a.extend(lo.tolist())
+                out_b.extend(hi.tolist())
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    return fn
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
+    n_blocks: int = 16,
 ) -> DataFrame:
-    """Exact embedding near-dup pairs: upper-triangle self-join with
-    cosine >= threshold; emits (id_a, id_b) only (ids, no floats).
+    """Exact embedding near-dup pairs: cosine >= threshold, emitted as
+    (id_a, id_b) with id_a < id_b (ids only, no floats).
 
-    This is the exact baseline (O(n^2) pairs) — at corpus scale use
-    ``embedding_near_duplicates_bucketed``, which pairs only within IVF
-    cells."""
-    from .similarity import cosine
-
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .where(cosine(F.col("va"), F.col("vb")) >= F.lit(threshold))
-        .select("id_a", "id_b")
+    Plan shape: hash vectors into ``n_blocks`` blocks, build the upper
+    triangle of block pairs (a small nb^2/2-row frame), and run one
+    numpy GEMM per block pair inside mapInPandas.  Exact but O(n^2)
+    work by nature — at corpus scale use
+    ``embedding_near_duplicates_bucketed`` (same GEMM kernel per IVF
+    cell, ~1/n_cells the candidate volume)."""
+    blocks = (
+        df.groupBy(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("block")
+        )
+        .agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+            ).alias("items")
+        )
+    )
+    a = blocks.select(
+        F.col("block").alias("block_a"),
+        F.col("items.i").alias("ids_a"),
+        F.col("items.v").alias("vecs_a"),
+    )
+    b = blocks.select(
+        F.col("block").alias("block_b"),
+        F.col("items.i").alias("ids_b"),
+        F.col("items.v").alias("vecs_b"),
+    )
+    pairs = a.join(b, F.col("block_a") <= F.col("block_b"))
+    return pairs.mapInPandas(
+        _neardup_block_pairs(threshold), schema="id_a long, id_b long"
     )
 
 
