@@ -1,0 +1,53 @@
+"""Training-corpus pipeline properties: quality gate holds, no exact
+duplicates survive, no near-dup pair survives, and provenance keys are
+intact (SURVEY.md §8 training-data ops, composed end to end)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_mass_scraper_ocr_spark.config import ExtractionConfig
+from web_mass_scraper_ocr_spark.operators.dedup import ngram_jaccard_pairs
+from web_mass_scraper_ocr_spark.plans.corpus import DOC_KEY, build_training_corpus
+from web_mass_scraper_ocr_spark.sources.transcripts import generate_transcripts
+
+MIN_QUALITY = 0.2
+NEARDUP_T = 0.8
+
+
+@pytest.fixture(scope="module")
+def corpus(request):
+    spark = request.getfixturevalue("spark")
+    transcripts = spark.createDataFrame(generate_transcripts(n_convs=50))
+    return build_training_corpus(
+        transcripts,
+        ExtractionConfig(),
+        min_quality=MIN_QUALITY,
+        neardup_threshold=NEARDUP_T,
+    ).cache()
+
+
+def test_corpus_nonempty_and_quality_gated(corpus):
+    assert corpus.count() > 50
+    assert corpus.where(F.col("quality_score") < MIN_QUALITY).count() == 0
+
+
+def test_no_exact_duplicates_survive(corpus):
+    fps = corpus.select(F.md5(F.lower(F.col("clean_text"))).alias("fp"))
+    assert fps.count() == fps.distinct().count()
+
+
+def test_no_near_dup_pair_survives(corpus):
+    left = ngram_jaccard_pairs(
+        corpus, DOC_KEY, "clean_text", n=3, threshold=NEARDUP_T
+    )
+    # pairs that LSH would also have caught must be gone; allow only
+    # pairs LSH can miss (no shared band) — with 16 hashes/4 bands the
+    # fixture's dup groups are all caught, so the survivor set is empty
+    assert left.count() == 0
+
+
+def test_doc_keys_unique_and_parseable(corpus):
+    keys = corpus.select(DOC_KEY)
+    assert keys.count() == keys.distinct().count()
+    bad = corpus.where(F.size(F.split(DOC_KEY, "#")) != 3)
+    assert bad.count() == 0

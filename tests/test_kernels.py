@@ -245,3 +245,20 @@ def test_extract_html_tag_soup_never_raises(payload):
 
     r = extract_html(payload)
     assert r["status"] in _VALID_STATUSES
+
+
+def test_unknown_tool_payload_sniff():
+    """Unknown tool hints fall back to structural payload sniffing
+    (SURVEY.md §2.10); unparseable payloads stay unsupported."""
+    html = "<html><body><p>real content here for sniffing</p></body></html>"
+    r = extract_turn(html, "mystery-tool")
+    assert r["content_kind"] == "html"
+    assert r["status"] == st_mod.SUCCESS
+
+    pdfish = '{"page": 1, "x": 1.0, "y": 1.0, "size": 10.0, "text": "hi there"}'
+    r = extract_turn(pdfish, "???")
+    assert r["content_kind"] == "pdf"
+    assert r["status"] == st_mod.SUCCESS
+
+    r = extract_turn("just some text", "mystery-tool")
+    assert r["status"] == st_mod.ERROR_UNSUPPORTED_FORMAT

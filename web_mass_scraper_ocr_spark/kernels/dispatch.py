@@ -43,6 +43,20 @@ def content_kind(tool: str | None) -> str:
     return "unknown"
 
 
+def sniff_kind(text: str) -> str:
+    """Payload sniff for rows whose ``tool`` hint is unknown (SURVEY.md
+    §2.10 "dispatch per tool/payload sniff"): conservative structural
+    checks, falling back to 'unknown' (-> error_unsupported_format)."""
+    head = text.lstrip()[:256].lower()
+    if head.startswith(("<!doctype html", "<html")) or (
+        "<body" in head or "<div" in head or "<p>" in head
+    ):
+        return "html"
+    if head.startswith('{"page"'):
+        return "pdf"
+    return "unknown"
+
+
 def extract_turn(text: str | None, tool: str | None) -> dict:
     """Extract one turn's payload. NEVER raises.
 
@@ -54,6 +68,8 @@ def extract_turn(text: str | None, tool: str | None) -> dict:
     error_unsupported_format (ocr.py:99-103 class).
     """
     kind = content_kind(tool)
+    if text is not None and kind == "unknown":
+        kind = sniff_kind(text)
     if text is None:
         res = {"clean_text": "", "spans": [], "status": st.ERROR_FILE_NOT_FOUND}
     elif kind == "html":

@@ -1,0 +1,74 @@
+"""Training-corpus pipeline: the composition a large-scale training-data
+team runs on extraction output — quality gate, exact dedup, near-dup
+removal — as ONE declarative plan over the engine's own operators.
+
+    transcripts -> extraction (kernels) -> status == success
+        -> quality_score >= q_min           (JVM-side text analytics)
+        -> exact dedup  (md5 fingerprint, keep first by stable key)
+        -> near-dup removal (MinHash/LSH candidates -> verified Jaccard,
+           drop the lexicographically-later doc of each surviving pair)
+
+Everything is built-in ops + the Arrow kernel stage; no driver-side
+loops, so the same plan runs at 10^12-turn scale (dedup joins shuffle
+on fingerprint / band keys; AQE handles hot keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import ExtractionConfig
+from ..functions.text import quality_frame
+from ..operators.dedup import minhash_near_duplicates
+from .extraction import build_extraction_df
+
+DOC_KEY = "doc_key"
+
+
+def build_training_corpus(
+    transcripts: DataFrame,
+    cfg: ExtractionConfig | None = None,
+    min_quality: float = 0.3,
+    min_words: int = 3,
+    neardup_threshold: float = 0.8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Returns the kept corpus rows:
+    (doc_key, conv_id, turn_idx, turn_rank, clean_text, quality_score).
+    """
+    extracted = build_extraction_df(transcripts, cfg)
+    ok = extracted.where(
+        (F.col("status") == "success") & (F.col("n_words") >= min_words)
+    ).withColumn(
+        DOC_KEY,
+        F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string"),
+                    F.col("turn_rank").cast("string")),
+    )
+
+    scored = quality_frame(ok, "clean_text").where(
+        F.col("quality_score") >= F.lit(min_quality)
+    )
+
+    # exact dedup: keep the smallest doc_key per normalized fingerprint
+    keep_exact = (
+        scored.select(DOC_KEY, F.md5(F.lower(F.col("clean_text"))).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(DOC_KEY).alias(DOC_KEY))
+        .select(DOC_KEY)
+    )
+    uniq = scored.join(keep_exact, DOC_KEY, "left_semi")
+
+    # near-dup removal: LSH candidates verified by true Jaccard; drop the
+    # later key of each surviving pair (union-find-free greedy — at most
+    # one representative per connected pair chain survives each pass)
+    pairs = minhash_near_duplicates(
+        uniq, DOC_KEY, "clean_text", n=shingle_n, threshold=neardup_threshold
+    )
+    losers = pairs.select(
+        F.greatest("id_a", "id_b").alias(DOC_KEY)
+    ).distinct()
+    kept = uniq.join(losers, DOC_KEY, "left_anti")
+
+    return kept.select(
+        DOC_KEY, "conv_id", "turn_idx", "turn_rank", "clean_text", "quality_score"
+    )
