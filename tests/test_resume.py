@@ -99,3 +99,27 @@ def test_checkpoint_covers_all_buckets(spark, transcripts, tmp_warehouse):
     }
     got = {r["conv_bucket"] for r in ckpt.select("conv_bucket").distinct().collect()}
     assert got == expected
+
+
+def test_cli_extract_smoke(spark, tmp_path, transcripts):
+    """python -m web_mass_scraper_ocr_spark extract ... (in-process: the
+    CLI reuses the active session via getOrCreate)."""
+    import json
+
+    from web_mass_scraper_ocr_spark.__main__ import main
+
+    src = tmp_path / "in"
+    transcripts.write.parquet(str(src))
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main([
+            "extract", "--input", str(src), "--warehouse", str(tmp_path / "wh"),
+            "--snapshot-id", "snap-cli", "--n-buckets", "8",
+        ])
+    assert rc == 0
+    report = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert report["snapshot_id"] == "snap-cli"
+    assert report["turns_total"] > 0

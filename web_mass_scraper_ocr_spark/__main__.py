@@ -1,0 +1,95 @@
+"""CLI entry point — the analogue of the reference's
+``python -m src.scraper_app.main`` (reference main.py:484-649), Spark-first:
+
+    # full extraction run (idempotent: rerunning resumes via checkpoint)
+    python -m web_mass_scraper_ocr_spark extract \
+        --input /path/transcripts.parquet --warehouse /path/wh \
+        [--ordering-mode sorted|clustered|salted_window] [--n-buckets 64] \
+        [--run-id r1] [--snapshot-id snap1] [--master 'local[*]']
+
+    # training-corpus pipeline (extract -> quality -> dedup -> near-dup)
+    python -m web_mass_scraper_ocr_spark corpus \
+        --input /path/transcripts.parquet --output /path/corpus.parquet \
+        [--min-quality 0.3] [--neardup-threshold 0.8]
+
+Ships via ``spark-submit --py-files app.zip`` with a 3-line driver, or
+runs directly (it builds its own session).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .config import ExtractionConfig
+from .session import get_spark
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--input", required=True, help="transcript parquet path/dir")
+    p.add_argument("--master", default=None, help="spark master (default: env/local[*])")
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="web_mass_scraper_ocr_spark")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    pe = sub.add_parser("extract", help="run the extraction pipeline")
+    _add_common(pe)
+    pe.add_argument("--warehouse", required=True)
+    pe.add_argument("--run-id", default=None)
+    pe.add_argument("--snapshot-id", default="adhoc")
+    pe.add_argument("--ordering-mode", default="sorted",
+                    choices=["sorted", "clustered", "salted_window"])
+    pe.add_argument("--n-buckets", type=int, default=64)
+    pe.add_argument("--salt-factor", type=int, default=8)
+
+    pc = sub.add_parser("corpus", help="run the training-corpus pipeline")
+    _add_common(pc)
+    pc.add_argument("--output", required=True)
+    pc.add_argument("--min-quality", type=float, default=0.3)
+    pc.add_argument("--neardup-threshold", type=float, default=0.8)
+
+    args = parser.parse_args(argv)
+    spark = get_spark(master=args.master)
+
+    if args.cmd == "extract":
+        from .plans.extraction import run_extraction
+
+        cfg = ExtractionConfig(
+            n_buckets=args.n_buckets,
+            salt_factor=args.salt_factor,
+            ordering_mode=args.ordering_mode,
+        )
+        transcripts = spark.read.parquet(args.input)
+        report = run_extraction(
+            spark,
+            transcripts,
+            args.warehouse,
+            run_id=args.run_id,
+            snapshot_id=args.snapshot_id,
+            cfg=cfg,
+        )
+        print(json.dumps(report))
+        return 0
+
+    if args.cmd == "corpus":
+        from .plans.corpus import build_training_corpus
+
+        transcripts = spark.read.parquet(args.input)
+        corpus = build_training_corpus(
+            transcripts,
+            min_quality=args.min_quality,
+            neardup_threshold=args.neardup_threshold,
+        )
+        corpus.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(json.dumps({"output": args.output, "rows": n}))
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())
