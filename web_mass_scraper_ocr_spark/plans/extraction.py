@@ -151,10 +151,15 @@ def run_extraction(
     if ckpt_tbl.exists():
         done = completed_buckets(ckpt_tbl.read(spark), snapshot_id, cfg.extractor_version)
         todo = remaining_work(bucketed, done)
-        n_done_buckets = done.count()
+        # the checkpoint is tiny (<= n_buckets rows): the todo bucket set
+        # comes from it alone — deriving it from `todo` would rescan the
+        # full input twice more (lineage + empty-bucket marks)
+        done_ids = {r["conv_bucket"] for r in done.collect()}
     else:
         todo = bucketed
-        n_done_buckets = 0
+        done_ids = set()
+    todo_ids = sorted(set(range(cfg.n_buckets)) - done_ids)
+    n_done_buckets = len(done_ids)
 
     # in-flight input counters via observe() — the ScrapingSession
     # accumulator analogue (reference main.py:46-64), measured during the
@@ -175,18 +180,17 @@ def run_extraction(
     out_tbl.overwrite_partitions(result, ["conv_bucket"])
 
     # Sink 2: per-bucket lineage rows — computed from the *written* data so
-    # counts are truthful even if an executor retried.
+    # counts are truthful even if an executor retried.  The bucket filter
+    # is a literal IN-list -> static partition pruning: only this run's
+    # bucket directories are read, and only (conv_bucket, status) columns.
     if out_tbl.exists():
-        written = out_tbl.read(spark)
+        written = out_tbl.read(spark).where(F.col("conv_bucket").isin(todo_ids))
     else:
         # every row was filtered out -> zero-row table; keep the plan alive
         # with an empty frame of the output schema
         written = spark.createDataFrame([], result.schema)
     lineage = (
-        written.join(
-            F.broadcast(todo.select("conv_bucket").distinct()), "conv_bucket", "left_semi"
-        )
-        .groupBy("conv_bucket")
+        written.groupBy("conv_bucket")
         .agg(
             F.count(F.lit(1)).alias("row_count"),
             F.count(F.when(F.col("status") == "success", 1)).alias("ok_count"),
@@ -203,8 +207,11 @@ def run_extraction(
             F.current_timestamp().alias("completed_at"),
         )
     )
-    # buckets whose every row was filtered out still need completion marks
-    all_todo_buckets = todo.select("conv_bucket").distinct()
+    # buckets with no written rows (all filtered, or absent from this
+    # input) still need completion marks; literal frame, no input rescan
+    all_todo_buckets = spark.createDataFrame(
+        [(int(b),) for b in todo_ids], "conv_bucket int"
+    )
     empty_buckets = all_todo_buckets.join(
         lineage.select("conv_bucket"), "conv_bucket", "left_anti"
     ).select(
