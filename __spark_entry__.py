@@ -592,6 +592,44 @@ def q_url_parse(spark, sf_dir):
     )
 
 
+def q_url_resolve(spark, sf_dir):
+    """Relative->absolute URL projection (reference
+    construct_absolute_url, utils.py:19-30) under a documented resolve
+    rule: absolute stays; '/'-rooted joins scheme+host; otherwise joins
+    the base directory."""
+    d = _t(spark, sf_dir, "documents")
+    base = F.concat(F.lit("https://"), F.col("lang"), F.lit(".example.com/a/b/page.html"))
+    rel = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("img/logo.png"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("/root/x.png"))
+        .otherwise(F.lit("https://cdn.example.com/y.png"))
+    )
+    u = d.select("doc_id", base.alias("base_url"), rel.alias("rel_url"))
+    scheme_host = F.regexp_extract(F.col("base_url"), "^(https?://[^/]+)", 1)
+    base_dir = F.regexp_extract(F.col("base_url"), "^(.*/)", 1)
+    resolved = (
+        F.when(F.col("rel_url").rlike("^https?://"), F.col("rel_url"))
+        .when(
+            F.col("rel_url").startswith("/"),
+            F.concat(scheme_host, F.col("rel_url")),
+        )
+        .otherwise(F.concat(base_dir, F.col("rel_url")))
+    )
+    return u.select("doc_id", resolved.alias("abs_url"))
+
+
+def q_json_encode(spark, sf_dir):
+    """Struct -> JSON document serialization (the reference stores JSON
+    summaries as TEXT, main.py:436; SURVEY §2.6 to_json(struct(...)))."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.to_json(
+            F.struct(F.col("doc_id"), F.col("lang"), F.col("n_chars"))
+        ).alias("doc_json"),
+    )
+
+
 def q_multimodal_meta(spark, sf_dir):
     from web_mass_scraper_ocr_spark.multimodal.binary_ops import decode_metadata
 
@@ -638,6 +676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_url_decode": q_data_url_decode,
         "url_parse": q_url_parse,
         "embedding_neardup": q_embedding_neardup,
+        "url_resolve": q_url_resolve,
+        "json_encode": q_json_encode,
     }
 
 
@@ -992,6 +1032,26 @@ SELECT user_id, count(*) AS n_total,
             / (count(*) FILTER (event_type = 'purchase'))::DOUBLE
        ELSE 0.0 END AS avg_purchase_cents
 FROM events GROUP BY user_id""",
+        "url_resolve": """
+WITH u AS (
+  SELECT doc_id,
+         concat('https://', lang, '.example.com/a/b/page.html') AS base_url,
+         CASE doc_id % 3 WHEN 0 THEN 'img/logo.png'
+                         WHEN 1 THEN '/root/x.png'
+                         ELSE 'https://cdn.example.com/y.png' END AS rel_url
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN regexp_matches(rel_url, '^https?://') THEN rel_url
+       WHEN rel_url LIKE '/%'
+         THEN concat(regexp_extract(base_url, '^(https?://[^/]+)', 1), rel_url)
+       ELSE concat(regexp_extract(base_url, '^(.*/)', 1), rel_url)
+  END AS abs_url
+FROM u""",
+        "json_encode": """
+SELECT doc_id,
+       to_json(struct_pack(doc_id := doc_id, lang := lang, n_chars := n_chars)) AS doc_json
+FROM documents""",
         "multimodal_meta": """
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
