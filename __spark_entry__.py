@@ -592,6 +592,30 @@ def q_url_parse(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (custom operator — Spark has no built-in): for every
+    click, the most recent prior-or-simultaneous purchase of the same
+    user.  Composition: union + ignore-nulls last over an ordered
+    window, one shuffle.  Oracle: correlated arg_max (ts are unique per
+    user in the testdata, so the tiebreak never fires)."""
+    from web_mass_scraper_ocr_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        clicks, purchases, key="user_id", ts="ts",
+        payload_cols=["event_id"], tiebreak="event_id",
+    )
+    return out.select(
+        "event_id", "user_id", F.col("asof_event_id").alias("last_purchase_id")
+    )
+
+
 def q_url_resolve(spark, sf_dir):
     """Relative->absolute URL projection (reference
     construct_absolute_url, utils.py:19-30) under a documented resolve
@@ -678,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "url_resolve": q_url_resolve,
         "json_encode": q_json_encode,
+        "asof_join": q_asof_join,
     }
 
 
@@ -1032,6 +1057,12 @@ SELECT user_id, count(*) AS n_total,
             / (count(*) FILTER (event_type = 'purchase'))::DOUBLE
        ELSE 0.0 END AS avg_purchase_cents
 FROM events GROUP BY user_id""",
+        "asof_join": """
+SELECT c.event_id, c.user_id,
+       (SELECT arg_max(p.event_id, p.ts) FROM events p
+        WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+          AND p.ts <= c.ts) AS last_purchase_id
+FROM events c WHERE c.event_type = 'click'""",
         "url_resolve": """
 WITH u AS (
   SELECT doc_id,

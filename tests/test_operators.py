@@ -196,3 +196,31 @@ def test_embedding_near_duplicates_bucketed_subset(vecs):
     }
     assert bucketed <= exact
     assert (0, 1) in bucketed  # same cell (centroid 0), clearly near-dup
+
+
+def test_asof_join_semantics(request):
+    from datetime import datetime
+
+    from web_mass_scraper_ocr_spark.operators.asof import asof_join
+
+    spark = request.getfixturevalue("spark")
+    T = lambda s: datetime(2026, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, "u1", T(5)), (2, "u1", T(10)), (3, "u2", T(3)), (4, "u3", T(9))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, "u1", T(4)), (101, "u1", T(10)), (102, "u2", T(7))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    out = {
+        r.event_id: r.asof_event_id
+        for r in asof_join(
+            left, right, key="user_id", ts="ts",
+            payload_cols=["event_id"], tiebreak="event_id",
+        ).collect()
+    }
+    assert out[1] == 100   # most recent prior
+    assert out[2] == 101   # equal ts is inclusive
+    assert out[3] is None  # right row is later -> no match
+    assert out[4] is None  # key has no right rows at all

@@ -1,0 +1,80 @@
+"""As-of join — an operator Spark has no built-in for, composed from
+existing DataFrame ops (union + ordered window with ignore-nulls last),
+per the brief's custom-operator ladder: composition first, UDFs only if
+semantics demand.
+
+Semantics: for every left row, attach the payload of the most recent
+right row of the same key with right.ts <= left.ts (inclusive).  Left
+rows with no prior right row keep NULLs (left as-of join).
+
+Plan shape: one union + ONE shuffle (the window partitionBy key) —
+never a range cross-join.  Skewed keys behave like any window key; at
+extreme skew pre-split by time range per key.
+
+Determinism: rows are ordered by (ts, side, tiebreak) inside the
+window — a right row at exactly left.ts wins (inclusive bound), and
+equal-ts right rows resolve by the tiebreak column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+_SIDE = "_asof_side"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    payload_cols: list[str],
+    tiebreak: str,
+) -> DataFrame:
+    """Returns `left` with ``asof_<col>`` columns for each payload col.
+
+    ``tiebreak`` must exist on the right side (any orderable unique-ish
+    column, e.g. an event id) to make equal-ts matches deterministic.
+    """
+    r = right.select(
+        F.col(key),
+        F.col(ts),
+        F.lit(0).alias(_SIDE),
+        F.col(tiebreak).alias("_asof_tb"),
+        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+    )
+    l = left.select(
+        "*",
+        F.lit(1).alias(_SIDE),
+        F.lit(None).cast(r.schema["_asof_tb"].dataType).alias("_asof_tb"),
+        *[
+            F.lit(None).cast(r.schema[f"_p_{c}"].dataType).alias(f"_p_{c}")
+            for c in payload_cols
+        ],
+    )
+    # align the right side to the left's full column list (NULL-pad the
+    # left-only columns), then union
+    r_full = r.select(
+        *[
+            F.col(c) if c in r.columns
+            else F.lit(None).cast(l.schema[c].dataType).alias(c)
+            for c in l.columns
+        ]
+    )
+    unioned = l.unionByName(r_full)
+
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col(_SIDE).asc(), F.col("_asof_tb").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in payload_cols
+        ],
+    )
+    drop = [_SIDE, "_asof_tb"] + [f"_p_{c}" for c in payload_cols]
+    return filled.where(F.col(_SIDE) == 1).drop(*drop)
