@@ -616,6 +616,60 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+RANGE_JOIN_WINDOW_S = 6 * 3600
+
+
+def q_range_join(spark, sf_dir):
+    """Range/interval join (custom: binned equi-join, never a theta
+    cross-join): purchases within the 6h before each click, same user."""
+    from web_mass_scraper_ocr_spark.operators.rangejoin import range_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    out = range_join(
+        clicks, purchases, key="user_id", ts="ts",
+        window_seconds=RANGE_JOIN_WINDOW_S,
+    )
+    return out.select("click_id", F.col("purchase_id_r").alias("purchase_id"))
+
+
+def q_hypertable_rollup(spark, sf_dir):
+    """Hypertable-style multi-resolution time rollup: hourly AND daily
+    event counts in ONE pass via grouping sets (the continuous-aggregate
+    shape of timeseries stores)."""
+    e = _t(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    day = F.date_trunc("day", F.col("ts"))
+    agg = (
+        e.withColumn("bucket_hour", hour)
+        .withColumn("bucket_day", day)
+        .groupingSets(
+            [["bucket_day", "event_type"], ["bucket_day", "bucket_hour", "event_type"]],
+            "bucket_day", "bucket_hour", "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.grouping("bucket_hour").cast("int").alias("is_daily"),
+        )
+    )
+    # hour bucket as string with '' for daily rows: NULL timestamps don't
+    # hash-compare cleanly across engines
+    return agg.select(
+        "bucket_day",
+        F.coalesce(
+            F.date_format("bucket_hour", "yyyy-MM-dd HH:mm:ss"), F.lit("")
+        ).alias("bucket_hour"),
+        "event_type",
+        "n_events",
+        "is_daily",
+    )
+
+
 def q_url_resolve(spark, sf_dir):
     """Relative->absolute URL projection (reference
     construct_absolute_url, utils.py:19-30) under a documented resolve
@@ -703,6 +757,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_resolve": q_url_resolve,
         "json_encode": q_json_encode,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "hypertable_rollup": q_hypertable_rollup,
     }
 
 
@@ -1057,6 +1113,23 @@ SELECT user_id, count(*) AS n_total,
             / (count(*) FILTER (event_type = 'purchase'))::DOUBLE
        ELSE 0.0 END AS avg_purchase_cents
 FROM events GROUP BY user_id""",
+        "range_join": f"""
+SELECT c.event_id AS click_id, p.event_id AS purchase_id
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts - INTERVAL {RANGE_JOIN_WINDOW_S} SECONDS
+ AND p.ts <= c.ts""",
+        "hypertable_rollup": """
+SELECT date_trunc('day', ts) AS bucket_day,
+       coalesce(strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'), '') AS bucket_hour,
+       event_type, count(*) AS n_events,
+       CAST(grouping(date_trunc('hour', ts)) AS INT) AS is_daily
+FROM events
+GROUP BY GROUPING SETS (
+  (date_trunc('day', ts), event_type),
+  (date_trunc('day', ts), date_trunc('hour', ts), event_type)
+)""",
         "asof_join": """
 SELECT c.event_id, c.user_id,
        (SELECT arg_max(p.event_id, p.ts) FROM events p

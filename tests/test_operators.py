@@ -224,3 +224,29 @@ def test_asof_join_semantics(request):
     assert out[2] == 101   # equal ts is inclusive
     assert out[3] is None  # right row is later -> no match
     assert out[4] is None  # key has no right rows at all
+
+
+def test_range_join_semantics(request):
+    from datetime import datetime
+
+    from web_mass_scraper_ocr_spark.operators.rangejoin import range_join
+
+    spark = request.getfixturevalue("spark")
+    T = lambda m: datetime(2026, 1, 1, 0, m)
+    left = spark.createDataFrame(
+        [(1, "u1", T(30))], "lid long, user_id string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(100, "u1", T(20)), (101, "u1", T(30)), (102, "u1", T(31)),
+         (103, "u1", T(9)), (104, "u2", T(30))],
+        "rid long, user_id string, ts timestamp",
+    )
+    got = sorted(
+        r.rid_r
+        for r in range_join(
+            left, right, key="user_id", ts="ts", window_seconds=20 * 60
+        ).collect()
+    )
+    # [ts-20min, ts] inclusive both ends; later rows, too-old rows, and
+    # other keys excluded
+    assert got == [100, 101]

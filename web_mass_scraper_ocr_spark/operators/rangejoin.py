@@ -1,0 +1,51 @@
+"""Range (interval) join — the scale-safe pattern for time-window joins.
+
+A naive ``l.join(r, (r.ts >= l.ts - w) & (r.ts <= l.ts))`` plans as a
+nested-loop/theta join (O(|L|x|R|) per key).  The standard fix: bucket
+time into bins of the window width, explode the left side to the two
+bins its window can touch, equi-join on (key, bin) — Catalyst gets a
+hash join — then apply the exact range filter.  Candidate volume drops
+from all-pairs to pairs within adjacent bins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    window_seconds: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Pairs (left row, right row) with equal ``key`` and
+    ``right.ts`` in ``[left.ts - window_seconds, left.ts]``.
+
+    Column collision contract: rename shared non-key columns beforehand;
+    the result carries left columns + right columns suffixed ``_r``.
+    """
+    w_us = int(window_seconds) * 1_000_000
+
+    def _bin_of(c):
+        # cast: parquet TIMESTAMP_NTZ -> TIMESTAMP (session tz is pinned UTC)
+        return F.floor(F.unix_micros(F.col(c).cast("timestamp")) / F.lit(w_us))
+
+    l = left.withColumn("_bin", F.explode(F.array(_bin_of(ts) - 1, _bin_of(ts))))
+    r = right.select(
+        F.col(key),
+        _bin_of(ts).alias("_bin"),
+        *[
+            F.col(c).alias(f"{c}_r")
+            for c in right.columns
+            if c != key
+        ],
+    )
+    joined = l.join(r, [key, "_bin"], how)
+    exact = joined.where(
+        (F.col(f"{ts}_r") >= F.col(ts) - F.expr(f"INTERVAL {window_seconds} SECONDS"))
+        & (F.col(f"{ts}_r") <= F.col(ts))
+    )
+    return exact.drop("_bin")
