@@ -123,3 +123,44 @@ def test_cli_extract_smoke(spark, tmp_path, transcripts):
     report = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert report["snapshot_id"] == "snap-cli"
     assert report["turns_total"] > 0
+
+
+def test_all_invalid_input_completes_and_resumes(spark, tmp_warehouse):
+    """Degenerate input (every payload NULL/empty): the run must finish,
+    checkpoint every bucket, and a rerun must skip them all (regression:
+    empty partitioned read-back used to throw UNABLE_TO_INFER_SCHEMA)."""
+    from datetime import datetime
+
+    rows = [
+        ("c1", 0, "user", None, "html", datetime(2026, 1, 1)),
+        ("c2", 0, "user", "", "ocr", datetime(2026, 1, 1)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    r1 = run_extraction(spark, df, tmp_warehouse, snapshot_id="s-degen", cfg=CFG)
+    assert r1["turns_total"] == 0
+    # NOTE: ingest_counts may be {} here — Catalyst constant-folds
+    # Filter-on-LocalRelation at plan time, so the observe node never
+    # executes for a fully-inlined fixture (parquet inputs always run it)
+    r2 = run_extraction(spark, df, tmp_warehouse, snapshot_id="s-degen", cfg=CFG)
+    assert r2["buckets_skipped_resume"] == CFG.n_buckets
+
+
+def test_rejected_rows_diagnosis(spark):
+    """Filter-with-diagnosis (reference routes failures to status+message,
+    main.py:405-407): every removed row carries its reject reason."""
+    from datetime import datetime
+
+    from web_mass_scraper_ocr_spark.plans.extraction import rejected_rows
+
+    rows = [
+        ("c1", 0, "user", None, "html", datetime(2026, 1, 1)),
+        ("c1", 1, "user", "", "ocr", datetime(2026, 1, 1)),
+        ("c1", 2, "user", "fine", "", datetime(2026, 1, 1)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    got = {r.turn_idx: r.reject_reason for r in rejected_rows(df).collect()}
+    assert got == {0: "null_payload", 1: "empty_payload"}

@@ -110,9 +110,11 @@ def rejected_rows(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def _observation_get(obs: Observation, timeout_s: float = 30.0) -> dict:
+def _observation_get(obs: Observation, timeout_s: float = 10.0) -> dict:
     """Observation.get blocks until a task of the observed plan reports;
-    a fully-resumed (zero-task) run would hang it, so bound the wait."""
+    it never fires when the observed node is optimized away (Catalyst
+    constant-folds Filter-on-LocalRelation plans — test fixtures) or the
+    plan runs zero tasks, so bound the wait and return {} then."""
     from concurrent.futures import ThreadPoolExecutor
 
     ex = ThreadPoolExecutor(1)
