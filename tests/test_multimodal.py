@@ -1,0 +1,60 @@
+"""Multimodal plumbing tests: schema, batching, fan-out shapes — the
+decode itself is a deterministic stub (no image libs in sandbox), the
+Spark-side plumbing is real (mapInPandas, Arrow batches)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_mass_scraper_ocr_spark.multimodal.binary_ops import (
+    decode_metadata,
+    extract_features,
+    resize_images,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(request):
+    spark = request.getfixturevalue("spark")
+    rows = [(i, "x" * (100 + 97 * i)) for i in range(20)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_decode_metadata_shape(docs):
+    out = decode_metadata(docs).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r.n_bytes == 100 + 97 * r.doc_id
+        assert 0 <= r.width < 640 and 0 <= r.height < 480
+        assert r.media_kind == "image"
+
+
+def test_resize_fixed_byte_budget(docs):
+    out = resize_images(docs, width=32, height=16).collect()
+    assert len(out) == 20
+    assert all(len(r.resized) == 32 * 16 for r in out)
+    assert all(r.width == 32 and r.height == 16 for r in out)
+
+
+def test_sample_frames_fanout(docs):
+    out = sample_frames(docs, frame_bytes=100, every_n=2)
+    rows = out.collect()
+    # every doc emits >= 1 frame; frame indices step by every_n
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+        assert len(r.frame) <= 100
+    assert set(per_doc) == set(range(20))
+    for idxs in per_doc.values():
+        assert sorted(idxs) == list(range(0, 2 * len(idxs), 2))
+
+
+def test_extract_features_composes_with_similarity(docs):
+    from web_mass_scraper_ocr_spark.operators.similarity import brute_force_topk
+
+    emb = extract_features(docs, dim=8).withColumnRenamed("doc_id", "vec_id")
+    assert emb.schema["embedding"].simpleString() == "embedding:array<float>"
+    q = emb.where(F.col("vec_id") < 2)
+    top = brute_force_topk(emb, q, k=3).collect()
+    assert {r.query_id for r in top} == {0, 1}
+    assert all(1 <= r.rank <= 3 for r in top)

@@ -1,17 +1,27 @@
 """Multimodal binary-column plumbing (decode stubbed in this sandbox)."""
 
 from .binary_ops import (
+    FRAME_SCHEMA,
     METADATA_SCHEMA,
+    RESIZED_SCHEMA,
     decode_image_real,
     decode_image_stub,
     decode_metadata,
+    extract_features,
+    resize_images,
+    sample_frames,
     with_binary_payload,
 )
 
 __all__ = [
+    "FRAME_SCHEMA",
     "METADATA_SCHEMA",
+    "RESIZED_SCHEMA",
     "decode_image_real",
     "decode_image_stub",
     "decode_metadata",
+    "extract_features",
+    "resize_images",
+    "sample_frames",
     "with_binary_payload",
 ]

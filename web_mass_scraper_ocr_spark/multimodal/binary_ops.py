@@ -56,6 +56,108 @@ def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("payload", F.encode(F.col(text_col), "utf-8").cast(BinaryType()))
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("resized", BinaryType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def resize_stub(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic fake resize: real decoders (PIL/libvips) slot in on
+    a cluster; the fake keeps output size = width*height bytes derived
+    from the input so plumbing (schema, batch shape, byte budget) is
+    fully testable."""
+    n = width * height
+    reps = n // max(len(payload), 1) + 1
+    return (payload * reps)[:n]
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """mapInPandas resize pass: binary in, fixed-budget binary out."""
+    src = with_binary_payload(df).select(id_col, "payload")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "width": width,
+                    "height": height,
+                    "resized": [resize_stub(b, width, height) for b in pdf["payload"]],
+                }
+            )
+
+    return src.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_bytes: int = 256,
+    every_n: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frame sampling fan-out: treat the binary payload as a sequence of
+    fixed-size frames, keep every ``every_n``-th — one output row per
+    sampled frame (the per-video -> per-frame explosion a real pipeline
+    does; decode stubbed as byte-chunking)."""
+    src = with_binary_payload(df).select(id_col, "payload")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for i, b in zip(pdf[id_col].values, pdf["payload"]):
+                n_frames = max(len(b) // frame_bytes, 1)
+                for f in range(0, n_frames, every_n):
+                    ids.append(i)
+                    idxs.append(f)
+                    frames.append(bytes(b[f * frame_bytes:(f + 1) * frame_bytes]))
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
+
+    return src.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def extract_features(df: DataFrame, dim: int = 8, id_col: str = "doc_id") -> DataFrame:
+    """Feature-extraction pass: binary -> fixed-dim float vector.
+    Stub embedding = md5-seeded deterministic floats (a real model
+    binds here); output shape matches the embeddings table so the
+    similarity/dedup operators compose directly."""
+    import hashlib
+
+    src = with_binary_payload(df).select(id_col, "payload")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vecs = []
+            for b in pdf["payload"]:
+                h = hashlib.md5(b).digest()
+                vecs.append([(h[i] - 128) / 128.0 for i in range(dim)])
+            yield pd.DataFrame({id_col: pdf[id_col].values, "embedding": vecs})
+
+    from pyspark.sql.types import ArrayType, FloatType
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    return src.mapInPandas(batches, schema=schema)
+
+
 def decode_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """mapInPandas decode pass: binary in, typed metadata out.
 
