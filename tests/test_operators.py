@@ -250,3 +250,38 @@ def test_range_join_semantics(request):
     # [ts-20min, ts] inclusive both ends; later rows, too-old rows, and
     # other keys excluded
     assert got == [100, 101]
+
+
+def test_asof_join_matches_bruteforce_oracle(request):
+    import random
+    from datetime import datetime, timedelta
+
+    from web_mass_scraper_ocr_spark.operators.asof import asof_join
+
+    spark = request.getfixturevalue("spark")
+    rng = random.Random(7)
+    base = datetime(2026, 1, 1)
+    left_rows = [
+        (i, f"u{rng.randint(0, 5)}", base + timedelta(seconds=rng.randint(0, 1000)))
+        for i in range(80)
+    ]
+    right_rows = [
+        (1000 + i, f"u{rng.randint(0, 5)}", base + timedelta(seconds=rng.randint(0, 1000)))
+        for i in range(60)
+    ]
+    left = spark.createDataFrame(left_rows, "event_id long, user_id string, ts timestamp")
+    right = spark.createDataFrame(right_rows, "event_id long, user_id string, ts timestamp")
+    got = {
+        r.event_id: r.asof_event_id
+        for r in asof_join(
+            left, right, key="user_id", ts="ts",
+            payload_cols=["event_id"], tiebreak="event_id",
+        ).collect()
+    }
+
+    def oracle(lid, key, lts):
+        cands = [(rts, rid) for rid, rkey, rts in right_rows if rkey == key and rts <= lts]
+        return max(cands)[1] if cands else None
+
+    for lid, key, lts in left_rows:
+        assert got[lid] == oracle(lid, key, lts), (lid, key, lts)
