@@ -708,6 +708,29 @@ def q_json_encode(spark, sf_dir):
     )
 
 
+def q_streaming_extract(spark, sf_dir):
+    """The Structured-Streaming ingest path under the same oracle as the
+    batch pipeline: write transcripts to a staging dir, drain it with
+    trigger(availableNow) through foreachBatch(build_extraction_df), and
+    return the materialized output.  availableNow processes the whole
+    staging dir, so per-turn results must equal the batch oracle."""
+    import tempfile
+    from pathlib import Path
+
+    from web_mass_scraper_ocr_spark.streaming.ingest import stream_extraction
+
+    work = Path(tempfile.mkdtemp(prefix="wms_stream_q_"))
+    src, out, ckpt = work / "src", work / "out", work / "ckpt"
+    derive_transcripts(spark, sf_dir).write.parquet(str(src))
+    q = stream_extraction(spark, src, out, ckpt)
+    q.awaitTermination(300)
+    got = spark.read.parquet(str(out))
+    return got.select(
+        "conv_id", "turn_idx", "turn_rank", "content_kind", "clean_text", "status",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
 def q_multimodal_meta(spark, sf_dir):
     from web_mass_scraper_ocr_spark.multimodal.binary_ops import decode_metadata
 
@@ -759,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "hypertable_rollup": q_hypertable_rollup,
+        "streaming_extract": q_streaming_extract,
     }
 
 
@@ -1043,6 +1067,14 @@ SELECT doc_id, {clean} AS clean_text,
        CAST(length({clean}) AS BIGINT) AS n_chars,
        CAST({words} AS BIGINT) AS n_words
 FROM documents""",
+        "streaming_extract": _transcript_cte()
+        + """
+SELECT conv_id, turn_idx,
+       CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx ASC, ts ASC) AS INT) AS turn_rank,
+       content_kind, clean_text,
+       CASE WHEN clean_text = '' THEN 'no_text_found' ELSE 'success' END AS status,
+       CAST(length(clean_text) AS BIGINT) AS n_chars
+FROM extracted""",
         "extract_pipeline": _transcript_cte()
         + """
 SELECT conv_id, turn_idx,
