@@ -253,6 +253,21 @@ def q_ordered_concat(spark, sf_dir):
     )
 
 
+def q_lag_lead(spark, sf_dir):
+    """lag/lead window frame: per-user gap (seconds) since the previous
+    event and id of the next event — the session-gap shape."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev_ts = F.lag("ts").over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - F.unix_micros(prev_ts.cast("timestamp"))).alias("gap_us"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    )
+
+
 def q_topk_per_group(spark, sf_dir):
     e = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
@@ -750,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_sorted": q_distinct_sorted,
         "ordered_concat": q_ordered_concat,
         "topk_per_group": q_topk_per_group,
+        "lag_lead": q_lag_lead,
         "multilevel_rollup": q_multilevel_rollup,
         "rollup_agg": q_rollup_agg,
         "set_difference": q_set_difference,
@@ -963,6 +979,12 @@ FROM events GROUP BY user_id""",
         "ordered_concat": """
 SELECT user_id, string_agg(event_type, '|' ORDER BY ts, event_id) AS events_in_order
 FROM events GROUP BY user_id""",
+        "lag_lead": """
+SELECT event_id, user_id,
+       CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS BIGINT) AS gap_us,
+       lead(event_id) OVER w AS next_event_id
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""",
         "topk_per_group": """
 SELECT o_custkey, rank, o_orderkey FROM (
   SELECT o_custkey, o_orderkey,
