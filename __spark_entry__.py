@@ -225,6 +225,15 @@ def q_status_pivot(spark, sf_dir):
         F.when(n_total > 0, F.lit(100.0) * n_err.cast("double") / n_total.cast("double"))
         .otherwise(F.lit(0.0))
         .alias("error_rate"),
+        # 2dp presentation rounding, reference main.py:113-118 (rates are
+        # non-negative so Spark HALF_UP == DuckDB half-away-from-zero)
+        F.round(
+            F.when(
+                n_total > 0,
+                F.lit(100.0) * n_err.cast("double") / n_total.cast("double"),
+            ).otherwise(F.lit(0.0)),
+            2,
+        ).alias("error_rate_2dp"),
     )
 
 
@@ -971,7 +980,10 @@ SELECT user_id, count(*) AS n_total,
   count(*) FILTER (event_type = 'click') AS n_click,
   CASE WHEN count(*) > 0
        THEN 100.0 * (count(*) FILTER (event_type = 'error'))::DOUBLE / count(*)::DOUBLE
-       ELSE 0.0 END AS error_rate
+       ELSE 0.0 END AS error_rate,
+  round(CASE WHEN count(*) > 0
+       THEN 100.0 * (count(*) FILTER (event_type = 'error'))::DOUBLE / count(*)::DOUBLE
+       ELSE 0.0 END, 2) AS error_rate_2dp
 FROM events GROUP BY user_id""",
         "distinct_sorted": """
 SELECT user_id, string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_sorted
@@ -1159,8 +1171,8 @@ FROM u""",
         "guarded_rollup": """
 SELECT user_id, count(*) AS n_total,
   count(*) FILTER (event_type = 'purchase') AS n_purchase,
-  coalesce(sum(CASE WHEN event_type = 'purchase'
-                    THEN CAST(floor(value * 100) AS BIGINT) END), 0) AS purchase_cents,
+  CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                    THEN CAST(floor(value * 100) AS BIGINT) END), 0) AS BIGINT) AS purchase_cents,
   CASE WHEN count(*) FILTER (event_type = 'purchase') > 0
        THEN coalesce(sum(CASE WHEN event_type = 'purchase'
                               THEN CAST(floor(value * 100) AS BIGINT) END), 0)::DOUBLE
