@@ -33,7 +33,7 @@ BAND_SIZE = 4
 SIMHASH_BITS = 32
 TOPK = 5
 N_QUERY_VECS = 20
-IVF_MODULUS = 50
+IVF_N_CENTROIDS = 16
 SHIP_CUT = "1999-01-01 00:00:00"
 
 # SQL fragments shared across oracles
@@ -421,7 +421,7 @@ def q_embedding_topk(spark, sf_dir):
 def q_ivf_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
-    return S.ivf_topk(emb, queries, n_cells_modulus=IVF_MODULUS, k=TOPK)
+    return S.ivf_topk(emb, queries, n_centroids=IVF_N_CENTROIDS, k=TOPK)
 
 
 COSINE_DUP_THRESHOLD = 0.45
@@ -433,6 +433,22 @@ def q_embedding_neardup(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return D.embedding_near_duplicates(
         emb, "vec_id", "embedding", threshold=COSINE_DUP_THRESHOLD
+    )
+
+
+def q_embedding_neardup_bucketed(spark, sf_dir):
+    """The SCALE path for embedding near-dup: IVF-cell bucketing with a
+    fixed-count centroid sample, then the blocked-GEMM pair kernel per
+    cell (candidate volume ~1/n_cells; recall trade-off is that
+    cross-cell pairs are missed — the oracle reproduces the identical
+    cell assignment, so the comparison is exact)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return D.embedding_near_duplicates_bucketed(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=COSINE_DUP_THRESHOLD,
+        n_centroids=IVF_N_CENTROIDS,
     )
 
 
@@ -802,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_url_decode": q_data_url_decode,
         "url_parse": q_url_parse,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_bucketed": q_embedding_neardup_bucketed,
         "url_resolve": q_url_resolve,
         "json_encode": q_json_encode,
         "asof_join": q_asof_join,
@@ -1070,7 +1087,8 @@ SELECT query_id, rank, neighbor_id FROM (
   FROM scored
 ) WHERE rank <= {TOPK}""",
         "ivf_topk": f"""
-WITH cent AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cent_vec FROM embeddings WHERE vec_id % {IVF_MODULUS} = 0),
+WITH cent AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cent_vec FROM embeddings
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {IVF_N_CENTROIDS}),
 assign AS (
   SELECT vec_id, embedding, centroid_id FROM (
     SELECT e.vec_id, e.embedding, c.centroid_id,
@@ -1094,6 +1112,21 @@ SELECT query_id, rank, neighbor_id FROM (
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= {COSINE_DUP_THRESHOLD}""",
+        "embedding_neardup_bucketed": f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, v AS cent_vec FROM e
+         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {IVF_N_CENTROIDS}),
+assign AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT e.vec_id, e.v, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.v, c.cent_vec) DESC, c.centroid_id ASC) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM assign a JOIN assign b
+  ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= {COSINE_DUP_THRESHOLD}""",
         "extract_plain": f"""
 SELECT doc_id, {clean} AS clean_text,

@@ -126,12 +126,22 @@ def test_cosine_column_matches_math(request):
     assert abs(got - expect) < 1e-12
 
 
+def test_select_centroids_fixed_count(vecs):
+    # fixed-k deterministic sample: the k smallest md5(id) — here
+    # md5('4') < md5('1') < the rest, so n_centroids=2 -> ids {4, 1}
+    got = S.select_centroids(vecs, 2).collect()
+    assert sorted(r.vec_id for r in got) == [1, 4]
+    # count stays k no matter the corpus size (the scale fix)
+    assert S.select_centroids(vecs, 3).count() == 3
+
+
 def test_ivf_topk_searches_own_cell(vecs):
-    # centroids: vec_id % 2 == 0 -> 0, 2, 4
+    # centroids (fixed k=2, md5-ranked) = ids {4, 1}; query vec 1 lands
+    # in centroid 1's cell together with vecs {0, 2, 3}
     q = vecs.where(F.col("vec_id") == 1)
-    got = S.ivf_topk(vecs, q, n_cells_modulus=2, k=2).collect()
+    got = S.ivf_topk(vecs, q, n_centroids=2, k=2).collect()
     assert all(r.query_id == 1 for r in got)
-    assert got[0].neighbor_id == 0  # same cell as its centroid, most similar
+    assert got[0].neighbor_id == 0  # same cell, most similar
 
 
 def test_text_functions_match_python(request):

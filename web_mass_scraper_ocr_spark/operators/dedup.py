@@ -300,6 +300,47 @@ def _neardup_block_pairs(threshold: float):
     return fn
 
 
+def _gemm_pair_frame(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_blocks: int,
+    cell_col: str | None = None,
+) -> DataFrame:
+    """Shared GEMM-pair plan: hash rows into ``n_blocks`` sub-blocks
+    (within each ``cell_col`` group if given), build the upper triangle
+    of same-cell block pairs, one numpy GEMM per pair in mapInPandas.
+
+    Sub-blocking bounds each collect_list row to ~|cell|/n_blocks
+    vectors, so row size stays bounded even when a cell is big."""
+    cell = F.col(cell_col) if cell_col else F.lit(0)
+    blocks = df.groupBy(
+        cell.alias("_cell"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("block"),
+    ).agg(
+        F.collect_list(
+            F.struct(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        ).alias("items")
+    )
+    a = blocks.select(
+        "_cell",
+        F.col("block").alias("block_a"),
+        F.col("items.i").alias("ids_a"),
+        F.col("items.v").alias("vecs_a"),
+    )
+    b = blocks.select(
+        "_cell",
+        F.col("block").alias("block_b"),
+        F.col("items.i").alias("ids_b"),
+        F.col("items.v").alias("vecs_b"),
+    )
+    pairs = a.join(b, "_cell").where(F.col("block_a") <= F.col("block_b"))
+    return pairs.mapInPandas(
+        _neardup_block_pairs(threshold), schema="id_a long, id_b long"
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -313,60 +354,38 @@ def embedding_near_duplicates(
     Plan shape: hash vectors into ``n_blocks`` blocks, build the upper
     triangle of block pairs (a small nb^2/2-row frame), and run one
     numpy GEMM per block pair inside mapInPandas.  Exact but O(n^2)
-    work by nature — at corpus scale use
+    work by nature — size ``n_blocks`` ~ n/target_block_rows so each
+    collect_list row stays bounded.  At corpus scale use
     ``embedding_near_duplicates_bucketed`` (same GEMM kernel per IVF
     cell, ~1/n_cells the candidate volume)."""
-    blocks = (
-        df.groupBy(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("block")
-        )
-        .agg(
-            F.collect_list(
-                F.struct(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
-            ).alias("items")
-        )
-    )
-    a = blocks.select(
-        F.col("block").alias("block_a"),
-        F.col("items.i").alias("ids_a"),
-        F.col("items.v").alias("vecs_a"),
-    )
-    b = blocks.select(
-        F.col("block").alias("block_b"),
-        F.col("items.i").alias("ids_b"),
-        F.col("items.v").alias("vecs_b"),
-    )
-    pairs = a.join(b, F.col("block_a") <= F.col("block_b"))
-    return pairs.mapInPandas(
-        _neardup_block_pairs(threshold), schema="id_a long, id_b long"
-    )
+    return _gemm_pair_frame(df, id_col, vec_col, threshold, n_blocks)
 
 
 def embedding_near_duplicates_bucketed(
     df: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
+    n_centroids: int = 16,
+    n_blocks_per_cell: int = 4,
 ) -> DataFrame:
-    """Scale path: assign vectors to IVF cells (broadcast centroids),
-    then compute cosine pairs ONLY within a cell — candidate volume
+    """Scale path: assign vectors to IVF cells (broadcast fixed-count
+    centroids, see similarity.select_centroids), then run the SAME
+    blocked-GEMM kernel as the exact path per cell — candidate volume
     drops ~1/n_cells at the cost of missing cross-cell pairs (recall
-    trade-off, standard ANN-dedup practice)."""
-    from .similarity import cosine, ivf_assign
+    trade-off, standard ANN-dedup practice).
 
+    Per-cell sub-blocking (``n_blocks_per_cell``) bounds collect_list
+    row sizes independently of cell skew; per-pair similarity is one
+    BLAS GEMM, never a per-row higher-order-function evaluation."""
+    from .similarity import ivf_assign, select_centroids
+
+    if centroids is None:
+        centroids = select_centroids(df, n_centroids, id_col, vec_col)
     assigned = ivf_assign(df, centroids, id_col, vec_col)
-    a = assigned.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "centroid_id"
-    )
-    b = assigned.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "centroid_id"
-    )
-    return (
-        a.join(b, "centroid_id")
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(cosine(F.col("va"), F.col("vb")) >= F.lit(threshold))
-        .select("id_a", "id_b")
+    return _gemm_pair_frame(
+        assigned, id_col, vec_col, threshold, n_blocks_per_cell, cell_col="centroid_id"
     )
 
 

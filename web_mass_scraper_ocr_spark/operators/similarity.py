@@ -98,20 +98,46 @@ def ivf_assign(
     )
 
 
+def select_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic FIXED-COUNT centroid pick: the ``n_centroids`` rows
+    with the smallest md5(id) — a uniform pseudo-random sample whose size
+    is independent of corpus size.
+
+    100x-scale budget: the broadcast in :func:`ivf_assign` stays
+    O(n_centroids * dim) bytes no matter how big the corpus grows, and
+    the assign cost stays O(n * n_centroids) — linear in the data, never
+    quadratic.  (Selection itself is a global top-k: per-partition
+    partial top-k + a k*partitions driver merge — no full sort, no
+    shuffle of the corpus.)  Production systems would swap in k-means-
+    trained centroids; every consumer takes the centroid frame as a
+    parameter, so the selection is pluggable.
+    """
+    return (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc())
+        .limit(n_centroids)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
-    n_cells_modulus: int = 50,
+    n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
 ) -> DataFrame:
-    """IVF ANN: centroids = vectors with id % modulus == 0 (deterministic,
-    data-independent pick); each query searches only its own cell.
+    """IVF ANN: a fixed count of deterministically-sampled centroids
+    (see :func:`select_centroids`); each query searches only its own cell.
 
-    Approximate: recall < 1 vs brute force, scan cost ~1/n_cells.
+    Approximate: recall < 1 vs brute force, scan cost ~1/n_centroids.
     """
-    centroids = corpus.where(F.col(id_col) % n_cells_modulus == 0)
+    centroids = select_centroids(corpus, n_centroids, id_col, vec_col)
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
     q_assigned = (
         ivf_assign(queries, centroids, id_col, vec_col)
