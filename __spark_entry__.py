@@ -35,6 +35,7 @@ TOPK = 5
 N_QUERY_VECS = 20
 IVF_N_CENTROIDS = 16
 SHIP_CUT = "1999-01-01 00:00:00"
+PAYLOAD_MAX_CHARS = 1000  # validate_payload query-level cap
 
 # SQL fragments shared across oracles
 _CLEAN = "trim(regexp_replace({c}, '[ \\t\\r\\n]+', ' ', 'g'))"
@@ -736,6 +737,61 @@ def q_url_resolve(spark, sf_dir):
     return u.select("doc_id", resolved.alias("abs_url"))
 
 
+def q_validate_url(spark, sf_dir):
+    """The reference's full 12-clause URL validator with reason taxonomy
+    (utils.py:32-63, consumed at main.py:405-407): synthesize one URL
+    per doc covering every reachable clause, return (ok, reason)."""
+    from web_mass_scraper_ocr_spark.functions.validate import url_validation
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id") % 13
+    did = F.col("doc_id").cast("string")
+    url = (
+        F.when(i == 0, F.lit(None).cast("string"))
+        .when(i == 1, F.concat(F.lit("https://"), F.col("lang"), F.lit(".example.com/docs/"), did))
+        .when(i == 2, F.concat(F.lit("example.com/docs/"), did))
+        .when(i == 3, F.concat(F.lit("https:///docs/"), did))
+        .when(i == 4, F.concat(F.lit("ftp://files.example.com/"), did))
+        .when(i == 5, F.concat(F.lit("https://example.com/a b/"), did))
+        .when(i == 6, F.concat(F.lit("https://localhost/"), did))
+        .when(i == 7, F.concat(F.lit("https://a./x"), did))
+        .when(i == 8, F.concat(F.lit("https://example.com/"), F.repeat(F.lit("x"), 2100)))
+        .when(i == 9, F.concat(F.lit("https://exa<mple.com/"), did))
+        .when(i == 10, F.concat(F.lit("https://example.com/do<cs/"), did))
+        .when(i == 11, F.concat(F.lit("https://example.com//docs/"), did))
+        .otherwise(F.lit(""))
+    )
+    v = url_validation(url)
+    return d.select(
+        "doc_id",
+        v.getField("ok").alias("ok"),
+        v.getField("reason").alias("reason"),
+    )
+
+
+def q_validate_payload(spark, sf_dir):
+    """Payload validation with diagnosis — the taxonomy that feeds
+    plans.extraction.rejected_rows (null / empty / oversize / binary),
+    exercised over synthesized good and bad payloads."""
+    from web_mass_scraper_ocr_spark.functions.validate import payload_validation
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id") % 5
+    payload = (
+        F.when(i == 0, F.lit(None).cast("string"))
+        .when(i == 1, F.lit(""))
+        .when(i == 2, F.col("text"))
+        .when(i == 3, F.concat(F.col("text"), F.lit("\x01")))
+        .otherwise(F.concat(F.col("text"), F.repeat(F.lit("y"), 1200)))
+    )
+    v = payload_validation(payload, max_chars=PAYLOAD_MAX_CHARS)
+    return d.select(
+        "doc_id",
+        v.getField("ok").alias("ok"),
+        v.getField("reason").alias("reason"),
+    )
+
+
 def q_json_encode(spark, sf_dir):
     """Struct -> JSON document serialization (the reference stores JSON
     summaries as TEXT, main.py:436; SURVEY §2.6 to_json(struct(...)))."""
@@ -820,6 +876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_bucketed": q_embedding_neardup_bucketed,
         "url_resolve": q_url_resolve,
+        "validate_url": q_validate_url,
+        "validate_payload": q_validate_payload,
         "json_encode": q_json_encode,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -1201,6 +1259,80 @@ SELECT doc_id,
        regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
        regexp_extract(url, '\\?(.*)$', 1) AS query
 FROM u""",
+        "validate_url": r"""
+WITH u0 AS (
+  SELECT doc_id,
+    CASE doc_id % 13
+      WHEN 0 THEN NULL
+      WHEN 1 THEN concat('https://', lang, '.example.com/docs/', CAST(doc_id AS VARCHAR))
+      WHEN 2 THEN concat('example.com/docs/', CAST(doc_id AS VARCHAR))
+      WHEN 3 THEN concat('https:///docs/', CAST(doc_id AS VARCHAR))
+      WHEN 4 THEN concat('ftp://files.example.com/', CAST(doc_id AS VARCHAR))
+      WHEN 5 THEN concat('https://example.com/a b/', CAST(doc_id AS VARCHAR))
+      WHEN 6 THEN concat('https://localhost/', CAST(doc_id AS VARCHAR))
+      WHEN 7 THEN concat('https://a./x', CAST(doc_id AS VARCHAR))
+      WHEN 8 THEN concat('https://example.com/', repeat('x', 2100))
+      WHEN 9 THEN concat('https://exa<mple.com/', CAST(doc_id AS VARCHAR))
+      WHEN 10 THEN concat('https://example.com/do<cs/', CAST(doc_id AS VARCHAR))
+      WHEN 11 THEN concat('https://example.com//docs/', CAST(doc_id AS VARCHAR))
+      ELSE ''
+    END AS url
+  FROM documents
+),
+p AS (
+  SELECT doc_id, url, trim(url) AS u,
+    lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.\-]*):', 1)) AS scheme,
+    regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1) AS netloc,
+    regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS pth,
+    regexp_extract(trim(url), '^[^#]*\?([^#]*)', 1) AS qry
+  FROM u0
+),
+r AS (
+  SELECT doc_id,
+    CASE
+      WHEN url IS NULL OR url = '' THEN 'empty_url'
+      WHEN scheme = '' THEN 'missing_scheme'
+      WHEN netloc = '' THEN 'missing_domain'
+      WHEN scheme NOT IN ('http', 'https') THEN 'unsupported_scheme'
+      WHEN contains(u, ' ') THEN 'contains_spaces'
+      WHEN NOT contains(netloc, '.') THEN 'invalid_domain_format'
+      WHEN length(netloc) < 3 THEN 'domain_too_short'
+      WHEN length(u) > 2048 THEN 'url_too_long'
+      WHEN regexp_matches(netloc, '[<>{}|\\^~\[\]`]') THEN 'invalid_chars_in_domain'
+      WHEN contains(pth, ' ') THEN 'path_contains_spaces'
+      WHEN regexp_matches(pth, '[<>{}|\\^~\[\]`]') THEN 'path_invalid_chars'
+      WHEN contains(pth, '//') THEN 'path_double_slash'
+      WHEN length(pth) > 2048 THEN 'path_too_long'
+      WHEN contains(qry, ' ') THEN 'query_contains_spaces'
+      WHEN regexp_matches(qry, '[<>{}|\\^~\[\]`]') THEN 'query_invalid_chars'
+      WHEN length(qry) > 2048 THEN 'query_too_long'
+      ELSE '' END AS reason
+  FROM p
+)
+SELECT doc_id, reason = '' AS ok, reason FROM r""",
+        "validate_payload": f"""
+WITH p0 AS (
+  SELECT doc_id,
+    CASE doc_id % 5
+      WHEN 0 THEN NULL
+      WHEN 1 THEN ''
+      WHEN 2 THEN text
+      WHEN 3 THEN concat(text, chr(1))
+      ELSE concat(text, repeat('y', 1200))
+    END AS payload
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+    CASE
+      WHEN payload IS NULL THEN 'null_payload'
+      WHEN payload = '' THEN 'empty_payload'
+      WHEN length(payload) > {PAYLOAD_MAX_CHARS} THEN 'oversize_payload'
+      WHEN regexp_matches(payload, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]') THEN 'binary_payload'
+      ELSE '' END AS reason
+  FROM p0
+)
+SELECT doc_id, reason = '' AS ok, reason FROM r""",
         "guarded_rollup": """
 SELECT user_id, count(*) AS n_total,
   count(*) FILTER (event_type = 'purchase') AS n_purchase,

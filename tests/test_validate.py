@@ -1,0 +1,112 @@
+"""Validation predicate tests: the 12-clause URL validator (reference
+utils.py:32-63) and the payload taxonomy feeding rejected_rows."""
+
+from pyspark.sql import functions as F
+
+from web_mass_scraper_ocr_spark.functions.validate import (
+    payload_invalid_reason,
+    url_invalid_reason,
+    url_validation,
+)
+from web_mass_scraper_ocr_spark.plans.extraction import (
+    build_extraction_df,
+    rejected_rows,
+)
+
+URL_CASES = [
+    (None, "empty_url"),
+    ("", "empty_url"),
+    ("https://a.example.com/docs/1", ""),
+    ("https://a.example.com/docs/1?q=2#frag", ""),
+    ("  https://a.example.com/x  ", ""),  # reference strips before checks
+    ("example.com/docs/1", "missing_scheme"),
+    ("https:///docs/1", "missing_domain"),
+    ("ftp://files.example.com/1", "unsupported_scheme"),
+    ("HTTPS://A.EXAMPLE.COM/x", ""),  # scheme compared lowercased
+    ("https://example.com/a b/1", "contains_spaces"),
+    ("https://localhost/1", "invalid_domain_format"),
+    ("https://a./x", "domain_too_short"),
+    ("https://example.com/" + "x" * 2100, "url_too_long"),
+    ("https://exa<mple.com/1", "invalid_chars_in_domain"),
+    ("https://exa[mple.com/1", "invalid_chars_in_domain"),
+    ("https://example.com/do<cs/1", "path_invalid_chars"),
+    ("https://example.com//docs/1", "path_double_slash"),
+    ("https://example.com/x?a=<b", "query_invalid_chars"),
+]
+
+
+def test_url_validator_clause_by_clause(spark):
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(URL_CASES)], "i int, url string"
+    )
+    got = {
+        r.i: r.reason
+        for r in df.select(
+            "i", url_invalid_reason(F.col("url")).alias("reason")
+        ).collect()
+    }
+    for i, (url, expected) in enumerate(URL_CASES):
+        assert got[i] == expected, f"case {i} ({url!r}): {got[i]} != {expected}"
+
+
+def test_url_validation_struct_ok_flag(spark):
+    df = spark.createDataFrame([("https://a.example.com/x",), ("nope",)], "url string")
+    rows = df.select(url_validation(F.col("url")).alias("v")).collect()
+    assert rows[0].v.ok is True and rows[0].v.reason == ""
+    assert rows[1].v.ok is False and rows[1].v.reason == "missing_scheme"
+
+
+def test_payload_reason_taxonomy(spark):
+    cases = [
+        (0, None, "null_payload"),
+        (1, "", "empty_payload"),
+        (2, "fine text", ""),
+        (3, "x" * 50, "oversize_payload"),
+        (4, "bin\x01ary", "binary_payload"),
+        (5, "tabs\tand\nnewlines ok", ""),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in cases], "i int, text string")
+    got = {
+        r.i: r.reason
+        for r in df.select(
+            "i", payload_invalid_reason(F.col("text"), max_chars=40).alias("reason")
+        ).collect()
+    }
+    for i, _, expected in cases:
+        assert got[i] == expected
+
+
+def _transcripts(spark):
+    rows = [
+        ("c1", 0, "user", "hello world", "plain", "2024-01-01T00:00:00"),
+        ("c1", 1, "assistant", None, "plain", "2024-01-01T00:00:01"),
+        ("c1", 2, "user", "", "plain", "2024-01-01T00:00:02"),
+        ("c1", 3, "user", "y" * 900, "plain", "2024-01-01T00:00:03"),
+        ("c1", 4, "user", "bin\x01payload", "binary", "2024-01-01T00:00:04"),
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_rejected_rows_mirror_build_filter(spark):
+    from web_mass_scraper_ocr_spark.config import ExtractionConfig
+
+    cfg = ExtractionConfig(max_payload_chars=500)
+    df = _transcripts(spark)
+    reasons = {
+        (r.conv_id, r.turn_idx): r.reject_reason
+        for r in rejected_rows(df, cfg).collect()
+    }
+    assert reasons == {
+        ("c1", 1): "null_payload",
+        ("c1", 2): "empty_payload",
+        ("c1", 3): "oversize_payload",
+    }
+    # keep-filter is the exact complement: kept + rejected == input, and
+    # the binary payload flows THROUGH to the kernel, exiting as an
+    # error-status row rather than a silent drop
+    out = build_extraction_df(df, cfg)
+    kept = {(r.conv_id, r.turn_idx): r.status for r in out.collect()}
+    assert len(kept) + len(reasons) == df.count()
+    assert kept[("c1", 4)] == "error_unsupported_format"

@@ -44,3 +44,7 @@ class ExtractionConfig:
     # measured up to 4x slower at full-width concurrency.  Applied by
     # run_extraction via spark.conf; get_spark sets the same default.
     arrow_batch_rows: int = 1000
+    # Payload validation cap (chars): rows above it are rejected with
+    # reason 'oversize_payload' instead of OOM-ing a kernel batch — the
+    # analogue of the reference's download size guard (utils.py:205-214).
+    max_payload_chars: int = 4_000_000

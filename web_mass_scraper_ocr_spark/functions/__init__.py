@@ -8,6 +8,13 @@ from .extract_udf import (
     extract_map_in_arrow_ranked,
     extract_udf,
 )
+from .validate import (
+    payload_invalid_reason,
+    payload_validation,
+    url_components,
+    url_invalid_reason,
+    url_validation,
+)
 from .text import (
     clean_text_col,
     fingerprint,
@@ -34,7 +41,12 @@ __all__ = [
     "n_paragraphs",
     "n_tokens",
     "n_words",
+    "payload_invalid_reason",
+    "payload_validation",
     "quality_features",
     "quality_frame",
     "quality_score",
+    "url_components",
+    "url_invalid_reason",
+    "url_validation",
 ]

@@ -1,0 +1,121 @@
+"""Validation predicates with reason taxonomy — filter-with-diagnosis.
+
+The reference never drops a work item silently: its URL validator
+returns ``(bool, reason)`` and every failure is routed to a diagnosed
+status (``/root/reference/src/scraper_app/utils.py:32-63``, consumed at
+``main.py:405-407``).  This module re-expresses that contract as pure
+Catalyst column expressions (whole-stage-codegen'd, ANSI-SQL
+reproducible): one CASE chain whose FIRST failing clause wins, exactly
+mirroring the reference's early-return order.
+
+Two validators:
+
+- :func:`url_validation` — the 12-clause URL predicate.  Clause order
+  is the reference's, including its dead clauses: the whole-URL space
+  check (clause 5) fires before the path/query space checks, and the
+  whole-URL length cap (clause 8) fires before the path/query length
+  caps, so those later clauses are unreachable — kept for parity, noted
+  here so nobody "fixes" the order and changes the taxonomy.
+- :func:`payload_validation` — the payload analogue used by the
+  extraction plan (null / empty / oversize / binary-sniff), replacing
+  the bare null-or-empty filter with a diagnosed one.
+
+URL parsing is regex-based (scheme per RFC 3986 ``ALPHA *(ALPHA / DIGIT
+/ "+" / "-" / ".")``; netloc only after ``://``; path up to ``?``/``#``;
+query up to ``#``) — a deterministic relational re-expression of
+``urlparse`` for well-formed absolute URLs, identical in Spark (Java
+regex) and DuckDB (RE2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# the reference's invalid-character set: <>{}|\^~[]` (utils.py:47)
+_BAD_CHARS_RE = "[<>{}|\\\\^~\\[\\]`]"
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*):"
+_NETLOC_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = r"^[^#]*\?([^#]*)"
+
+MAX_URL_LEN = 2048  # reference utils.py:45
+MIN_NETLOC_LEN = 3  # reference utils.py:44
+
+# control chars that mark a payload as binary, not text (tab/LF/CR ok)
+_CONTROL_RE = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+
+
+def url_components(url: Column) -> tuple[Column, Column, Column, Column]:
+    """(scheme, netloc, path, query) of a trimmed URL, '' when absent."""
+    u = F.trim(url)
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    netloc = F.regexp_extract(u, _NETLOC_RE, 1)
+    path = F.regexp_extract(u, _PATH_RE, 1)
+    query = F.regexp_extract(u, _QUERY_RE, 1)
+    return scheme, netloc, path, query
+
+
+def url_invalid_reason(url: Column) -> Column:
+    """First failing clause of the reference's validator as a reason
+    string; '' when the URL is valid (reference utils.py:32-63)."""
+    u = F.trim(url)
+    scheme, netloc, path, query = url_components(url)
+    return (
+        F.when(url.isNull() | (url == F.lit("")), F.lit("empty_url"))
+        .when(scheme == F.lit(""), F.lit("missing_scheme"))
+        .when(netloc == F.lit(""), F.lit("missing_domain"))
+        .when(~scheme.isin("http", "https"), F.lit("unsupported_scheme"))
+        .when(u.contains(" "), F.lit("contains_spaces"))
+        .when(~netloc.contains("."), F.lit("invalid_domain_format"))
+        .when(F.length(netloc) < MIN_NETLOC_LEN, F.lit("domain_too_short"))
+        .when(F.length(u) > MAX_URL_LEN, F.lit("url_too_long"))
+        .when(netloc.rlike(_BAD_CHARS_RE), F.lit("invalid_chars_in_domain"))
+        .when(path.contains(" "), F.lit("path_contains_spaces"))
+        .when(path.rlike(_BAD_CHARS_RE), F.lit("path_invalid_chars"))
+        .when(path.contains("//"), F.lit("path_double_slash"))
+        .when(F.length(path) > MAX_URL_LEN, F.lit("path_too_long"))
+        .when(query.contains(" "), F.lit("query_contains_spaces"))
+        .when(query.rlike(_BAD_CHARS_RE), F.lit("query_invalid_chars"))
+        .when(F.length(query) > MAX_URL_LEN, F.lit("query_too_long"))
+        .otherwise(F.lit(""))
+    )
+
+
+def url_validation(url: Column) -> Column:
+    """struct<ok boolean, reason string> — the (bool, reason) tuple of
+    reference validate_url as one vectorized expression."""
+    reason = url_invalid_reason(url)
+    return F.struct(
+        (reason == F.lit("")).alias("ok"), reason.alias("reason")
+    )
+
+
+def payload_invalid_reason(
+    text: Column, max_chars: int = 4_000_000, reject_binary: bool = True
+) -> Column:
+    """Diagnosed payload filter: first failing clause of {null, empty,
+    oversize, binary-control-chars}; '' = ok.
+
+    ``reject_binary=False`` skips the control-char sniff — the
+    extraction plan uses that so binary-but-bounded payloads still reach
+    the kernel, which diagnoses them per-item (error_unsupported_format)
+    and keeps a status row in the output instead of silently dropping
+    the turn (the reference's contract, ocr.py:99-103)."""
+    reason = (
+        F.when(text.isNull(), F.lit("null_payload"))
+        .when(text == F.lit(""), F.lit("empty_payload"))
+        .when(F.length(text) > max_chars, F.lit("oversize_payload"))
+    )
+    if reject_binary:
+        reason = reason.when(text.rlike(_CONTROL_RE), F.lit("binary_payload"))
+    return reason.otherwise(F.lit(""))
+
+
+def payload_validation(
+    text: Column, max_chars: int = 4_000_000, reject_binary: bool = True
+) -> Column:
+    """struct<ok boolean, reason string> over a text payload."""
+    reason = payload_invalid_reason(text, max_chars, reject_binary)
+    return F.struct(
+        (reason == F.lit("")).alias("ok"), reason.alias("reason")
+    )

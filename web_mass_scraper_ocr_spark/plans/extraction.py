@@ -33,6 +33,7 @@ from ..functions.extract_udf import (
     extract_map_in_arrow,
     extract_map_in_arrow_ranked,
 )
+from ..functions.validate import payload_invalid_reason
 from ..operators.ordering import with_turn_rank
 from ..operators.resume import (
     CHECKPOINT_SCHEMA,
@@ -67,8 +68,13 @@ def build_extraction_df(
     lineage around it.
     """
     cfg = cfg or ExtractionConfig()
+    # reject_binary=False: a binary-sniffed payload still reaches the
+    # kernel and exits as an error-status ROW (never a silent drop)
     valid = transcripts.where(
-        F.col("text").isNotNull() & (F.col("text") != F.lit(""))
+        payload_invalid_reason(
+            F.col("text"), cfg.max_payload_chars, reject_binary=False
+        )
+        == F.lit("")
     )
     if cfg.ordering_mode == "clustered":
         # zero-shuffle path: the table's write-time layout (Iceberg
@@ -96,17 +102,20 @@ def build_extraction_df(
     )
 
 
-def rejected_rows(transcripts: DataFrame) -> DataFrame:
+def rejected_rows(
+    transcripts: DataFrame, cfg: ExtractionConfig | None = None
+) -> DataFrame:
     """Filter-with-diagnosis: rows the validation filter removed, with a
     reason column (the reference routes failures to status+message, not
-    silence — main.py:405-407, :442-444)."""
-    return transcripts.where(
-        F.col("text").isNull() | (F.col("text") == F.lit(""))
-    ).withColumn(
-        "reject_reason",
-        F.when(F.col("text").isNull(), F.lit("null_payload")).otherwise(
-            F.lit("empty_payload")
-        ),
+    silence — main.py:405-407, :442-444).  Reasons come from the full
+    payload taxonomy (null / empty / oversize / binary), the mirror
+    image of build_extraction_df's keep-filter."""
+    cfg = cfg or ExtractionConfig()
+    reason = payload_invalid_reason(
+        F.col("text"), cfg.max_payload_chars, reject_binary=False
+    )
+    return transcripts.withColumn("reject_reason", reason).where(
+        F.col("reject_reason") != F.lit("")
     )
 
 
