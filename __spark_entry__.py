@@ -792,6 +792,29 @@ def q_validate_payload(spark, sf_dir):
     )
 
 
+def q_safe_filename(spark, sf_dir):
+    """Full-fidelity safe-filename projection (reference
+    get_safe_filename, utils.py:232-267): md5 fallback for empty path
+    segments, query-hash suffix, default extension, 100-char truncation
+    that keeps the extension."""
+    from web_mass_scraper_ocr_spark.functions.files import safe_filename
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id") % 8
+    did = F.col("doc_id").cast("string")
+    url = (
+        F.when(i == 0, F.lit("https://h.example.com/imgs/pic.png"))
+        .when(i == 1, F.concat(F.lit("https://h.example.com/imgs/pic name.png?x="), did))
+        .when(i == 2, F.lit("https://h.example.com/"))
+        .when(i == 3, F.concat(F.lit("https://h.example.com/"), F.repeat(F.lit("a"), 150), F.lit(".png")))
+        .when(i == 4, F.concat(F.lit("https://h.example.com/file"), did))
+        .when(i == 5, F.lit("https://h.example.com/we!rd(name).tar.gz"))
+        .when(i == 6, F.concat(F.lit("https://h.example.com/file?a="), did))
+        .otherwise(F.concat(F.lit("https://h.example.com/d"), did, F.lit("/")))
+    )
+    return d.select("doc_id", safe_filename(url).alias("safe_filename"))
+
+
 def q_json_encode(spark, sf_dir):
     """Struct -> JSON document serialization (the reference stores JSON
     summaries as TEXT, main.py:436; SURVEY §2.6 to_json(struct(...)))."""
@@ -878,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_resolve": q_url_resolve,
         "validate_url": q_validate_url,
         "validate_payload": q_validate_payload,
+        "safe_filename": q_safe_filename,
         "json_encode": q_json_encode,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -1310,6 +1334,40 @@ r AS (
   FROM p
 )
 SELECT doc_id, reason = '' AS ok, reason FROM r""",
+        "safe_filename": r"""
+WITH u0 AS (
+  SELECT doc_id,
+    CASE doc_id % 8
+      WHEN 0 THEN 'https://h.example.com/imgs/pic.png'
+      WHEN 1 THEN concat('https://h.example.com/imgs/pic name.png?x=', CAST(doc_id AS VARCHAR))
+      WHEN 2 THEN 'https://h.example.com/'
+      WHEN 3 THEN concat('https://h.example.com/', repeat('a', 150), '.png')
+      WHEN 4 THEN concat('https://h.example.com/file', CAST(doc_id AS VARCHAR))
+      WHEN 5 THEN 'https://h.example.com/we!rd(name).tar.gz'
+      WHEN 6 THEN concat('https://h.example.com/file?a=', CAST(doc_id AS VARCHAR))
+      ELSE concat('https://h.example.com/d', CAST(doc_id AS VARCHAR), '/')
+    END AS url
+  FROM documents
+),
+p AS (SELECT doc_id,
+  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS pth,
+  regexp_extract(url, '^[^#]*\?([^#]*)', 1) AS qry FROM u0),
+f1 AS (SELECT *, CASE WHEN regexp_extract(regexp_replace(pth, '/+$', ''), '([^/]*)$', 1) = ''
+                      THEN substr(md5(pth), 1, 8)
+                      ELSE regexp_extract(regexp_replace(pth, '/+$', ''), '([^/]*)$', 1) END AS filename FROM p),
+e0 AS (SELECT *, regexp_extract(filename, '^.+?(\.[^.]*)$', 1) AS ext FROM f1),
+n0 AS (SELECT *, CASE WHEN ext = '' THEN filename
+                      ELSE substr(filename, 1, length(filename) - length(ext)) END AS nm FROM e0),
+s0 AS (SELECT *, regexp_replace(nm, '[^\w.-]', '_', 'g') AS sname0,
+                 regexp_replace(ext, '[^\w.]', '_', 'g') AS sext0 FROM n0),
+s1 AS (SELECT *, CASE WHEN qry <> '' THEN concat(sname0, '_', substr(md5(qry), 1, 8)) ELSE sname0 END AS sname FROM s0),
+s2 AS (SELECT *, CASE WHEN sext0 = '' AND NOT contains(sname, '.') THEN '.jpg' ELSE sext0 END AS sext FROM s1),
+c0 AS (SELECT *, concat(sname, sext) AS final0 FROM s2),
+c1 AS (SELECT *, regexp_extract(final0, '^.+?(\.[^.]*)$', 1) AS fext FROM c0),
+c2 AS (SELECT doc_id, CASE WHEN length(final0) > 100
+                           THEN concat(substr(final0, 1, 100 - length(fext)), fext)
+                           ELSE final0 END AS fn FROM c1)
+SELECT doc_id, CASE WHEN fn = '' THEN 'unknown_image' ELSE fn END AS safe_filename FROM c2""",
         "validate_payload": f"""
 WITH p0 AS (
   SELECT doc_id,

@@ -1,0 +1,70 @@
+"""safe_filename parity: the Spark expression vs a faithful Python
+mirror of reference get_safe_filename (utils.py:232-267)."""
+
+import hashlib
+import os
+import re
+from pathlib import Path
+from urllib.parse import urlparse
+
+from pyspark.sql import functions as F
+
+from web_mass_scraper_ocr_spark.functions.files import safe_filename
+
+
+def ref_safe_filename(url: str, default_ext: str = ".jpg") -> str:
+    parsed = urlparse(url)
+    path_part = Path(parsed.path)
+    filename = path_part.name
+    if not filename:
+        filename = hashlib.md5(parsed.path.encode()).hexdigest()[:8]
+    name, ext = os.path.splitext(filename)
+    safe_name = re.sub(r"[^\w\.-]", "_", name)
+    safe_ext = re.sub(r"[^\w\.]", "_", ext)
+    if parsed.query:
+        qh = hashlib.md5(parsed.query.encode()).hexdigest()[:8]
+        safe_name = f"{safe_name}_{qh}"
+    if not safe_ext and "." not in safe_name:
+        sfx = path_part.suffix
+        safe_ext = re.sub(r"[^\w\.]", "_", sfx) if sfx else default_ext
+    final = safe_name + safe_ext
+    if len(final) > 100:
+        name_part, ext_part = os.path.splitext(final)
+        final = name_part[: 100 - len(ext_part)] + ext_part
+    return final or "unknown_image"
+
+
+URLS = [
+    "https://h.example.com/imgs/pic.png",
+    "https://h.example.com/imgs/pic name.png?x=1",
+    "https://h.example.com/",  # empty segment -> md5(path) fallback
+    "https://h.example.com/" + "a" * 150 + ".png",  # 100-char truncation
+    "https://h.example.com/file",  # default extension
+    "https://h.example.com/we!rd(name).tar.gz",  # charset sanitize
+    "https://h.example.com/file?a=b&c=d",  # query hash + default ext
+    "https://h.example.com/archive.name.v2",
+    "https://h.example.com/dir/",  # pathlib ignores trailing slash
+    "https://h.example.com/a/b/c.jpeg?q=z#frag",
+    "https://h.example.com/trailing.",  # splitext keeps the bare dot
+]
+
+
+def test_safe_filename_matches_reference_algorithm(spark):
+    df = spark.createDataFrame([(u,) for u in URLS], "url string")
+    got = {
+        r.url: r.fn
+        for r in df.select("url", safe_filename(F.col("url")).alias("fn")).collect()
+    }
+    for u in URLS:
+        assert got[u] == ref_safe_filename(u), u
+
+
+def test_run_id_is_time_sortable(spark, tmp_warehouse):
+    import re as _re
+
+    from web_mass_scraper_ocr_spark.plans.extraction import run_extraction
+    from web_mass_scraper_ocr_spark.sources.transcripts import generate_transcripts
+
+    df = spark.createDataFrame(generate_transcripts(n_convs=3))
+    report = run_extraction(spark, df, tmp_warehouse)
+    assert _re.fullmatch(r"run-\d{8}_\d{6}-[0-9a-f]{4}", report["run_id"])

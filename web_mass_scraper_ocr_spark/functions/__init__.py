@@ -8,6 +8,7 @@ from .extract_udf import (
     extract_map_in_arrow_ranked,
     extract_udf,
 )
+from .files import safe_filename
 from .validate import (
     payload_invalid_reason,
     payload_validation,
@@ -46,6 +47,7 @@ __all__ = [
     "quality_features",
     "quality_frame",
     "quality_score",
+    "safe_filename",
     "url_components",
     "url_invalid_reason",
     "url_validation",

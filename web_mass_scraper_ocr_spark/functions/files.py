@@ -1,0 +1,69 @@
+"""Safe-filename projection — full fidelity with the reference's
+``get_safe_filename`` (``/root/reference/src/scraper_app/utils.py:232-267``):
+
+1. filename = last path segment (pathlib semantics: trailing slashes
+   ignored); if the path has no segment, an 8-hex md5 of the path;
+2. splitext into (name, ext); sanitize name with ``[^\\w.-] -> _`` and
+   ext with ``[^\\w.] -> _``;
+3. a non-empty query string appends ``_<md5(query)[:8]>`` to the name;
+4. when there is no extension and no dot in the name, append the
+   default extension (reference config.py:59: ``.jpg``);
+5. cap the result at 100 chars, truncating the name part and KEEPING
+   the extension; empty results fall back to ``unknown_image``.
+
+All steps are Catalyst built-ins (regexp + md5 + substring), identical
+in DuckDB — the splitext regex ``^.+?(\\.[^.]*)$`` reproduces
+``os.path.splitext`` for names without leading dots (a leading-dot-only
+filename has no extension under splitext; such names don't survive step
+1's segment extraction here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+from .validate import _PATH_RE, _QUERY_RE
+
+DEFAULT_EXTENSION = ".jpg"  # reference config.py:59
+MAX_FILENAME_LEN = 100  # reference utils.py:259
+
+_SPLITEXT_RE = r"^.+?(\.[^.]*)$"
+
+
+def _splitext_ext(filename: Column) -> Column:
+    return F.regexp_extract(filename, _SPLITEXT_RE, 1)
+
+
+def safe_filename(url: Column, default_ext: str = DEFAULT_EXTENSION) -> Column:
+    """URL -> deterministic filesystem-safe filename (see module doc)."""
+    path = F.regexp_extract(url, _PATH_RE, 1)
+    query = F.regexp_extract(url, _QUERY_RE, 1)
+
+    seg = F.regexp_extract(F.regexp_replace(path, "/+$", ""), "([^/]*)$", 1)
+    filename = F.when(seg == "", F.substring(F.md5(path), 1, 8)).otherwise(seg)
+
+    ext = _splitext_ext(filename)
+    name = F.when(ext == "", filename).otherwise(
+        F.substring(filename, F.lit(1), F.length(filename) - F.length(ext))
+    )
+    safe_name = F.regexp_replace(name, r"[^\w.-]", "_")
+    safe_ext = F.regexp_replace(ext, r"[^\w.]", "_")
+
+    safe_name = F.when(
+        query != "", F.concat(safe_name, F.lit("_"), F.substring(F.md5(query), 1, 8))
+    ).otherwise(safe_name)
+
+    safe_ext = F.when(
+        (safe_ext == "") & ~safe_name.contains("."), F.lit(default_ext)
+    ).otherwise(safe_ext)
+
+    final = F.concat(safe_name, safe_ext)
+    fext = _splitext_ext(final)
+    final = F.when(
+        F.length(final) > MAX_FILENAME_LEN,
+        F.concat(
+            F.substring(final, F.lit(1), F.lit(MAX_FILENAME_LEN) - F.length(fext)),
+            fext,
+        ),
+    ).otherwise(final)
+    return F.when(final == "", F.lit("unknown_image")).otherwise(final)

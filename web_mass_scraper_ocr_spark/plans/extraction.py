@@ -150,7 +150,11 @@ def run_extraction(
     spark.conf.set(
         "spark.sql.execution.arrow.maxRecordsPerBatch", str(cfg.arrow_batch_rows)
     )
-    run_id = run_id or f"run-{uuid.uuid4().hex[:10]}"
+    # lexicographically time-sortable run key, reference config.py:115
+    # ('%Y%m%d_%H%M%S'); short uuid suffix disambiguates same-second runs
+    run_id = run_id or (
+        f"run-{time.strftime('%Y%m%d_%H%M%S')}-{uuid.uuid4().hex[:4]}"
+    )
     warehouse = Path(warehouse)
     out_tbl = tableio.table(warehouse, "extractions")
     ckpt_tbl = tableio.table(warehouse, "extraction_checkpoint")
