@@ -1,0 +1,22 @@
+"""Task-retry policy (SURVEY §2.11 / reference retry.py:15-118): a
+transiently failing kernel partition completes on re-attempt because
+get_spark embeds the retry budget into the local master string."""
+
+from pyspark import TaskContext
+
+
+def test_local_master_carries_retry_budget(spark):
+    # conftest asks for local[4]; get_spark rewrites to local[4,<F>]
+    assert spark.sparkContext.master.startswith("local[4,")
+    assert int(spark.conf.get("spark.task.maxFailures")) > 1
+
+
+def test_poisoned_then_healed_partition_completes(spark):
+    def flaky(it):
+        tc = TaskContext.get()
+        if tc.attemptNumber() == 0 and tc.partitionId() == 0:
+            raise RuntimeError("transient failure on first attempt")
+        yield from it
+
+    df = spark.range(0, 100, 1, 4)
+    assert df.mapInPandas(flaky, "id long").count() == 100

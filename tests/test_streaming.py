@@ -71,6 +71,53 @@ def test_new_files_processed_incrementally(spark, input_dir, tmp_path):
     assert got.where(F.col("conv_id").startswith("late-")).count() == n_late_src
 
 
+def test_foreachbatch_rank_continues_across_batches(spark, tmp_path):
+    """A conversation straddling two micro-batches keeps ONE dense
+    turn_rank sequence (the per-batch window used to restart at 1,
+    yielding duplicate (conv_id, turn_rank) keys across batches)."""
+    import os
+    import time
+    from datetime import datetime
+
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    t0 = datetime(2026, 1, 1)
+
+    def write_file(rows, mtime):
+        d = tmp_path / f"stage_{mtime}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(d))
+        src.mkdir(exist_ok=True)
+        for f in d.glob("*.parquet"):
+            dest = src / f.name
+            f.rename(dest)
+            os.utime(dest, (mtime, mtime))
+
+    base = int(time.time()) - 1000
+    write_file(
+        [("c1", 0, "user", "alpha", "plain", t0), ("c1", 1, "user", "beta", "plain", t0)],
+        base,
+    )
+    write_file(
+        [("c1", 2, "user", "gamma", "plain", t0), ("c1", 3, "user", "delta", "plain", t0)],
+        base + 100,
+    )
+
+    q = stream_extraction(
+        spark, src, out, ckpt, cfg=CFG, max_files_per_trigger=1
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(out)).collect()
+    assert len({r.batch_id for r in rows}) == 2  # really two micro-batches
+    got = {(r.conv_id, r.turn_idx): r.turn_rank for r in rows}
+    assert got == {("c1", 0): 1, ("c1", 1): 2, ("c1", 2): 3, ("c1", 3): 4}
+    # zero duplicate (conv_id, turn_rank) pairs — the ADVICE regression
+    keys = [(r.conv_id, r.turn_rank) for r in rows]
+    assert len(keys) == len(set(keys))
+    # and (turn_idx, ts) ordering agrees with the rank (downstream rule)
+    ordered = sorted(rows, key=lambda r: (r.turn_idx,))
+    assert [r.turn_rank for r in ordered] == [1, 2, 3, 4]
+
+
 def test_windowed_status_metrics_batch_semantics(spark):
     # semantics check on a bounded frame (watermark is a no-op in batch):
     # counts per 5-minute event-time window and status

@@ -24,9 +24,22 @@ def range_join(
     """Pairs (left row, right row) with equal ``key`` and
     ``right.ts`` in ``[left.ts - window_seconds, left.ts]``.
 
+    Only ``how='inner'`` is supported: the exact range predicate runs
+    AFTER the bin equi-join, so any outer variant would silently drop
+    its null-extended rows (and the bin explode would duplicate
+    unmatched left rows) — degenerating to inner with extra cost.
+    Callers needing unmatched-left diagnostics should left_anti the
+    inner result against the left side instead.
+
     Column collision contract: rename shared non-key columns beforehand;
     the result carries left columns + right columns suffixed ``_r``.
     """
+    if how != "inner":
+        raise ValueError(
+            f"range_join supports only how='inner' (got {how!r}); "
+            "outer semantics would be silently wrong under the "
+            "bin-explode + post-join filter plan"
+        )
     w_us = int(window_seconds) * 1_000_000
 
     def _bin_of(c):

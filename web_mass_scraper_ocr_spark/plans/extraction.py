@@ -123,17 +123,24 @@ def _observation_get(obs: Observation, timeout_s: float = 10.0) -> dict:
     """Observation.get blocks until a task of the observed plan reports;
     it never fires when the observed node is optimized away (Catalyst
     constant-folds Filter-on-LocalRelation plans — test fixtures) or the
-    plan runs zero tasks, so bound the wait and return {} then."""
-    from concurrent.futures import ThreadPoolExecutor
+    plan runs zero tasks, so bound the wait and return {} then.  A
+    DAEMON thread does the bounded wait: an abandoned waiter must not
+    block interpreter exit (ThreadPoolExecutor workers are non-daemon
+    and joined at shutdown by the atexit hook)."""
+    import threading
 
-    ex = ThreadPoolExecutor(1)
-    try:
-        fut = ex.submit(lambda: dict(obs.get))
-        return {k: float(v) for k, v in fut.result(timeout_s).items()}
-    except Exception:
-        return {}
-    finally:
-        ex.shutdown(wait=False)
+    box: list[dict] = []
+
+    def _read() -> None:
+        try:
+            box.append({k: float(v) for k, v in dict(obs.get).items()})
+        except Exception:
+            pass
+
+    t = threading.Thread(target=_read, daemon=True, name="observation-wait")
+    t.start()
+    t.join(timeout_s)
+    return box[0] if box else {}
 
 
 def run_extraction(

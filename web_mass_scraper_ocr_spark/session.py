@@ -8,6 +8,7 @@ sized for the local sandbox but overridable for a real cluster.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -17,10 +18,23 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
+    task_max_failures: int | None = None,
 ) -> SparkSession:
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or "local[*]"
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+    if task_max_failures is None:
+        task_max_failures = int(os.environ.get("SPARK_GRAFT_TASK_MAX_FAILURES", "4"))
+    # Task-retry policy — the Spark-native form of the reference's
+    # backoff decorator (reference retry.py:15-118): a transiently
+    # failing task is re-attempted up to task_max_failures times before
+    # the stage fails.  Cluster masters honor spark.task.maxFailures;
+    # LOCAL masters only honor the retry count embedded in the master
+    # string (local[N,F] — plain local[N] means fail-fast after 1
+    # attempt), so rewrite it here.
+    m = re.fullmatch(r"local\[(\d+|\*)\]", master)
+    if m and task_max_failures > 1:
+        master = f"local[{m.group(1)},{task_max_failures}]"
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -37,6 +51,7 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.task.maxFailures", str(task_max_failures))
         # idempotent per-bucket overwrite for the checkpoint/resume design
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -14,11 +14,16 @@ Two operators:
 
 - ``stream_extraction``: per-micro-batch extraction via foreachBatch
   (the batch plan reused verbatim — one code path for batch and
-  streaming, so the per-turn equality gate covers both).  Stable
-  ordering note: ``turn_rank`` is computed within each micro-batch;
-  cross-batch ranking for conversations that straddle batch boundaries
-  is resolved downstream by (turn_idx, ts), which the rank is derived
-  from and which is total given unique (conv_id, turn_idx, ts).
+  streaming, so the per-turn equality gate covers both).  Cross-batch
+  ``turn_rank`` continuity comes from a per-conversation max-rank state
+  table versioned per batch under the checkpoint dir: each batch's
+  in-batch ranks are shifted by the conversation's prior max, so a
+  conversation straddling micro-batches keeps one dense 1..n ranking.
+  Correct under the drain-loop contract that batches deliver each
+  conversation's turns in (turn_idx, ts) order (the reference's
+  oldest-first pending queue, db_utils.py:125-170); for out-of-order
+  (late) arrivals the rank is arrival-ordered and (turn_idx, ts)
+  remains the authoritative total order downstream.
 - ``windowed_status_metrics``: watermarked event-time rollup of
   extraction statuses (the streaming form of the reference's
   ScrapingSession counters, main.py:46-64) tolerating late rows.
@@ -59,6 +64,7 @@ def stream_extraction(
     checkpoint_location: str | Path,
     cfg: ExtractionConfig | None = None,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ):
     """Run the extraction pipeline as a micro-batch stream.
 
@@ -69,13 +75,61 @@ def stream_extraction(
     (db_utils.py:125-170, :251-295).  Returns the StreamingQuery.
     """
     cfg = cfg or ExtractionConfig()
-    stream = read_transcript_stream(spark, input_path)
+    stream = read_transcript_stream(spark, input_path, max_files_per_trigger)
+    state_dir = Path(checkpoint_location) / "rank_state"
+
+    def _state_before(batch_id: int) -> DataFrame | None:
+        """Latest committed (conv_id, max_rank) state strictly before
+        this batch — versioned per batch id so a replayed batch reads
+        the same state it read the first time (idempotence)."""
+        if not state_dir.exists():
+            return None
+        versions = [
+            int(p.name[1:])
+            for p in state_dir.iterdir()
+            if p.name.startswith("v") and p.name[1:].isdigit()
+            and int(p.name[1:]) < batch_id
+        ]
+        if not versions:
+            return None
+        return spark.read.parquet(str(state_dir / f"v{max(versions)}"))
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        out = build_extraction_df(batch_df, cfg).withColumn(
-            "batch_id", F.lit(batch_id)
+        out = build_extraction_df(batch_df, cfg)
+        prev = _state_before(batch_id)
+        if prev is not None:
+            # shift in-batch ranks by the conversation's prior max; the
+            # state frame has one row per conversation ever seen
+            out = (
+                out.join(prev.withColumnRenamed("max_rank", "_base"), "conv_id", "left")
+                .withColumn(
+                    "turn_rank",
+                    (F.col("turn_rank") + F.coalesce(F.col("_base"), F.lit(0))).cast("int"),
+                )
+                .drop("_base")
+            )
+        out = out.withColumn("batch_id", F.lit(batch_id))
+        # partitioned by batch + dynamic overwrite: a replayed batch
+        # REPLACES its own partition instead of appending duplicates
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(str(output_path))
         )
-        out.write.mode("append").parquet(str(output_path))
+        # next-state from the data actually written (no kernel recompute)
+        written = spark.read.parquet(str(output_path)).where(
+            F.col("batch_id") == batch_id
+        )
+        new_max = written.groupBy("conv_id").agg(F.max("turn_rank").alias("max_rank"))
+        new_state = (
+            prev.unionByName(new_max).groupBy("conv_id").agg(
+                F.max("max_rank").alias("max_rank")
+            )
+            if prev is not None
+            else new_max
+        )
+        new_state.write.mode("overwrite").parquet(str(state_dir / f"v{batch_id}"))
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", str(checkpoint_location)
