@@ -1,0 +1,95 @@
+"""Dedup-family scaling bench: 1x vs 10x documents with per-stage
+timings (VERDICT r01 item 9 — at sf0.1 the dedup queries mostly measure
+fixed Spark overhead; this shows how LSH candidate volume and stage
+walls actually behave when the corpus grows).
+
+Input synthesis: each sf0.1 document is replicated R times with a
+distinguishing prefix token (``rep<r>``), so replicas of one document
+stay NEAR-duplicates of each other (shared shingle mass) — the
+worst-case-but-realistic shape for candidate-pair volume: dup clusters
+of size R, candidate pairs ~ R^2/2 per cluster.
+
+Usage:  python scripts/bench_dedup_scale.py [replication ...]
+Writes one JSON line per (stage, scale) and a summary to stdout; paste
+the table into BENCH/DEDUP_SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from web_mass_scraper_ocr_spark.operators import dedup as D
+from web_mass_scraper_ocr_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SHINGLE_N = 3
+NUM_HASHES = 16
+BAND_SIZE = 4
+JACCARD = 0.5
+
+
+def replicate(docs, r: int):
+    if r == 1:
+        return docs
+    reps = F.explode(F.sequence(F.lit(0), F.lit(r - 1))).alias("rep")
+    return (
+        docs.select("doc_id", "text", reps)
+        .select(
+            (F.col("doc_id") * r + F.col("rep")).alias("doc_id"),
+            F.concat(F.lit("rep"), F.col("rep").cast("string"), F.lit(" "), F.col("text")).alias("text"),
+        )
+    )
+
+
+def timed(label: str, df) -> tuple[float, int]:
+    t0 = time.monotonic()
+    n = df.count()
+    wall = time.monotonic() - t0
+    print(json.dumps({"stage": label, "wall_sec": round(wall, 2), "rows": n}))
+    return wall, n
+
+
+def main() -> None:
+    rs = [int(a) for a in sys.argv[1:]] or [1, 10]
+    spark = get_spark(app_name="bench-dedup-scale", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+
+    for r in rs:
+        docs = replicate(base, r).repartition(64).cache()
+        n_docs = docs.count()
+        print(json.dumps({"scale": r, "n_docs": n_docs}))
+
+        # minhash/LSH, staged
+        sig = D.minhash_signature(docs, "doc_id", "text", n=SHINGLE_N, num_hashes=NUM_HASHES)
+        timed(f"{r}x minhash_signatures", sig)
+        cand = D.lsh_candidate_pairs(
+            docs, "doc_id", "text", n=SHINGLE_N, num_hashes=NUM_HASHES, band_size=BAND_SIZE
+        )
+        timed(f"{r}x lsh_candidate_pairs", cand)
+        verified = D.minhash_near_duplicates(
+            docs, "doc_id", "text",
+            n=SHINGLE_N, num_hashes=NUM_HASHES, band_size=BAND_SIZE, threshold=JACCARD,
+        )
+        timed(f"{r}x minhash_verified_pairs", verified)
+
+        # simhash banding
+        sh = D.simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3)
+        timed(f"{r}x simhash_pairs", sh)
+
+        # exact dedup
+        ex = D.dedup_exact(docs, "doc_id", "text")
+        timed(f"{r}x exact_dedup_kept", ex)
+
+        docs.unpersist()
+
+
+if __name__ == "__main__":
+    main()
