@@ -36,6 +36,7 @@ N_QUERY_VECS = 20
 IVF_N_CENTROIDS = 16
 SHIP_CUT = "1999-01-01 00:00:00"
 PAYLOAD_MAX_CHARS = 1000  # validate_payload query-level cap
+SESSION_GAP_S = 43200  # 12h session gap (median inter-event gap ~7h)
 
 # SQL fragments shared across oracles
 _CLEAN = "trim(regexp_replace({c}, '[ \\t\\r\\n]+', ' ', 'g'))"
@@ -737,6 +738,47 @@ def q_url_resolve(spark, sf_dir):
     return u.select("doc_id", resolved.alias("abs_url"))
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (session starts when the inter-event
+    gap within a user exceeds SESSION_GAP_S): one window shuffle,
+    row-level (session_seq, session_event_seq)."""
+    from web_mass_scraper_ocr_spark.operators.sessionize import sessionize
+
+    e = _t(spark, sf_dir, "events")
+    return sessionize(e, "user_id", "ts", SESSION_GAP_S, tiebreak="event_id").select(
+        "event_id", "user_id", "session_seq", "session_event_seq"
+    )
+
+
+def q_session_window(spark, sf_dir):
+    """Per-session rollup via Spark's native session_window (streaming-
+    capable stateful operator run in batch mode); the oracle emulates
+    the merge rule with a gap-flag cumulative sum.  Boundary rule:
+    Spark's session end is exclusive (end = last event + gap), so a gap
+    of EXACTLY the timeout starts a new session (>= in the oracle)."""
+    from web_mass_scraper_ocr_spark.operators.sessionize import session_window_rollup
+
+    e = _t(spark, sf_dir, "events")
+    out = session_window_rollup(e, "user_id", "ts", gap=f"{SESSION_GAP_S} seconds")
+    return out.select(
+        "user_id", "session_start", "session_end",
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+def q_approx_distinct(spark, sf_dir):
+    """HyperLogLog++ sketch counts (approx_count_distinct) per event
+    type — the 100-TB cardinality-estimation path.  Sketch internals
+    are engine-specific, so there is NO cross-engine oracle (the driver
+    records the weaker rows-only check); tests/test_operators.py bounds
+    the relative error against the exact count."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.approx_count_distinct("event_id", 0.02).alias("approx_events"),
+    )
+
+
 def q_validate_url(spark, sf_dir):
     """The reference's full 12-clause URL validator with reason taxonomy
     (utils.py:32-63, consumed at main.py:405-407): synthesize one URL
@@ -906,6 +948,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "hypertable_rollup": q_hypertable_rollup,
+        "sessionize": q_sessionize,
+        "session_window": q_session_window,
+        "approx_distinct": q_approx_distinct,
         "streaming_extract": q_streaming_extract,
     }
 
@@ -1283,6 +1328,37 @@ SELECT doc_id,
        regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
        regexp_extract(url, '\\?(.*)$', 1) AS query
 FROM u""",
+        "sessionize": f"""
+WITH g AS (
+  SELECT event_id, user_id, ts,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events
+),
+s AS (
+  SELECT event_id, user_id, ts,
+         CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > {SESSION_GAP_S}::BIGINT * 1000000 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS session_seq
+  FROM g
+)
+SELECT event_id, user_id, session_seq,
+       CAST(row_number() OVER (PARTITION BY user_id, session_seq ORDER BY ts, event_id) AS INT) AS session_event_seq
+FROM s""",
+        "session_window": f"""
+WITH g AS (
+  SELECT event_id, user_id, ts,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         sum(CASE WHEN gap_us IS NULL OR gap_us >= {SESSION_GAP_S}::BIGINT * 1000000 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
+  FROM g
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL {SESSION_GAP_S} SECONDS AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, session_seq""",
         "validate_url": r"""
 WITH u0 AS (
   SELECT doc_id,

@@ -295,3 +295,71 @@ def test_asof_join_matches_bruteforce_oracle(request):
 
     for lid, key, lts in left_rows:
         assert got[lid] == oracle(lid, key, lts), (lid, key, lts)
+
+
+def test_sessionize_gap_semantics(request):
+    from datetime import datetime, timedelta
+
+    from web_mass_scraper_ocr_spark.operators.sessionize import (
+        session_window_rollup,
+        sessionize,
+    )
+
+    spark = request.getfixturevalue("spark")
+    t0 = datetime(2026, 1, 1)
+    rows = [
+        # u1: two sessions (gap of 100s > 60s threshold between e2 and e3)
+        (1, "u1", t0),
+        (2, "u1", t0 + timedelta(seconds=30)),
+        (3, "u1", t0 + timedelta(seconds=130)),
+        (4, "u1", t0 + timedelta(seconds=150)),
+        # u2: one session
+        (5, "u2", t0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id string, ts timestamp")
+    got = {
+        r.event_id: (r.session_seq, r.session_event_seq)
+        for r in sessionize(df, "user_id", "ts", 60, tiebreak="event_id").collect()
+    }
+    assert got == {1: (1, 1), 2: (1, 2), 3: (2, 1), 4: (2, 2), 5: (1, 1)}
+
+    sw = session_window_rollup(df, "user_id", "ts", gap="60 seconds")
+    agg = {
+        (r.user_id, r.session_start): (r.n_events, r.session_end)
+        for r in sw.collect()
+    }
+    assert agg[("u1", t0)] == (2, t0 + timedelta(seconds=90))
+    assert agg[("u1", t0 + timedelta(seconds=130))] == (
+        2,
+        t0 + timedelta(seconds=210),
+    )
+    assert agg[("u2", t0)] == (1, t0 + timedelta(seconds=60))
+
+
+def test_sessionize_single_shuffle(request):
+    from web_mass_scraper_ocr_spark.operators.sessionize import sessionize
+
+    spark = request.getfixturevalue("spark")
+    df = spark.range(100).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 5).cast("string").alias("user_id"),
+        F.timestamp_seconds(F.col("id") * 100).alias("ts"),
+    )
+    plan = sessionize(df, "user_id", "ts", 60, tiebreak="event_id")._jdf.queryExecution().executedPlan().toString()
+    # lag + session_seq + session_event_seq must share ONE exchange on
+    # user_id (the (user_id, session_seq) window is a sub-partitioning
+    # satisfied by the same distribution — no second shuffle)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_approx_distinct_error_bound(request):
+    spark = request.getfixturevalue("spark")
+    df = spark.range(20000).select(
+        (F.col("id") % 7).alias("g"), (F.col("id") % 3517).alias("v")
+    )
+    got = df.groupBy("g").agg(
+        F.approx_count_distinct("v", 0.02).alias("approx"),
+        F.countDistinct("v").alias("exact"),
+    )
+    for r in got.collect():
+        assert abs(r.approx - r.exact) / r.exact < 0.05, (r.g, r.approx, r.exact)

@@ -15,6 +15,7 @@ from .dedup import (
     token_shingles,
 )
 from .ordering import with_turn_rank
+from .sessionize import session_window_rollup, sessionize
 from .resume import (
     CHECKPOINT_SCHEMA,
     completed_buckets,
@@ -43,6 +44,8 @@ __all__ = [
     "norm",
     "remaining_work",
     "salted_repartition",
+    "session_window_rollup",
+    "sessionize",
     "simhash",
     "simhash_near_duplicates",
     "token_shingles",

@@ -1,0 +1,83 @@
+"""Sessionization — gap-based session assignment and session-window
+rollups, the standard event-pipeline operators a training-data corpus
+build needs (user activity segmentation, burst detection, per-session
+aggregates).
+
+Two forms with identical semantics on point events:
+
+- :func:`sessionize` — row-level: every event gets (session_seq,
+  session_event_seq) via ONE window shuffle (lag + two running counts
+  share the same window spec, so Catalyst plans a single
+  partitionBy(key) sort).  ANSI-SQL-expressible, oracle-gated.
+- :func:`session_window_rollup` — aggregate-level: Spark's native
+  ``session_window`` (works identically over a stream with a
+  watermark, where it is the stateful session operator).  Window end =
+  last event + gap, Spark's convention.
+
+Scale shape: one shuffle on the session key; skewed keys (one user
+with millions of events) are the same skew class as conversations —
+AQE skew-join/salting guidance in operators/skew.py applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_seconds: int,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Assign gap-based sessions: a new session starts when the time
+    since the previous event of the same ``key`` exceeds
+    ``gap_seconds``.  Adds:
+
+    - ``session_seq``: 1-based session number within the key;
+    - ``session_event_seq``: 1-based event number within the session.
+
+    Deterministic total order inside a key comes from (ts, tiebreak).
+    """
+    order = [F.col(ts).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    tcol = F.col(ts).cast("timestamp")
+    gap_us = F.unix_micros(tcol) - F.unix_micros(
+        F.lag(tcol).over(w)
+    )
+    is_new = F.when(
+        gap_us.isNull() | (gap_us > gap_seconds * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    out = df.withColumn(
+        "session_seq", F.sum(is_new).over(w).cast("int")
+    )
+    w2 = Window.partitionBy(key, "session_seq").orderBy(*order)
+    return out.withColumn(
+        "session_event_seq", F.row_number().over(w2).cast("int")
+    )
+
+
+def session_window_rollup(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap: str = "30 minutes",
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Per-session aggregates via Spark's native session_window (merge
+    events of one key whose gaps stay under ``gap``).  On a streaming
+    DataFrame add ``withWatermark(ts, ...)`` upstream and this becomes
+    the stateful session operator.  Output: key, session_start,
+    session_end (last event + gap), n_events + caller aggs."""
+    aggs = aggs or []
+    out = df.groupBy(
+        F.session_window(F.col(ts).cast("timestamp"), gap).alias("sw"), key
+    ).agg(F.count(F.lit(1)).alias("n_events"), *aggs)
+    rest = [c for c in out.columns if c != "sw"]
+    return out.select(
+        F.col("sw.start").alias("session_start"),
+        F.col("sw.end").alias("session_end"),
+        *rest,
+    )
