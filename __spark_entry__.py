@@ -54,7 +54,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name in _FACT_TABLES:
         target = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < target:
+        # inputFiles() counts scan files driver-side without converting
+        # the plan to an RDD (the testdata files are single-row-group,
+        # so files ~= scan partitions; at scale files >= cores -> no-op)
+        if len(df.inputFiles()) < target:
             df = df.repartition(target)
     return df
 
@@ -738,6 +741,48 @@ def q_url_resolve(spark, sf_dir):
     return u.select("doc_id", resolved.alias("abs_url"))
 
 
+def q_corpus_pipeline(spark, sf_dir):
+    """The flagship training-corpus composition (plans/corpus.py):
+    extraction -> quality gate -> exact dedup -> MinHash near-dup
+    removal, oracle-gated end to end (every stage has a SQL twin)."""
+    from web_mass_scraper_ocr_spark.plans.corpus import build_training_corpus
+
+    t = derive_transcripts(spark, sf_dir)
+    out = build_training_corpus(t)
+    return out.select(
+        "doc_key", "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.col("turn_rank").cast("int").alias("turn_rank"),
+        "clean_text", "quality_score",
+    )
+
+
+def q_url_dirname(spark, sf_dir):
+    """Hostname normalization + URL-specific safe dir key (reference
+    normalize_hostname utils.py:360-370 and
+    get_url_specific_safe_dirname utils.py:372-390), including the
+    md5-stub fallback for netloc-less URLs."""
+    from web_mass_scraper_ocr_spark.functions.files import (
+        normalize_hostname,
+        url_dirname,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id") % 4
+    did = F.col("doc_id").cast("string")
+    url = (
+        F.when(i == 0, F.concat(F.lit("https://"), F.col("lang"), F.lit(".Example-Site.com/docs/"), did))
+        .when(i == 1, F.concat(F.lit("https://cdn.example.com:8080/a/"), did, F.lit("?q=1")))
+        .when(i == 2, F.concat(F.lit("mailto:user@host-"), did))  # no netloc -> md5 stub
+        .otherwise(F.concat(F.lit("https://h.example.com/p/"), did))
+    )
+    return d.select(
+        "doc_id",
+        normalize_hostname(url).alias("host_key"),
+        url_dirname(url).alias("dir_key"),
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (session starts when the inter-event
     gap within a user exceeds SESSION_GAP_S): one window shuffle,
@@ -949,6 +994,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "hypertable_rollup": q_hypertable_rollup,
         "sessionize": q_sessionize,
+        "corpus_pipeline": q_corpus_pipeline,
+        "url_dirname": q_url_dirname,
         "session_window": q_session_window,
         "approx_distinct": q_approx_distinct,
         "streaming_extract": q_streaming_extract,
@@ -1079,6 +1126,106 @@ WITH t AS (
          END AS clean_text
   FROM t
 )"""
+
+
+def _corpus_pipeline_sql() -> str:
+    """SQL twin of plans.corpus.build_training_corpus: extraction ->
+    success+min-words gate -> quality_frame score >= 0.3 -> exact dedup
+    (md5(lower(text)), keep min doc_key) -> MinHash/LSH near-dup removal
+    at Jaccard >= 0.8 (drop greatest key per verified pair)."""
+    from web_mass_scraper_ocr_spark.operators.dedup import (
+        MINHASH_PRIME as P,
+        minhash_params,
+    )
+
+    c = "clean_text"
+    words = f"(CASE WHEN {c} = '' THEN 0 ELSE len(string_split({c}, ' ')) END)"
+    punct = f"len(regexp_extract_all({c}, '[^A-Za-z0-9 \\t\\r\\n]'))"
+    alpha = f"len(regexp_extract_all({c}, '[A-Za-z]'))"
+    stop_en = f"len(regexp_extract_all(lower({c}), '{_STOP['en']}'))"
+    safe_chars = f"(CASE WHEN length({c}) > 0 THEN length({c}) ELSE 1 END)::DOUBLE"
+    safe_words = f"(CASE WHEN {words} > 0 THEN {words} ELSE 1 END)::DOUBLE"
+    score = (
+        f"0.4 * ({alpha}::DOUBLE / {safe_chars}) "
+        f"+ 0.3 * least(({stop_en}::DOUBLE / {safe_words}) * 2.0, 1.0) "
+        f"+ 0.2 * (CASE WHEN {words} >= 5 AND {words} <= 100000 THEN 1.0 ELSE 0.0 END) "
+        f"+ 0.1 * (1.0 - least(({punct}::DOUBLE / {safe_chars}) * 4.0, 1.0))"
+    )
+    toks = f"string_split(lower({c}), ' ')"
+    n = SHINGLE_N
+    base_h = f"(CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) % {P})"
+    mins = ", ".join(
+        f"min((h * {a} + {b}) % {P}) AS mh_{i}"
+        for i, (a, b) in enumerate(minhash_params(MINHASH_K))
+    )
+    n_bands = MINHASH_K // BAND_SIZE
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_key, {b} AS band_idx, md5(concat_ws('|', {cols})) AS band_key FROM csig".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(mh_{b * BAND_SIZE + j} AS VARCHAR)" for j in range(BAND_SIZE)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return (
+        _transcript_cte()
+        + f""",
+ranked AS (
+  SELECT conv_id, turn_idx,
+         CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx ASC, ts ASC) AS INT) AS turn_rank,
+         clean_text
+  FROM extracted
+),
+ok AS (
+  SELECT concat_ws('#', conv_id, CAST(turn_idx AS VARCHAR), CAST(turn_rank AS VARCHAR)) AS doc_key,
+         conv_id, turn_idx, turn_rank, clean_text
+  FROM ranked
+  WHERE clean_text <> '' AND {words} >= 3
+),
+scored AS (
+  SELECT *, {score} AS quality_score FROM ok
+),
+qual AS (SELECT * FROM scored WHERE quality_score >= 0.3),
+keep_exact AS (
+  SELECT min(doc_key) AS doc_key FROM qual GROUP BY md5(lower(clean_text))
+),
+uniq AS (SELECT q.* FROM qual q JOIN keep_exact USING (doc_key)),
+cshingles AS (
+  SELECT doc_key,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len({toks}) - {n - 1}, 0)),
+           i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')
+         ))) AS shingle
+  FROM uniq
+),
+chashed AS (SELECT doc_key, {base_h} AS h FROM cshingles),
+csig AS (SELECT doc_key, {mins} FROM chashed GROUP BY doc_key),
+cbands AS ({band_selects}),
+cands AS (
+  SELECT DISTINCT a.doc_key AS id_a, b.doc_key AS id_b
+  FROM cbands a JOIN cbands b USING (band_idx, band_key)
+  WHERE a.doc_key < b.doc_key
+),
+sizes AS (SELECT doc_key, count(*) AS set_size FROM cshingles GROUP BY doc_key),
+common AS (
+  SELECT c.id_a, c.id_b, count(*) AS common_shingles
+  FROM cands c
+  JOIN cshingles sa ON sa.doc_key = c.id_a
+  JOIN cshingles sb ON sb.doc_key = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b
+),
+losers AS (
+  SELECT DISTINCT greatest(cm.id_a, cm.id_b) AS doc_key
+  FROM common cm
+  JOIN sizes za ON za.doc_key = cm.id_a
+  JOIN sizes zb ON zb.doc_key = cm.id_b
+  WHERE cm.common_shingles::DOUBLE
+        / (za.set_size + zb.set_size - cm.common_shingles)::DOUBLE >= 0.8
+)
+SELECT doc_key, conv_id, turn_idx, turn_rank, clean_text, quality_score
+FROM uniq WHERE doc_key NOT IN (SELECT doc_key FROM losers)"""
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1328,6 +1475,35 @@ SELECT doc_id,
        regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
        regexp_extract(url, '\\?(.*)$', 1) AS query
 FROM u""",
+        "corpus_pipeline": _corpus_pipeline_sql(),
+        "url_dirname": r"""
+WITH u0 AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN concat('https://', lang, '.Example-Site.com/docs/', CAST(doc_id AS VARCHAR))
+      WHEN 1 THEN concat('https://cdn.example.com:8080/a/', CAST(doc_id AS VARCHAR), '?q=1')
+      WHEN 2 THEN concat('mailto:user@host-', CAST(doc_id AS VARCHAR))
+      ELSE concat('https://h.example.com/p/', CAST(doc_id AS VARCHAR))
+    END AS url
+  FROM documents
+),
+p AS (
+  SELECT doc_id, url,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1) AS netloc,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS pth,
+    regexp_extract(url, '^[^#]*\?([^#]*)', 1) AS qry
+  FROM u0
+),
+h AS (
+  SELECT doc_id,
+    CASE WHEN netloc = '' THEN concat('unknown_host_', substr(md5(url), 1, 8))
+         ELSE lower(regexp_replace(replace(netloc, '.', '_'), '[^\w-]', '_', 'g')) END AS host_key,
+    CASE WHEN qry <> '' THEN concat(pth, '?', qry) ELSE pth END AS path_query
+  FROM p
+)
+SELECT doc_id, host_key,
+       concat(host_key, '_', substr(md5(path_query), 1, 8)) AS dir_key
+FROM h""",
         "sessionize": f"""
 WITH g AS (
   SELECT event_id, user_id, ts,

@@ -68,3 +68,45 @@ def test_run_id_is_time_sortable(spark, tmp_warehouse):
     df = spark.createDataFrame(generate_transcripts(n_convs=3))
     report = run_extraction(spark, df, tmp_warehouse)
     assert _re.fullmatch(r"run-\d{8}_\d{6}-[0-9a-f]{4}", report["run_id"])
+
+
+def ref_normalize_hostname(url: str) -> str:
+    # mirror of reference normalize_hostname (utils.py:360-370)
+    host = urlparse(url).netloc
+    if not host:
+        return "unknown_host_" + hashlib.md5(url.encode()).hexdigest()[:8]
+    return re.sub(r"[^\w-]", "_", host.replace(".", "_")).lower()
+
+
+def ref_url_dirname(url: str) -> str:
+    # mirror of reference get_url_specific_safe_dirname (utils.py:372-390)
+    parsed = urlparse(url)
+    pq = parsed.path + (("?" + parsed.query) if parsed.query else "")
+    return f"{ref_normalize_hostname(url)}_{hashlib.md5(pq.encode()).hexdigest()[:8]}"
+
+
+DIR_URLS = [
+    "https://en.Example-Site.com/docs/1",
+    "https://cdn.example.com:8080/a/2?q=1",
+    "https://h.example.com/p/3",
+    "https://h.example.com/",
+]
+
+
+def test_url_dirname_matches_reference_algorithm(spark):
+    from web_mass_scraper_ocr_spark.functions.files import (
+        normalize_hostname,
+        url_dirname,
+    )
+
+    df = spark.createDataFrame([(u,) for u in DIR_URLS], "url string")
+    got = {
+        r.url: (r.host, r.dirname)
+        for r in df.select(
+            "url",
+            normalize_hostname(F.col("url")).alias("host"),
+            url_dirname(F.col("url")).alias("dirname"),
+        ).collect()
+    }
+    for u in DIR_URLS:
+        assert got[u] == (ref_normalize_hostname(u), ref_url_dirname(u)), u

@@ -186,3 +186,111 @@ def test_stateful_turn_rank_across_batches(spark, tmp_path):
         for r in spark.read.parquet(str(out)).collect()
     }
     assert got == {("c1", 0): 1, ("c1", 1): 2, ("c1", 2): 3, ("c1", 3): 4}
+
+
+def test_stateful_turn_rank_tws_across_batches(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API): same
+    cross-batch rank continuity as the applyInPandasWithState form.
+    The TWS runtime speaks protobuf to the JVM; skip where
+    google.protobuf is not installed (this sandbox)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from web_mass_scraper_ocr_spark.streaming.stateful import streaming_turn_rank_tws
+
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    from datetime import datetime
+
+    t0 = datetime(2026, 1, 1)
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            streaming_turn_rank_tws(stream)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_batch([("c1", 0, "user", "a", "", t0), ("c1", 1, "user", "b", "", t0)])
+    drain()
+    write_batch([("c1", 2, "user", "c", "", t0), ("c1", 3, "user", "d", "", t0)])
+    drain()
+
+    got = {
+        (r.conv_id, r.turn_idx): r.turn_rank
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got == {("c1", 0): 1, ("c1", 1): 2, ("c1", 2): 3, ("c1", 3): 4}
+
+
+def test_stream_stream_range_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join emits exactly the pairs
+    the batch range_join finds on the same data."""
+    from datetime import datetime, timedelta
+
+    from web_mass_scraper_ocr_spark.operators.rangejoin import range_join
+    from web_mass_scraper_ocr_spark.streaming.joins import stream_stream_range_join
+
+    t0 = datetime(2026, 1, 1)
+    clicks = [
+        (1, "u1", t0 + timedelta(seconds=100)),
+        (2, "u1", t0 + timedelta(seconds=500)),
+        (3, "u2", t0 + timedelta(seconds=100)),
+    ]
+    purchases = [
+        (11, "u1", t0 + timedelta(seconds=120)),   # within 60s of click 1? no: after click -> matches click at 100? p >= c-60 and p <= c -> p at 120 > c at 100 -> no
+        (12, "u1", t0 + timedelta(seconds=470)),   # within [440, 500] of click 2 -> match
+        (13, "u2", t0 + timedelta(seconds=90)),    # within [40, 100] of click 3 -> match
+        (14, "u2", t0 + timedelta(seconds=400)),   # no click nearby
+    ]
+    cdf = spark.createDataFrame(clicks, "click_id long, user_id string, ts timestamp")
+    pdf = spark.createDataFrame(
+        purchases, "purchase_id long, user_id string, ts timestamp"
+    )
+    expected = {
+        (r.click_id, r.purchase_id_r)
+        for r in range_join(cdf, pdf, key="user_id", ts="ts", window_seconds=60).collect()
+    }
+    assert expected  # sanity: the batch join finds something
+
+    csrc, psrc, out, ckpt = (
+        tmp_path / "c",
+        tmp_path / "p",
+        tmp_path / "out",
+        tmp_path / "ckpt",
+    )
+    cdf.coalesce(1).write.parquet(str(csrc))
+    pdf.coalesce(1).write.parquet(str(psrc))
+    cstream = spark.readStream.schema(
+        "click_id long, user_id string, ts timestamp"
+    ).parquet(str(csrc))
+    pstream = spark.readStream.schema(
+        "purchase_id long, user_id string, ts timestamp"
+    ).parquet(str(psrc))
+    joined = stream_stream_range_join(
+        cstream, pstream, key="user_id", ts="ts", window_seconds=60
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.click_id, r.purchase_id_r) for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got == expected

@@ -8,7 +8,7 @@ from .extract_udf import (
     extract_map_in_arrow_ranked,
     extract_udf,
 )
-from .files import safe_filename
+from .files import normalize_hostname, safe_filename, url_dirname
 from .validate import (
     payload_invalid_reason,
     payload_validation,
@@ -42,6 +42,7 @@ __all__ = [
     "n_paragraphs",
     "n_tokens",
     "n_words",
+    "normalize_hostname",
     "payload_invalid_reason",
     "payload_validation",
     "quality_features",
@@ -49,6 +50,7 @@ __all__ = [
     "quality_score",
     "safe_filename",
     "url_components",
+    "url_dirname",
     "url_invalid_reason",
     "url_validation",
 ]

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
-from .validate import _PATH_RE, _QUERY_RE
+from .validate import _NETLOC_RE, _PATH_RE, _QUERY_RE
 
 DEFAULT_EXTENSION = ".jpg"  # reference config.py:59
 MAX_FILENAME_LEN = 100  # reference utils.py:259
@@ -32,6 +32,33 @@ _SPLITEXT_RE = r"^.+?(\.[^.]*)$"
 
 def _splitext_ext(filename: Column) -> Column:
     return F.regexp_extract(filename, _SPLITEXT_RE, 1)
+
+
+def normalize_hostname(url: Column) -> Column:
+    """Filesystem-safe hostname (reference normalize_hostname,
+    utils.py:360-370): dots -> underscores, ``[^\\w-] -> _``, lowered;
+    URLs with no netloc fall back to ``unknown_host_<md5(url)[:8]>``."""
+    netloc = F.regexp_extract(url, _NETLOC_RE, 1)
+    return F.when(
+        netloc == "",
+        F.concat(F.lit("unknown_host_"), F.substring(F.md5(url), 1, 8)),
+    ).otherwise(
+        F.lower(F.regexp_replace(F.replace(netloc, F.lit("."), F.lit("_")), r"[^\w-]", "_"))
+    )
+
+
+def url_dirname(url: Column) -> Column:
+    """URL-specific safe directory key (reference
+    get_url_specific_safe_dirname, utils.py:372-390): normalized host +
+    8-hex md5 of path[?query] — unique per page, stable per host."""
+    path = F.regexp_extract(url, _PATH_RE, 1)
+    query = F.regexp_extract(url, _QUERY_RE, 1)
+    path_query = F.when(
+        query != "", F.concat(path, F.lit("?"), query)
+    ).otherwise(path)
+    return F.concat(
+        normalize_hostname(url), F.lit("_"), F.substring(F.md5(path_query), 1, 8)
+    )
 
 
 def safe_filename(url: Column, default_ext: str = DEFAULT_EXTENSION) -> Column:

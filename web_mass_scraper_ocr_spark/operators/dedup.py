@@ -57,7 +57,16 @@ def _fan_out_small_input(df: DataFrame) -> DataFrame:
     would already have many partitions) input unlocks full parallelism;
     big inputs pass through untouched."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # inputFiles() is a driver-side listing of the scan's files — unlike
+    # df.rdd.getNumPartitions() it never converts the plan to an RDD.
+    # Single-row-group files (the sandbox testdata) scan as ~1 partition
+    # per file; production scans split by maxPartitionBytes and have
+    # files >= cores, so this is a no-op there.
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file-backed plans (literal frames)
+        return df
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 

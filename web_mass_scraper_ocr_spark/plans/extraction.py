@@ -68,13 +68,16 @@ def build_extraction_df(
     lineage around it.
     """
     cfg = cfg or ExtractionConfig()
-    # reject_binary=False: a binary-sniffed payload still reaches the
-    # kernel and exits as an error-status ROW (never a silent drop)
+    # Keep-filter as a PLAIN CONJUNCTION, not reason-CASE == '': the
+    # conjuncts stay pushdown/codegen-friendly (IsNotNull reaches the
+    # parquet scan; a CASE chain reaches nothing).  Semantically the
+    # exact complement of rejected_rows' taxonomy with
+    # reject_binary=False — a binary-sniffed payload still reaches the
+    # kernel and exits as an error-status ROW (never a silent drop).
     valid = transcripts.where(
-        payload_invalid_reason(
-            F.col("text"), cfg.max_payload_chars, reject_binary=False
-        )
-        == F.lit("")
+        F.col("text").isNotNull()
+        & (F.col("text") != F.lit(""))
+        & (F.length(F.col("text")) <= cfg.max_payload_chars)
     )
     if cfg.ordering_mode == "clustered":
         # zero-shuffle path: the table's write-time layout (Iceberg

@@ -1,17 +1,21 @@
 """Structured Streaming surface: availableNow micro-batch ingest with
-checkpointed exactly-once resume, plus watermarked event-time metrics
-(SURVEY.md §2.9)."""
+checkpointed exactly-once resume, watermarked event-time metrics,
+stateful rank (both arbitrary-state APIs), and stream-stream interval
+joins (SURVEY.md §2.9)."""
 
 from .ingest import (
     read_transcript_stream,
     stream_extraction,
     windowed_status_metrics,
 )
-from .stateful import streaming_turn_rank
+from .joins import stream_stream_range_join
+from .stateful import streaming_turn_rank, streaming_turn_rank_tws
 
 __all__ = [
     "read_transcript_stream",
     "stream_extraction",
+    "stream_stream_range_join",
     "streaming_turn_rank",
+    "streaming_turn_rank_tws",
     "windowed_status_metrics",
 ]

@@ -1,0 +1,47 @@
+"""Stream-stream joins — the continuous twin of operators/rangejoin.
+
+Spark's watermarked stream-stream join holds each side's rows in state
+until the other side's watermark proves no more matches can arrive; the
+time-range condition below bounds that state (without it, state grows
+forever).  This is the streaming form of the reference's
+page-visit -> image-download correlation (one row per matched pair),
+generalized to any (key, time-window) pair such as click -> purchase
+attribution.
+
+State-size budget at scale: each side keeps ~(rate x window x 2
+watermark slack) rows per key partition; the watermark delay is the
+knob that trades late-data tolerance against state size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def stream_stream_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    window_seconds: int,
+    watermark_delay: str | None = None,
+) -> DataFrame:
+    """Pairs (left row, right row) with equal ``key`` and ``right.ts``
+    in ``[left.ts - window_seconds, left.ts]`` over two STREAMS.
+
+    Both sides get event-time watermarks (default: 2x the join window),
+    which lets Spark evict state once a row can no longer match.
+    Column collision contract: rename shared non-key/non-ts columns
+    beforehand; right-side ts arrives as ``<ts>_r``.
+    """
+    delay = watermark_delay or f"{window_seconds * 2} seconds"
+    l = left.withWatermark(ts, delay)
+    r = right.withWatermark(ts, delay).select(
+        *[F.col(c).alias(f"{c}_r") for c in right.columns]
+    )
+    cond = (
+        (l[key] == r[f"{key}_r"])
+        & (r[f"{ts}_r"] >= l[ts] - F.expr(f"INTERVAL {window_seconds} SECONDS"))
+        & (r[f"{ts}_r"] <= l[ts])
+    )
+    return l.join(r, cond, "inner").drop(f"{key}_r")

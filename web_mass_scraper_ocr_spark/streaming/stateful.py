@@ -63,3 +63,60 @@ def streaming_turn_rank(transcript_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+class _RankProcessor:
+    """transformWithStateInPandas version of the rank state machine —
+    the Spark 4 arbitrary-state API (successor to
+    applyInPandasWithState, with typed state handles + optional TTL).
+    Same semantics as _rank_group."""
+
+    def init(self, handle) -> None:
+        self._rank = handle.getValueState("next_rank", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timer_values):
+        next_rank = self._rank.get()[0] if self._rank.exists() else 1
+        for pdf in rows:
+            pdf = pdf.sort_values(["turn_idx", "ts"], kind="mergesort").reset_index(
+                drop=True
+            )
+            pdf["turn_rank"] = range(next_rank, next_rank + len(pdf))
+            pdf["turn_rank"] = pdf["turn_rank"].astype("int32")
+            next_rank += len(pdf)
+            yield pdf[
+                ["conv_id", "turn_idx", "turn_rank", "role", "text", "tool", "ts"]
+            ]
+        self._rank.update((next_rank,))
+
+    def handleInitialState(self, key, initialState, timer_values) -> None:
+        pass
+
+    def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_turn_rank_tws(transcript_stream: DataFrame) -> DataFrame:
+    """streaming_turn_rank on the transformWithStateInPandas API
+    (Spark 4 stateful-processor handles; state layout identical).
+
+    Runtime dependency note: the TWS python<->JVM state channel speaks
+    protobuf — environments without ``google.protobuf`` (this sandbox)
+    must use :func:`streaming_turn_rank` (applyInPandasWithState),
+    which is semantically identical; the pytest for this operator
+    importorskips on that module."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    # subclass inside the function so importing this module never
+    # requires the Spark 4 API to exist (older runtimes fall back to
+    # the applyInPandasWithState operator above); _RankProcessor first
+    # in the MRO so its concrete methods satisfy the ABC
+    proc = type("RankProcessor", (_RankProcessor, StatefulProcessor), {})
+    return transcript_stream.groupBy("conv_id").transformWithStateInPandas(
+        statefulProcessor=proc(),
+        outputStructType=RANKED_SCHEMA,
+        outputMode="append",
+        timeMode="None",
+    )
