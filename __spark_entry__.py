@@ -783,6 +783,49 @@ def q_url_dirname(spark, sf_dir):
     )
 
 
+def q_scrub_pii(spark, sf_dir):
+    """Training-corpus hygiene: mask emails / IPv4s / phone runs with
+    typed placeholders plus audit counts (PII never ships to a training
+    set).  Synthesized PII appended per doc so every pattern fires."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did, F.lit("@example.com or +1 (555) 123-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10.0.0."), (F.col("doc_id") % 256).cast("string"),
+    )
+    scrubbed = T.scrub_pii(pii)
+    counts = T.pii_counts(pii)
+    return d.select(
+        "doc_id",
+        F.md5(scrubbed).alias("scrub_md5"),
+        counts["n_emails"].cast("long").alias("n_emails"),
+        counts["n_ipv4s"].cast("long").alias("n_ipv4s"),
+    )
+
+
+def q_ngram_stats(spark, sf_dir):
+    """Corpus-wide top-k token-bigram frequency table (the LM-stats
+    staple): one explode + hash agg + global partial top-k."""
+    d = _t(spark, sf_dir, "documents")
+    return T.ngram_counts(d, "doc_id", "text", n=2, top_k=100).select(
+        "ngram", F.col("freq").cast("long").alias("freq")
+    )
+
+
+def q_repetition(spark, sf_dir):
+    """Per-doc repetition signals (Gopher-style boilerplate filter):
+    total/distinct bigrams and the top-bigram occurrence fraction."""
+    d = _t(spark, sf_dir, "documents")
+    return T.repetition_signals(d, "doc_id", "text", n=2).select(
+        "doc_id",
+        F.col("n_ngrams").cast("long").alias("n_ngrams"),
+        F.col("n_distinct_ngrams").cast("long").alias("n_distinct_ngrams"),
+        "top_ngram_frac",
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (session starts when the inter-event
     gap within a user exceeds SESSION_GAP_S): one window shuffle,
@@ -995,6 +1038,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hypertable_rollup": q_hypertable_rollup,
         "sessionize": q_sessionize,
         "corpus_pipeline": q_corpus_pipeline,
+        "scrub_pii": q_scrub_pii,
+        "ngram_stats": q_ngram_stats,
+        "repetition": q_repetition,
         "url_dirname": q_url_dirname,
         "session_window": q_session_window,
         "approx_distinct": q_approx_distinct,
@@ -1476,6 +1522,48 @@ SELECT doc_id,
        regexp_extract(url, '\\?(.*)$', 1) AS query
 FROM u""",
         "corpus_pipeline": _corpus_pipeline_sql(),
+        "scrub_pii": f"""
+WITH p AS (
+  SELECT doc_id,
+         concat(text, ' contact user', CAST(doc_id AS VARCHAR), '@example.com or +1 (555) 123-',
+                lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                ' ip 10.0.0.', CAST(doc_id % 256 AS VARCHAR)) AS pii
+  FROM documents
+)
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(regexp_replace(pii,
+             '{T.EMAIL_RE}', '<EMAIL>', 'g'),
+             '{T.IPV4_RE}', '<IP>', 'g'),
+             '{T.PHONE_RE}', '<PHONE>', 'g')) AS scrub_md5,
+       CAST(len(regexp_extract_all(pii, '{T.EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(pii, '{T.IPV4_RE}')) AS BIGINT) AS n_ipv4s
+FROM p""",
+        "ngram_stats": f"""
+WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+grams AS (
+  SELECT unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+         i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS ngram
+  FROM toks
+)
+SELECT ngram, count(*) AS freq FROM grams WHERE ngram <> ''
+GROUP BY ngram ORDER BY freq DESC, ngram ASC LIMIT 100""",
+        "repetition": f"""
+WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+         i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS ngram
+  FROM toks
+),
+per AS (
+  SELECT doc_id, ngram, CAST(count(*) AS BIGINT) AS c
+  FROM grams WHERE ngram <> '' GROUP BY doc_id, ngram
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_ngrams,
+       count(*) AS n_distinct_ngrams,
+       max(c)::DOUBLE / CAST(sum(c) AS BIGINT)::DOUBLE AS top_ngram_frac
+FROM per GROUP BY doc_id""",
         "url_dirname": r"""
 WITH u0 AS (
   SELECT doc_id,

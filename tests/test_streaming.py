@@ -294,3 +294,40 @@ def test_stream_stream_range_join_matches_batch(spark, tmp_path):
         (r.click_id, r.purchase_id_r) for r in spark.read.parquet(str(out)).collect()
     }
     assert got == expected
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Duplicate (conv_id, turn_idx) rows — re-delivered across two
+    micro-batches within the watermark — come out exactly once."""
+    from datetime import datetime
+
+    from web_mass_scraper_ocr_spark.streaming.ingest import streaming_dedup
+
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+    schema = "conv_id string, turn_idx int, text string, ts timestamp"
+    t0 = datetime(2026, 1, 1)
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+
+    write_batch([("c1", 0, "a", t0), ("c1", 0, "a", t0), ("c1", 1, "b", t0)])
+    write_batch([("c1", 1, "b", t0), ("c1", 2, "c", t0)])  # redelivery of turn 1
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    q = (
+        streaming_dedup(stream, ["conv_id", "turn_idx"])
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.conv_id, r.turn_idx) for r in spark.read.parquet(str(out)).collect()
+    )
+    assert got == [("c1", 0), ("c1", 1), ("c1", 2)]

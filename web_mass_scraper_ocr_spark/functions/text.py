@@ -163,3 +163,83 @@ def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of the whitespace-normalized lowercase
     text (the exact-dedup key)."""
     return F.md5(F.lower(clean_text_col(col)))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-corpus hygiene: mask emails / phones / IPs
+# before text enters a training set — regex passes, JVM-side)
+# ---------------------------------------------------------------------------
+
+EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9 ().\-]{7,}[0-9]"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def scrub_pii(col: Column) -> Column:
+    """Mask emails -> <EMAIL>, then IPv4s -> <IP>, then phone-number
+    runs -> <PHONE> (order matters: emails and IPs contain digit runs a
+    phone pass would otherwise mangle)."""
+    out = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, IPV4_RE, "<IP>")
+    return F.regexp_replace(out, PHONE_RE, "<PHONE>")
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """How many of each PII shape a text contains (audit columns)."""
+    return {
+        "n_emails": F.regexp_count(col, F.lit(EMAIL_RE)),
+        "n_ipv4s": F.regexp_count(col, F.lit(IPV4_RE)),
+    }
+
+
+# ---------------------------------------------------------------------------
+# n-gram frequency statistics + repetition signals (Gopher-style
+# quality filters: a doc dominated by one repeated n-gram is boilerplate)
+# ---------------------------------------------------------------------------
+
+
+def token_ngrams(df, id_col: str, text_col: str, n: int = 2):
+    """(id, ngram) WITH duplicates — frequency-carrying n-grams, unlike
+    the dedup module's distinct shingles.  One explode, no joins."""
+    toks = F.split(F.lower(clean_text_col(F.col(text_col))), " ")
+    grams = F.filter(
+        F.transform(
+            toks,
+            lambda _, i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+        lambda _, i: i < F.size(toks) - (n - 1),
+    )
+    return df.select(F.col(id_col), F.explode(grams).alias("ngram")).where(
+        F.col("ngram") != ""
+    )
+
+
+def ngram_counts(df, id_col: str, text_col: str, n: int = 2, top_k: int = 100):
+    """Corpus-wide top-k n-gram frequency table (the LM-stats staple):
+    one explode + one hash aggregate + a global top-k (partial top-k
+    per partition, no full sort)."""
+    return (
+        token_ngrams(df, id_col, text_col, n)
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("ngram").asc())
+        .limit(top_k)
+    )
+
+
+def repetition_signals(df, id_col: str, text_col: str, n: int = 2):
+    """Per-doc repetition metrics: total n-grams, distinct n-grams, and
+    the fraction of all n-gram occurrences taken by the single most
+    frequent one (top_ngram_frac ~ 1.0 = boilerplate loop)."""
+    per = (
+        token_ngrams(df, id_col, text_col, n)
+        .groupBy(id_col, "ngram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per.groupBy(id_col).agg(
+        F.sum("c").alias("n_ngrams"),
+        F.count(F.lit(1)).alias("n_distinct_ngrams"),
+        (F.max("c").cast("double") / F.sum("c").cast("double")).alias(
+            "top_ngram_frac"
+        ),
+    )

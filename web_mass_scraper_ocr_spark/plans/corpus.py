@@ -32,9 +32,17 @@ def build_training_corpus(
     min_words: int = 3,
     neardup_threshold: float = 0.8,
     shingle_n: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """Returns the kept corpus rows:
     (doc_key, conv_id, turn_idx, turn_rank, clean_text, quality_score).
+
+    ``materialize`` persists the post-quality frame (MEMORY_AND_DISK):
+    the dedup stages reference it from FOUR plan branches (shingles,
+    set sizes, candidate join, final anti-join), and without a persist
+    each branch re-executes the Arrow extraction kernel — the single
+    most expensive stage.  At 10^12-turn scale this would be a
+    materialized intermediate table instead.
     """
     extracted = build_extraction_df(transcripts, cfg)
     ok = extracted.where(
@@ -48,6 +56,10 @@ def build_training_corpus(
     scored = quality_frame(ok, "clean_text").where(
         F.col("quality_score") >= F.lit(min_quality)
     )
+    if materialize:
+        from pyspark import StorageLevel
+
+        scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
 
     # exact dedup: keep the smallest doc_key per normalized fingerprint
     keep_exact = (

@@ -6,6 +6,7 @@ joins (SURVEY.md §2.9)."""
 from .ingest import (
     read_transcript_stream,
     stream_extraction,
+    streaming_dedup,
     windowed_status_metrics,
 )
 from .joins import stream_stream_range_join
@@ -15,6 +16,7 @@ __all__ = [
     "read_transcript_stream",
     "stream_extraction",
     "stream_stream_range_join",
+    "streaming_dedup",
     "streaming_turn_rank",
     "streaming_turn_rank_tws",
     "windowed_status_metrics",

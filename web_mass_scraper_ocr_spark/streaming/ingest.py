@@ -139,6 +139,22 @@ def stream_extraction(
     return writer.start()
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    ts: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop repeats of ``keys`` arriving within
+    the watermark horizon (at-least-once upstream delivery -> exactly-
+    once rows downstream).  Unlike plain dropDuplicates on a stream,
+    the WithinWatermark form EVICTS state once a key's event time falls
+    behind the watermark — bounded state, the only form that survives
+    an unbounded stream (the reference's INSERT .. ON CONFLICT DO
+    NOTHING idempotence, db_utils.py:251-295, as an operator)."""
+    return stream.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def windowed_status_metrics(
     extracted_stream: DataFrame,
     watermark: str = "10 minutes",
