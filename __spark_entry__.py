@@ -783,6 +783,37 @@ def q_url_dirname(spark, sf_dir):
     )
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Multimodal resize plumbing under the value oracle: the stub
+    resize is a deterministic byte transform ((payload*reps)[:w*h]), so
+    the whole mapInPandas path — schema, batching, byte budget — is
+    verifiable cross-engine via md5 (docs are printable ASCII, so
+    DuckDB's char-wise repeat/substr equals the byte math)."""
+    from web_mass_scraper_ocr_spark.multimodal.binary_ops import resize_images
+
+    d = _t(spark, sf_dir, "documents")
+    out = resize_images(d, width=32, height=16)
+    return out.select(
+        "doc_id", "width", "height",
+        F.md5(F.col("resized")).alias("resized_md5"),
+        F.length(F.col("resized")).cast("long").alias("resized_bytes"),
+    )
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """Frame-sampling fan-out (per-media -> per-frame explosion) under
+    the value oracle: fixed 256-byte frames, every 4th kept."""
+    from web_mass_scraper_ocr_spark.multimodal.binary_ops import sample_frames
+
+    d = _t(spark, sf_dir, "documents")
+    out = sample_frames(d, frame_bytes=256, every_n=4)
+    return out.select(
+        "doc_id", "frame_idx",
+        F.md5(F.col("frame")).alias("frame_md5"),
+        F.length(F.col("frame")).cast("long").alias("frame_bytes"),
+    )
+
+
 def q_scrub_pii(spark, sf_dir):
     """Training-corpus hygiene: mask emails / IPv4s / phone runs with
     typed placeholders plus audit counts (PII never ships to a training
@@ -1039,6 +1070,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "corpus_pipeline": q_corpus_pipeline,
         "scrub_pii": q_scrub_pii,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
         "ngram_stats": q_ngram_stats,
         "repetition": q_repetition,
         "url_dirname": q_url_dirname,
@@ -1522,6 +1555,29 @@ SELECT doc_id,
        regexp_extract(url, '\\?(.*)$', 1) AS query
 FROM u""",
         "corpus_pipeline": _corpus_pipeline_sql(),
+        "multimodal_resize": """
+WITH r AS (
+  SELECT doc_id,
+         substr(repeat(text, CAST(512 // greatest(length(text), 1) + 1 AS INT)), 1, 512) AS resized
+  FROM documents
+)
+SELECT doc_id, CAST(32 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+       md5(resized) AS resized_md5,
+       CAST(length(resized) AS BIGINT) AS resized_bytes
+FROM r""",
+        "multimodal_frames": """
+WITH n AS (
+  SELECT doc_id, text, greatest(length(text) // 256, 1) AS n_frames
+  FROM documents
+),
+f AS (
+  SELECT doc_id, text, unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT), 4)) AS frame_idx
+  FROM n
+)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       md5(substr(text, CAST(frame_idx * 256 + 1 AS INT), 256)) AS frame_md5,
+       CAST(length(substr(text, CAST(frame_idx * 256 + 1 AS INT), 256)) AS BIGINT) AS frame_bytes
+FROM f""",
         "scrub_pii": f"""
 WITH p AS (
   SELECT doc_id,

@@ -148,3 +148,29 @@ def test_clustered_mode_layout_guard(spark_module, transcripts_pd):
         build_extraction_df(
             broken, ExtractionConfig(ordering_mode="clustered")
         ).toPandas()
+
+
+def test_auto_ordering_mode_detects_skew(spark):
+    from web_mass_scraper_ocr_spark.config import ExtractionConfig
+    from web_mass_scraper_ocr_spark.plans.extraction import (
+        build_extraction_df,
+        detect_ordering_mode,
+    )
+    from web_mass_scraper_ocr_spark.sources.transcripts import generate_transcripts
+
+    uniform = spark.createDataFrame(generate_transcripts(n_convs=40, skew=False))
+    skewed = spark.createDataFrame(generate_transcripts(n_convs=40, skew=True))
+    # sample everything in tests: deterministic verdicts on small frames
+    # (ratio threshold lowered to match the 40-conv fixture's scale)
+    assert (
+        detect_ordering_mode(uniform, sample_fraction=1.0, skew_ratio=10, min_skew_rows=100)
+        == "sorted"
+    )
+    assert (
+        detect_ordering_mode(skewed, sample_fraction=1.0, skew_ratio=10, min_skew_rows=100)
+        == "salted_window"
+    )
+    # mode="auto" plans end-to-end and extracts every valid row
+    out = build_extraction_df(skewed, ExtractionConfig(ordering_mode="auto"))
+    valid = skewed.where("text IS NOT NULL AND text <> ''")
+    assert out.count() == valid.count()

@@ -29,6 +29,11 @@ class ExtractionConfig:
     #     repartition (shuffle 2).  Use when single conversations are
     #     pathologically long (a mega-conv makes one "sorted" partition
     #     fat; the salt shards it because extraction is per-turn).
+    #   "auto": profile a hash-sample of conversations at plan-build
+    #     time (one tiny driver job, conv_id column only) and pick
+    #     "salted_window" when a mega-conversation is detected, else
+    #     "sorted".  Measured tradeoff in BENCH/SKEW.md (salting wins
+    #     2.95x under mega-conversation skew, loses ~10% when uniform).
     #   "clustered": ZERO shuffles — the input table's write-time layout
     #     already clusters each conversation into one file and sorts by
     #     (conv_id, turn_idx, ts) (an Iceberg sort-order/bucket spec).

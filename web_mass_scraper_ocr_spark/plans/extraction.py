@@ -59,6 +59,41 @@ OUTPUT_COLUMNS = [
 ]
 
 
+def detect_ordering_mode(
+    transcripts: DataFrame,
+    sample_fraction: float = 0.02,
+    skew_ratio: float = 20.0,
+    min_skew_rows: int = 10_000,
+) -> str:
+    """Pick 'sorted' vs 'salted_window' from a cheap row-sampled
+    profile of conversation sizes.  Row sampling (not conversation
+    sampling) so a single mega-conversation cannot be missed: a
+    conversation holding x% of all rows holds ~x% of any uniform
+    sample.  Skewed = the heaviest sampled conversation is more than
+    ``skew_ratio`` x the mean sampled conversation AND its
+    extrapolated size exceeds ``min_skew_rows`` (both must hold: ratio
+    alone flags tiny inputs, size alone flags uniform-but-large convs
+    that one task handles fine).  One small driver-time job reading
+    only the conv_id column (pruned scan) of ``sample_fraction`` of
+    rows.  The sampled mean skews high at low fractions (conversations
+    sampled to zero rows drop out), which only makes the verdict more
+    conservative."""
+    sample = transcripts.select("conv_id").sample(sample_fraction, seed=7)
+    row = (
+        sample.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"), F.avg("n").alias("avg"))
+        .collect()
+    )
+    if not row or row[0]["mx"] is None:
+        return "sorted"
+    mx, avg = row[0]["mx"], row[0]["avg"] or 1.0
+    est_rows = mx / sample_fraction
+    if mx >= skew_ratio * avg and est_rows >= min_skew_rows:
+        return "salted_window"
+    return "sorted"
+
+
 def build_extraction_df(
     transcripts: DataFrame, cfg: ExtractionConfig | None = None
 ) -> DataFrame:
@@ -68,6 +103,10 @@ def build_extraction_df(
     lineage around it.
     """
     cfg = cfg or ExtractionConfig()
+    if cfg.ordering_mode == "auto":
+        from dataclasses import replace
+
+        cfg = replace(cfg, ordering_mode=detect_ordering_mode(transcripts))
     # Keep-filter as a PLAIN CONJUNCTION, not reason-CASE == '': the
     # conjuncts stay pushdown/codegen-friendly (IsNotNull reaches the
     # parquet scan; a CASE chain reaches nothing).  Semantically the
