@@ -1,0 +1,82 @@
+"""ANN scaling bench: brute-force vs IVF top-k at 1x and 10x corpus
+(the round-2 fix made the centroid count CONSTANT; this measures what
+that buys as the corpus grows).
+
+Corpus synthesis: sf0.1 embeddings replicated R times, each replica
+deterministically rotated (per-dimension offset keyed by replica id) so
+vectors stay distinct.  Queries = the same 20 vectors at every scale.
+
+Usage: python scripts/bench_ann_scale.py [replication ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from web_mass_scraper_ocr_spark.operators import similarity as S
+from web_mass_scraper_ocr_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_QUERIES = 20
+K = 5
+N_CENTROIDS = 16
+
+
+def replicate(emb, r: int):
+    if r == 1:
+        return emb
+    reps = F.explode(F.sequence(F.lit(0), F.lit(r - 1))).alias("rep")
+    return emb.select("vec_id", "embedding", reps).select(
+        (F.col("vec_id") * r + F.col("rep")).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + (F.col("rep").cast("float") * (i + 1) * F.lit(0.0013)),
+        ).alias("embedding"),
+    )
+
+
+def timed(label: str, df) -> None:
+    t0 = time.monotonic()
+    n = df.count()
+    print(json.dumps({"stage": label, "wall_sec": round(time.monotonic() - t0, 2), "rows": n}))
+
+
+def main() -> None:
+    rs = [int(a) for a in sys.argv[1:]] or [1, 10]
+    spark = get_spark(app_name="bench-ann-scale", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = base.where(F.col("vec_id") < N_QUERIES).cache()
+    queries.count()
+
+    for r in rs:
+        corpus = replicate(base, r).repartition(64).cache()
+        n = corpus.count()
+        print(json.dumps({"scale": r, "n_vectors": n}))
+        timed(f"{r}x brute_force_topk", S.brute_force_topk(corpus, queries, k=K))
+        timed(
+            f"{r}x ivf_topk one-shot (assign inline)",
+            S.ivf_topk(corpus, queries, n_centroids=N_CENTROIDS, k=K),
+        )
+        # index-build/search split: assign once (persisted), then search
+        cents = S.select_centroids(corpus, N_CENTROIDS).cache()
+        t0 = time.monotonic()
+        assigned = S.ivf_assign(corpus, cents).cache()
+        assigned.count()
+        print(json.dumps({"stage": f"{r}x ivf index build", "wall_sec": round(time.monotonic() - t0, 2)}))
+        timed(
+            f"{r}x ivf_topk search-only (prebuilt index)",
+            S.ivf_topk(corpus, queries, k=K, centroids=cents, assigned=assigned),
+        )
+        assigned.unpersist(); cents.unpersist(); corpus.unpersist()
+
+
+if __name__ == "__main__":
+    main()

@@ -131,14 +131,24 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    centroids: DataFrame | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN: a fixed count of deterministically-sampled centroids
     (see :func:`select_centroids`); each query searches only its own cell.
 
     Approximate: recall < 1 vs brute force, scan cost ~1/n_centroids.
-    """
-    centroids = select_centroids(corpus, n_centroids, id_col, vec_col)
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+
+    Index-build/search split: corpus assignment costs O(n * n_centroids)
+    — the same order as ONE brute-force query batch — so one-shot use
+    roughly breaks even.  The payoff is amortization: pass a persisted
+    ``assigned`` frame (and its ``centroids``) built once, and every
+    subsequent query batch pays only the ~1/n_centroids cell scan
+    (measured in BENCH/ANN_SCALE.md)."""
+    if centroids is None:
+        centroids = select_centroids(corpus, n_centroids, id_col, vec_col)
+    if assigned is None:
+        assigned = ivf_assign(corpus, centroids, id_col, vec_col)
     q_assigned = (
         ivf_assign(queries, centroids, id_col, vec_col)
         .select(
