@@ -783,6 +783,41 @@ def q_url_dirname(spark, sf_dir):
     )
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Hash-deterministic per-stratum sampling (training-mix
+    rebalancing): en keeps 50%, de 25%, everything else 10% — same
+    rows on every run, no RNG state."""
+    from web_mass_scraper_ocr_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        d, "doc_id", "lang", {"en": 0.5, "de": 0.25}, default_fraction=0.1
+    ).select("doc_id", "lang")
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment via id-hash thresholds
+    (a row's split never changes as the corpus grows)."""
+    from web_mass_scraper_ocr_spark.operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    return hash_split(d, "doc_id").select("doc_id", "split")
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concatenative context-window packing: per-shard running token
+    offsets chunked into 512-token bins (no global sort — packing is
+    per hash shard, the scale-safe layout)."""
+    from web_mass_scraper_ocr_spark.operators.sampling import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.n_tokens(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(d, "doc_id", "n_tokens", budget=512, n_shards=8).select(
+        "doc_id", "shard", "bin", "bin_offset"
+    )
+
+
 def q_multimodal_resize(spark, sf_dir):
     """Multimodal resize plumbing under the value oracle: the stub
     resize is a deterministic byte transform ((payload*reps)[:w*h]), so
@@ -1070,6 +1105,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "corpus_pipeline": q_corpus_pipeline,
         "scrub_pii": q_scrub_pii,
+        "stratified_sample": q_stratified_sample,
+        "hash_split": q_hash_split,
+        "pack_sequences": q_pack_sequences,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
         "ngram_stats": q_ngram_stats,
@@ -1555,6 +1593,42 @@ SELECT doc_id,
        regexp_extract(url, '\\?(.*)$', 1) AS query
 FROM u""",
         "corpus_pipeline": _corpus_pipeline_sql(),
+        "stratified_sample": """
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang FROM b
+WHERE bucket < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 ELSE 1000 END""",
+        "hash_split": """
+WITH b AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS bucket
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM b""",
+        "pack_sequences": """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\r\\n]')) AS BIGINT) AS n_tokens,
+         CAST((CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'shard')), 1, 8)) AS BIGINT) % 10000) % 8 AS INT) AS shard
+  FROM documents
+),
+o AS (
+  SELECT doc_id, shard,
+         coalesce(CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS start
+  FROM t
+)
+SELECT doc_id, shard,
+       CAST(start // 512 AS BIGINT) AS bin,
+       CAST(start % 512 AS BIGINT) AS bin_offset
+FROM o""",
         "multimodal_resize": """
 WITH r AS (
   SELECT doc_id,

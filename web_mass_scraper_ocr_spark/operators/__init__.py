@@ -15,6 +15,12 @@ from .dedup import (
     token_shingles,
 )
 from .ordering import with_turn_rank
+from .sampling import (
+    deterministic_sample,
+    hash_split,
+    pack_sequences,
+    stratified_sample,
+)
 from .sessionize import session_window_rollup, sessionize
 from .resume import (
     CHECKPOINT_SCHEMA,
@@ -31,10 +37,12 @@ __all__ = [
     "completed_buckets",
     "cosine",
     "dedup_exact",
+    "deterministic_sample",
     "dot",
     "embedding_near_duplicates",
     "embedding_near_duplicates_bucketed",
     "exact_duplicates",
+    "hash_split",
     "ivf_assign",
     "ivf_topk",
     "lsh_candidate_pairs",
@@ -42,12 +50,14 @@ __all__ = [
     "minhash_signature",
     "ngram_jaccard_pairs",
     "norm",
+    "pack_sequences",
     "remaining_work",
     "salted_repartition",
     "session_window_rollup",
     "sessionize",
     "simhash",
     "simhash_near_duplicates",
+    "stratified_sample",
     "token_shingles",
     "with_conv_bucket",
     "with_turn_rank",

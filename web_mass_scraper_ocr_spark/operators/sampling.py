@@ -1,0 +1,102 @@
+"""Deterministic sampling / splitting / packing — the dataset-prep
+operators a training run needs downstream of dedup and quality gates.
+
+Everything here is HASH-deterministic (md5 of the row id), never RNG:
+the same row lands in the same sample, split, or pack on every run, on
+any cluster size, with no seed-state coordination — the property that
+makes these operators resumable and their outputs reproducible (and
+lets a DuckDB oracle verify them bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_BUCKETS = 10_000
+
+
+def _hash_bucket(id_col: Column, salt: str = "") -> Column:
+    """Uniform bucket in [0, 10000) from the first 8 md5 hex chars of
+    the (salted) id — reproducible in ANSI SQL, unlike xxhash64."""
+    h = F.md5(F.concat(id_col.cast("string"), F.lit(salt)))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _BUCKETS
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep a hash-stable ``fraction`` of rows (resumable sampling)."""
+    return df.where(_hash_bucket(F.col(id_col), salt) < int(fraction * _BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum hash-stable sampling (e.g. rebalance languages in a
+    training mix): each stratum keeps its own fraction; strata not in
+    ``fractions`` keep ``default_fraction``."""
+    frac: Column = F.lit(default_fraction)
+    for value, f in sorted(fractions.items()):
+        frac = F.when(F.col(stratum_col) == value, F.lit(f)).otherwise(frac)
+    return df.where(
+        _hash_bucket(F.col(id_col), salt) < (frac * _BUCKETS).cast("long")
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: cumulative weight
+    thresholds over the id hash bucket.  A row's split never changes
+    when the corpus grows — the property RNG splits lack."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    bucket = _hash_bucket(F.col(id_col), salt)
+    expr = None
+    acc = 0.0
+    for name, w in weights.items():
+        acc += w
+        cond = bucket < int(round(acc * _BUCKETS))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn(split_col, expr.otherwise(F.lit(list(weights)[-1])))
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    budget: int,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Concatenative context-window packing: documents are laid out in
+    a deterministic order and chunked into ``budget``-token bins; a
+    document belongs to the bin its first token lands in (bins may
+    overhang by less than one document — the standard
+    concat-then-chunk packing where sequences may split at bin edges).
+
+    Scale shape: packing is per-SHARD (hash of id -> ``n_shards``), so
+    the running-offset window sorts each shard independently — no
+    global single-partition sort.  Output adds (shard, bin, bin_offset).
+    """
+    from pyspark.sql.window import Window
+
+    shard = _hash_bucket(F.col(id_col), "shard") % n_shards
+    out = df.withColumn("shard", shard.cast("int"))
+    w = Window.partitionBy("shard").orderBy(F.col(id_col).asc())
+    start = F.coalesce(
+        F.sum(F.col(n_tokens_col)).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    return out.withColumn(
+        "bin", F.floor(start / F.lit(budget)).cast("long")
+    ).withColumn("bin_offset", (start % F.lit(budget)).cast("long"))
