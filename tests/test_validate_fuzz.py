@@ -1,0 +1,92 @@
+"""Seeded fuzz parity: the Catalyst URL validator vs a Python mirror of
+the reference's validate_url (utils.py:32-63) over a component cross
+product — scheme x separator x host x path x query x fragment.  One
+Spark job for all cases (per-example jobs would be minutes)."""
+
+import random
+from urllib.parse import urlparse
+
+from pyspark.sql import functions as F
+
+from web_mass_scraper_ocr_spark.functions.validate import url_invalid_reason
+
+_INVALID = set("<>{}|\\^~[]`")
+
+
+def mirror_reason(url) -> str:
+    # faithful mirror of reference utils.py:32-63, emitting our taxonomy
+    if not url or not isinstance(url, str):
+        return "empty_url"
+    url = url.strip()
+    try:
+        parsed = urlparse(url)
+    except Exception:
+        return "parse_error"
+    if not parsed.scheme:
+        return "missing_scheme"
+    if not parsed.netloc:
+        return "missing_domain"
+    if parsed.scheme not in ("http", "https"):
+        return "unsupported_scheme"
+    if " " in url:
+        return "contains_spaces"
+    if "." not in parsed.netloc:
+        return "invalid_domain_format"
+    if len(parsed.netloc) < 3:
+        return "domain_too_short"
+    if len(url) > 2048:
+        return "url_too_long"
+    if any(c in parsed.netloc for c in _INVALID):
+        return "invalid_chars_in_domain"
+    if parsed.path:
+        if " " in parsed.path:
+            return "path_contains_spaces"
+        if any(c in parsed.path for c in _INVALID):
+            return "path_invalid_chars"
+        if "//" in parsed.path:
+            return "path_double_slash"
+        if len(parsed.path) > 2048:
+            return "path_too_long"
+    if parsed.query:
+        if " " in parsed.query:
+            return "query_contains_spaces"
+        if any(c in parsed.query for c in _INVALID):
+            return "query_invalid_chars"
+        if len(parsed.query) > 2048:
+            return "query_too_long"
+    return ""
+
+
+SCHEMES = ["https", "http", "HTTPS", "ftp", ""]
+SEPS = ["://", ""]
+HOSTS = [
+    "example.com", "localhost", "a.", "a.b.c", "", "EXA<MPLE.com",
+    "sub.example-site.org:8080", "user:pw@h.co",
+]
+PATHS = ["", "/", "/a/b", "//x", "/x<y", "/" + "p" * 60]
+QUERIES = ["", "?q=1", "?x<y", "?a=1&b=2"]
+FRAGS = ["", "#f"]
+
+
+def test_url_validator_fuzz_parity(spark):
+    rng = random.Random(13)
+    cases = [None, "", "   "]
+    for _ in range(400):
+        u = (
+            rng.choice(SCHEMES) + rng.choice(SEPS) + rng.choice(HOSTS)
+            + rng.choice(PATHS) + rng.choice(QUERIES) + rng.choice(FRAGS)
+        )
+        cases.append(u)
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(cases)], "i int, url string"
+    )
+    got = {
+        r.i: r.reason
+        for r in df.select("i", url_invalid_reason(F.col("url")).alias("reason")).collect()
+    }
+    mismatches = []
+    for i, u in enumerate(cases):
+        exp = mirror_reason(u)
+        if got[i] != exp:
+            mismatches.append((u, got[i], exp))
+    assert not mismatches, mismatches[:10]
