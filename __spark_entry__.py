@@ -1008,7 +1008,11 @@ def q_safe_filename(spark, sf_dir):
         .when(i == 6, F.concat(F.lit("https://h.example.com/file?a="), did))
         .otherwise(F.concat(F.lit("https://h.example.com/d"), did, F.lit("/")))
     )
-    return d.select("doc_id", safe_filename(url).alias("safe_filename"))
+    from web_mass_scraper_ocr_spark.functions.files import safe_filename_frame
+
+    return safe_filename_frame(
+        d.select("doc_id", url.alias("url")), "url"
+    ).select("doc_id", "safe_filename")
 
 
 def q_json_encode(spark, sf_dir):

@@ -110,3 +110,17 @@ def test_url_dirname_matches_reference_algorithm(spark):
     }
     for u in DIR_URLS:
         assert got[u] == (ref_normalize_hostname(u), ref_url_dirname(u)), u
+
+
+def test_safe_filename_frame_equals_column_form(spark):
+    from web_mass_scraper_ocr_spark.functions.files import safe_filename_frame
+
+    df = spark.createDataFrame([(u,) for u in URLS], "url string")
+    col_form = {
+        r.url: r.fn
+        for r in df.select("url", safe_filename(F.col("url")).alias("fn")).collect()
+    }
+    frame_form = {
+        r.url: r.safe_filename for r in safe_filename_frame(df, "url").collect()
+    }
+    assert frame_form == col_form
