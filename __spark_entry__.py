@@ -783,6 +783,48 @@ def q_url_dirname(spark, sf_dir):
     )
 
 
+def q_chat_render(spark, sf_dir):
+    """Chat-template rendering: assemble each conversation's extracted
+    turns, in stable (turn_idx, ts) order, into ONE training document
+    of '<|role|>\\n<text>' blocks (roles alternate by turn parity) —
+    the transcripts -> SFT-document assembly step."""
+    from web_mass_scraper_ocr_spark.plans.extraction import build_extraction_df
+
+    t = derive_transcripts(spark, sf_dir)
+    x = build_extraction_df(t)
+    role = F.when(F.col("turn_idx") % 2 == 0, F.lit("user")).otherwise(
+        F.lit("assistant")
+    )
+    block = F.concat(F.lit("<|"), role, F.lit("|>\n"), F.col("clean_text"))
+    return (
+        x.select("conv_id", "turn_idx", "turn_rank", block.alias("block"))
+        .groupBy("conv_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("turn_idx"), F.col("turn_rank"), F.col("block")
+                            )
+                        )
+                    ),
+                    lambda s: s["block"],
+                ),
+                "\n\n",
+            ).alias("document"),
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+        )
+    )
+
+
+def q_text_chunks(spark, sf_dir):
+    """Sliding-window character chunking (RAG / context prep): 200-char
+    chunks, 50 overlap; short texts yield exactly one chunk."""
+    d = _t(spark, sf_dir, "documents")
+    return T.chunk_text(d, "doc_id", "text", chunk_chars=200, overlap=50)
+
+
 def q_stratified_sample(spark, sf_dir):
     """Hash-deterministic per-stratum sampling (training-mix
     rebalancing): en keeps 50%, de 25%, everything else 10% — same
@@ -1109,6 +1151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "corpus_pipeline": q_corpus_pipeline,
         "scrub_pii": q_scrub_pii,
+        "chat_render": q_chat_render,
+        "text_chunks": q_text_chunks,
         "stratified_sample": q_stratified_sample,
         "hash_split": q_hash_split,
         "pack_sequences": q_pack_sequences,
@@ -1597,6 +1641,32 @@ SELECT doc_id,
        regexp_extract(url, '\\?(.*)$', 1) AS query
 FROM u""",
         "corpus_pipeline": _corpus_pipeline_sql(),
+        "chat_render": _transcript_cte()
+        + """,
+ranked AS (
+  SELECT conv_id, turn_idx,
+         CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx ASC, ts ASC) AS INT) AS turn_rank,
+         clean_text
+  FROM extracted
+)
+SELECT conv_id,
+       string_agg(concat('<|', CASE WHEN turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END, '|>', chr(10), clean_text),
+                  chr(10) || chr(10) ORDER BY turn_idx, turn_rank) AS document,
+       count(*) AS n_turns
+FROM ranked GROUP BY conv_id""",
+        "text_chunks": """
+WITH n AS (
+  SELECT doc_id, text,
+         CAST(floor((greatest(length(text), 1) - 1) / 150) + 1 AS INT) AS n_chunks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, text, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+  FROM n
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       substr(text, CAST(chunk_idx * 150 + 1 AS INT), 200) AS chunk
+FROM c""",
         "stratified_sample": """
 WITH b AS (
   SELECT doc_id, lang,

@@ -243,3 +243,31 @@ def repetition_signals(df, id_col: str, text_col: str, n: int = 2):
             "top_ngram_frac"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# sliding-window chunking (RAG / context-window prep)
+# ---------------------------------------------------------------------------
+
+
+def chunk_text(df, id_col: str, text_col: str, chunk_chars: int = 200, overlap: int = 50):
+    """Split each text into overlapping fixed-width character chunks
+    (starts every ``chunk_chars - overlap``; the tail chunk may be
+    short; empty/short texts yield exactly one chunk).  One explode, no
+    shuffle — chunk boundaries are char-deterministic so downstream
+    dedup/embedding stages are reproducible."""
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    stride = chunk_chars - overlap
+    t = F.col(text_col)
+    n_chunks = (
+        F.floor((F.greatest(F.length(t), F.lit(1)) - 1) / stride) + 1
+    ).cast("int")
+    idx = F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx")
+    return df.select(F.col(id_col), t.alias("_t"), idx).select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        F.substring(
+            F.col("_t"), F.col("chunk_idx") * stride + 1, chunk_chars
+        ).alias("chunk"),
+    )
