@@ -1,0 +1,32 @@
+"""Bucketed co-located join: both sides bucketed by the join key with
+the same bucket count -> SortMergeJoin with ZERO Exchange operators
+(the write-once-shuffle-never pattern for 100-TB fact joins)."""
+
+from pyspark.sql import functions as F
+
+from web_mass_scraper_ocr_spark.sources.bucketed import read_table, write_bucketed
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    # managed tables land in the session's spark-warehouse dir; DROP
+    # TABLE in the finally block removes the files (managed semantics)
+    a = spark.range(10000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+    b = spark.range(5000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+    write_bucketed(a, "bt_a", ["k"], n_buckets=8, sort_cols=["k"])
+    write_bucketed(b, "bt_b", ["k"], n_buckets=8, sort_cols=["k"])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = read_table(spark, "bt_a").join(read_table(spark, "bt_b"), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert plan.count("Exchange") == 0, plan
+        assert j.count() == 5000
+        # aggregation on the bucket key is exchange-free too
+        agg = read_table(spark, "bt_a").groupBy("k").agg(F.sum("va").alias("s"))
+        agg_plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert agg_plan.count("Exchange") == 0, agg_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")

@@ -2,6 +2,7 @@
 Parquet/Iceberg-shim table IO."""
 
 from . import tableio
+from .bucketed import read_table, write_bucketed
 from .transcripts import build_transcripts_df, generate_transcripts, payload_pool
 
 __all__ = [

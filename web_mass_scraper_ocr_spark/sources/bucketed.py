@@ -1,0 +1,41 @@
+"""Bucketed-table writes — co-located joins without a shuffle.
+
+The resume/checkpoint design already buckets work by conv hash; this is
+the STORAGE-level counterpart: persist fact tables bucketed (and
+optionally sorted) by their join key so that repeated equi-joins and
+aggregations on that key run with ZERO Exchange — at 100 TB the join
+shuffle is usually the single largest network cost, and bucketing pays
+it once at write time instead of once per query.
+
+Requires a session catalog (saveAsTable); the bucket spec lives in the
+table metadata, so every reader session gets the exchange-free plan.
+tests/test_bucketed.py asserts Exchange count == 0 on a
+bucketed-bucketed join with broadcast disabled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 64,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (and bucket-sorted) catalog table.
+
+    ``n_buckets`` should match across the tables you intend to co-join
+    (Spark only elides the exchange when both sides agree)."""
+    writer = df.write.bucketBy(n_buckets, *bucket_cols).mode(mode)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Catalog read; carries the bucket spec into the plan."""
+    return spark.table(table)
