@@ -156,6 +156,43 @@ def q_pricing_rollup(spark, sf_dir):
     )
 
 
+def q_revenue_topk(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter (broadcast customer) ->
+    fact-fact equi-join -> hash agg -> global top-10 by revenue
+    (TakeOrdered: per-partition partial top-k, never a full sort).
+    Exact decimal revenue carrier, cast to double only at the end."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(6,4)")
+    revenue = F.sum(
+        _dec("l_extendedprice", 15, 4) * (one - _dec("l_discount", 6, 4))
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(revenue.cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_brand_supplier_counts(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-count aggregation after a fact-dim
+    join — count(DISTINCT suppkey) per (brand, type) (two-phase
+    distinct agg; partial dedup map-side)."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
 def q_scan_order_limit(spark, sf_dir):
     """Deterministic ORDER BY + LIMIT/OFFSET paging (reference
     db_utils.py:56) via row_number range filter."""
@@ -1103,6 +1140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_rollup": q_pricing_rollup,
         "scan_order_limit": q_scan_order_limit,
+        "revenue_topk": q_revenue_topk,
+        "brand_supplier_counts": q_brand_supplier_counts,
         "anti_join": q_anti_join,
         "semi_join": q_semi_join,
         "dim_lookup": q_dim_lookup,
@@ -1407,6 +1446,19 @@ SELECT l_returnflag, l_linestatus,
   count(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '{SHIP_CUT}'
 GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+        "revenue_topk": """
+SELECT o_orderkey, o_orderdate,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(15,4)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""",
+        "brand_supplier_counts": """
+SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand, p_type""",
         "scan_order_limit": """
 SELECT doc_id, lang, n_chars FROM (
   SELECT doc_id, lang, n_chars, row_number() OVER (ORDER BY doc_id ASC) AS rn
