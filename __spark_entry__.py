@@ -53,12 +53,9 @@ _FACT_TABLES = {"lineitem", "orders", "events", "documents"}
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name in _FACT_TABLES:
-        target = spark.sparkContext.defaultParallelism
-        # inputFiles() counts scan files driver-side without converting
-        # the plan to an RDD (the testdata files are single-row-group,
-        # so files ~= scan partitions; at scale files >= cores -> no-op)
-        if len(df.inputFiles()) < target:
-            df = df.repartition(target)
+        # shared probe: file count + sampled-size estimate of scan
+        # partitions, no plan-to-RDD conversion (dedup.py docstring)
+        df = D._fan_out_small_input(df)
     return df
 
 
@@ -1709,7 +1706,7 @@ FROM ranked GROUP BY conv_id""",
         "text_chunks": """
 WITH n AS (
   SELECT doc_id, text,
-         CAST(floor((greatest(length(text), 1) - 1) / 150) + 1 AS INT) AS n_chunks
+         CAST(floor((greatest(length(text) - 50, 1) - 1) / 150) + 1 AS INT) AS n_chunks
   FROM documents
 ),
 c AS (
@@ -1834,7 +1831,9 @@ WITH u0 AS (
 p AS (
   SELECT doc_id, url,
     regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1) AS netloc,
-    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS pth,
+    CASE WHEN regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*):', 1) <> ''
+         THEN regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*:(//[^/?#]*)?([^?#]*)', 2)
+         ELSE regexp_extract(url, '^([^?#]*)', 1) END AS pth,
     regexp_extract(url, '^[^#]*\?([^#]*)', 1) AS qry
   FROM u0
 ),

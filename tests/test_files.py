@@ -90,6 +90,8 @@ DIR_URLS = [
     "https://cdn.example.com:8080/a/2?q=1",
     "https://h.example.com/p/3",
     "https://h.example.com/",
+    "mailto:user@host-1",  # no netloc -> md5-stub host, urlparse path
+    "some/relative/path?q=2",  # scheme-less: whole string is the path
 ]
 
 

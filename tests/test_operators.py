@@ -367,16 +367,21 @@ def test_approx_distinct_error_bound(request):
 
 def test_chunk_text_edges(request):
     spark = request.getfixturevalue("spark")
-    rows = [(1, ""), (2, "x" * 150), (3, "x" * 151), (4, "x" * 200), (5, "ab")]
+    rows = [
+        (1, ""), (2, "x" * 150), (3, "x" * 151), (4, "x" * 200),
+        (5, "ab"), (6, "x" * 201), (7, "x" * 350),
+    ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {}
     for r in T.chunk_text(df, "doc_id", "text", chunk_chars=200, overlap=50).collect():
         got.setdefault(r.doc_id, []).append((r.chunk_idx, len(r.chunk)))
     assert got[1] == [(0, 0)]          # empty text -> one empty chunk
     assert got[2] == [(0, 150)]        # fits one stride -> one chunk
-    assert sorted(got[3]) == [(0, 151), (1, 1)]  # one char past stride -> tail chunk
-    assert sorted(got[4]) == [(0, 200), (1, 50)]  # overlap tail
+    assert got[3] == [(0, 151)]        # tail would be PURE overlap -> not emitted
+    assert got[4] == [(0, 200)]        # exactly one chunk window
     assert got[5] == [(0, 2)]
+    assert sorted(got[6]) == [(0, 200), (1, 51)]  # 1 new char past overlap -> tail
+    assert sorted(got[7]) == [(0, 200), (1, 200)]
     import pytest as _pytest
     with _pytest.raises(ValueError):
         T.chunk_text(df, "doc_id", "text", chunk_chars=50, overlap=50)

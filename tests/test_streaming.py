@@ -331,3 +331,61 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         (r.conv_id, r.turn_idx) for r in spark.read.parquet(str(out)).collect()
     )
     assert got == [("c1", 0), ("c1", 1), ("c1", 2)]
+
+
+def test_stream_extraction_all_filtered_first_batch(spark, tmp_path):
+    """A first micro-batch whose every row fails validation must not
+    kill the query (the state read-back used to schema-infer over an
+    empty output dir); a later good batch then starts ranks at 1."""
+    from datetime import datetime
+
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    t0 = datetime(2026, 1, 1)
+    spark.createDataFrame(
+        [("c1", 0, "user", None, "plain", t0), ("c1", 1, "user", "", "plain", t0)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    q = stream_extraction(spark, src, out, ckpt, cfg=CFG)
+    q.awaitTermination(120)  # must not raise
+
+    spark.createDataFrame(
+        [("c1", 2, "user", "real text", "plain", t0)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    q = stream_extraction(spark, src, out, ckpt, cfg=CFG)
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(out)).collect()
+    assert [(r.conv_id, r.turn_idx, r.turn_rank) for r in rows] == [("c1", 2, 1)]
+
+
+def test_rank_state_snapshots_pruned(spark, tmp_path):
+    """State snapshots are retention-pruned: after N micro-batches only
+    the last few v* directories remain (storage bounded at
+    O(conversations), not O(batches x conversations))."""
+    import os
+    import time
+    from datetime import datetime
+
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    t0 = datetime(2026, 1, 1)
+    base = int(time.time()) - 1000
+    src.mkdir()
+    for i in range(5):
+        d = tmp_path / f"s{i}"
+        spark.createDataFrame(
+            [("c1", i, "user", f"turn {i}", "plain", t0)], schema
+        ).coalesce(1).write.parquet(str(d))
+        for f in d.glob("*.parquet"):
+            dest = src / f.name
+            f.rename(dest)
+            os.utime(dest, (base + i, base + i))
+
+    q = stream_extraction(spark, src, out, ckpt, cfg=CFG, max_files_per_trigger=1)
+    q.awaitTermination(180)
+    versions = sorted(p.name for p in (ckpt / "rank_state").iterdir())
+    assert len(versions) <= 3, versions
+    assert "v4" in versions  # the latest always survives
+    got = {r.turn_idx: r.turn_rank for r in spark.read.parquet(str(out)).collect()}
+    assert got == {0: 1, 1: 2, 2: 3, 3: 4, 4: 5}  # continuity intact

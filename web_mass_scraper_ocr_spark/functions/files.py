@@ -22,7 +22,20 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
-from .validate import _NETLOC_RE, _PATH_RE, _QUERY_RE
+from .validate import _NETLOC_RE, _PATH_RE, _QUERY_RE, _SCHEME_RE
+
+# urlparse-equivalent path for ANY url shape: group 2 of (optional
+# '//netloc') after a scheme; scheme-less urls are all-path up to ?/#
+_SCHEME_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*:(//[^/?#]*)?([^?#]*)"
+
+
+def _urlpath(url: Column) -> Column:
+    """urlparse(url).path as a column — covers scheme://netloc/path,
+    netloc-less scheme:path (mailto:), and scheme-less strings."""
+    scheme = F.regexp_extract(url, _SCHEME_RE, 1)
+    return F.when(
+        scheme != "", F.regexp_extract(url, _SCHEME_PATH_RE, 2)
+    ).otherwise(F.regexp_extract(url, r"^([^?#]*)", 1))
 
 DEFAULT_EXTENSION = ".jpg"  # reference config.py:59
 MAX_FILENAME_LEN = 100  # reference utils.py:259
@@ -50,8 +63,10 @@ def normalize_hostname(url: Column) -> Column:
 def url_dirname(url: Column) -> Column:
     """URL-specific safe directory key (reference
     get_url_specific_safe_dirname, utils.py:372-390): normalized host +
-    8-hex md5 of path[?query] — unique per page, stable per host."""
-    path = F.regexp_extract(url, _PATH_RE, 1)
+    8-hex md5 of path[?query] — unique per page, stable per host.
+    Uses the urlparse-equivalent path (:func:`_urlpath`) so netloc-less
+    URLs (mailto:) hash the same path the reference does."""
+    path = _urlpath(url)
     query = F.regexp_extract(url, _QUERY_RE, 1)
     path_query = F.when(
         query != "", F.concat(path, F.lit("?"), query)

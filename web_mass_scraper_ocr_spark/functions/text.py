@@ -255,13 +255,20 @@ def chunk_text(df, id_col: str, text_col: str, chunk_chars: int = 200, overlap: 
     (starts every ``chunk_chars - overlap``; the tail chunk may be
     short; empty/short texts yield exactly one chunk).  One explode, no
     shuffle — chunk boundaries are char-deterministic so downstream
-    dedup/embedding stages are reproducible."""
+    dedup/embedding stages are reproducible.
+
+    A chunk that would contain ONLY overlap (start >= len - overlap) is
+    not emitted — it would duplicate content already fully covered by
+    the previous chunk."""
     if overlap >= chunk_chars:
         raise ValueError("overlap must be smaller than chunk_chars")
     stride = chunk_chars - overlap
     t = F.col(text_col)
+    # chunks cover [0, len - overlap) starts; the -overlap keeps a tail
+    # that is pure overlap (fully inside the previous chunk) from
+    # emitting as its own duplicate chunk
     n_chunks = (
-        F.floor((F.greatest(F.length(t), F.lit(1)) - 1) / stride) + 1
+        F.floor((F.greatest(F.length(t) - overlap, F.lit(1)) - 1) / stride) + 1
     ).cast("int")
     idx = F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx")
     return df.select(F.col(id_col), t.alias("_t"), idx).select(

@@ -56,18 +56,43 @@ def _fan_out_small_input(df: DataFrame) -> DataFrame:
     on one task.  A cheap pre-expansion repartition of the (small, or it
     would already have many partitions) input unlocks full parallelism;
     big inputs pass through untouched."""
-    target = df.sparkSession.sparkContext.defaultParallelism
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
     # inputFiles() is a driver-side listing of the scan's files — unlike
     # df.rdd.getNumPartitions() it never converts the plan to an RDD.
     # Single-row-group files (the sandbox testdata) scan as ~1 partition
     # per file; production scans split by maxPartitionBytes and have
     # files >= cores, so this is a no-op there.
     try:
-        n_files = len(df.inputFiles())
+        files = df.inputFiles()
     except Exception:  # non-file-backed plans (literal frames)
         return df
-    if 0 < n_files < target:
+    if not files:
+        return df
+    if len(files) < target:
         return df.repartition(target)
+    # many files >= cores can STILL bin-pack into few scan partitions
+    # (the file source coalesces tiny files up to maxPartitionBytes);
+    # estimate scan partitions from sampled file sizes.  Bounded probe:
+    # at most 64 FS status calls, skipped entirely for huge listings
+    # (which are production-sized and never under-partitioned).
+    if len(files) <= 4096:
+        try:
+            jvm = spark._jvm
+            hconf = spark._jsc.hadoopConfiguration()
+            step = max(1, len(files) // 64)
+            sample = files[::step][:64]
+            total = 0
+            for f in sample:
+                p = jvm.org.apache.hadoop.fs.Path(f)
+                total += p.getFileSystem(hconf).getFileStatus(p).getLen()
+            est_total = total * len(files) // len(sample)
+            raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+            max_pb = int("".join(ch for ch in raw if ch.isdigit()) or "134217728")
+            if est_total // max_pb + 1 < target:
+                return df.repartition(target)
+        except Exception:
+            pass
     return df
 
 
@@ -322,29 +347,37 @@ def _gemm_pair_frame(
     of same-cell block pairs, one numpy GEMM per pair in mapInPandas.
 
     Sub-blocking bounds each collect_list row to ~|cell|/n_blocks
-    vectors, so row size stays bounded even when a cell is big."""
-    cell = F.col(cell_col) if cell_col else F.lit(0)
-    blocks = df.groupBy(
-        cell.alias("_cell"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("block"),
-    ).agg(
+    vectors, so row size stays bounded even when a cell is big.
+
+    Join-key note: WITHOUT a cell column the pair join is the plain
+    block-inequality theta join (broadcast nested loop over a tiny
+    nb-row frame) — joining on a constant key instead would hash every
+    pair row to ONE shuffle partition and serialize all the GEMMs."""
+    group_cols = [F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("block")]
+    if cell_col:
+        group_cols.insert(0, F.col(cell_col).alias("_cell"))
+    blocks = df.groupBy(*group_cols).agg(
         F.collect_list(
             F.struct(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
         ).alias("items")
     )
+    keep = ["_cell"] if cell_col else []
     a = blocks.select(
-        "_cell",
+        *keep,
         F.col("block").alias("block_a"),
         F.col("items.i").alias("ids_a"),
         F.col("items.v").alias("vecs_a"),
     )
     b = blocks.select(
-        "_cell",
+        *keep,
         F.col("block").alias("block_b"),
         F.col("items.i").alias("ids_b"),
         F.col("items.v").alias("vecs_b"),
     )
-    pairs = a.join(b, "_cell").where(F.col("block_a") <= F.col("block_b"))
+    if cell_col:
+        pairs = a.join(b, "_cell").where(F.col("block_a") <= F.col("block_b"))
+    else:
+        pairs = a.join(b, F.col("block_a") <= F.col("block_b"))
     return pairs.mapInPandas(
         _neardup_block_pairs(threshold), schema="id_a long, id_b long"
     )

@@ -59,6 +59,12 @@ def hash_split(
     thresholds over the id hash bucket.  A row's split never changes
     when the corpus grows — the property RNG splits lack."""
     weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(
+            f"hash_split weights must sum to 1.0 (got {total}); otherwise the "
+            "leftover hash range would silently inflate the last split"
+        )
     bucket = _hash_bucket(F.col(id_col), salt)
     expr = None
     acc = 0.0

@@ -43,6 +43,12 @@ def build_training_corpus(
     each branch re-executes the Arrow extraction kernel — the single
     most expensive stage.  At 10^12-turn scale this would be a
     materialized intermediate table instead.
+
+    Cache lifecycle: the returned plan references the persisted frame
+    lazily, so it cannot be unpersisted here.  Long-lived sessions that
+    call this repeatedly should unpersist after consuming the result
+    (``spark.catalog.clearCache()`` or pass ``materialize=False``);
+    otherwise Spark's LRU eviction reclaims the blocks under pressure.
     """
     extracted = build_extraction_df(transcripts, cfg)
     ok = extracted.where(

@@ -76,23 +76,50 @@ def stream_extraction(
     """
     cfg = cfg or ExtractionConfig()
     stream = read_transcript_stream(spark, input_path, max_files_per_trigger)
-    state_dir = Path(checkpoint_location) / "rank_state"
+    state_dir = f"{checkpoint_location}/rank_state"
+    # Hadoop FileSystem (not pathlib) so the checkpoint can live on ANY
+    # scheme Spark supports (file://, hdfs://, s3a://) — local-only
+    # listing would silently find no state on a remote checkpoint and
+    # revert ranks to per-batch.
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+
+    def _hpath(p: str):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    def _state_versions() -> list[int]:
+        p = _hpath(state_dir)
+        fs = p.getFileSystem(hconf)
+        if not fs.exists(p):
+            return []
+        out = []
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if name.startswith("v") and name[1:].isdigit():
+                out.append(int(name[1:]))
+        return sorted(out)
 
     def _state_before(batch_id: int) -> DataFrame | None:
         """Latest committed (conv_id, max_rank) state strictly before
         this batch — versioned per batch id so a replayed batch reads
         the same state it read the first time (idempotence)."""
-        if not state_dir.exists():
-            return None
-        versions = [
-            int(p.name[1:])
-            for p in state_dir.iterdir()
-            if p.name.startswith("v") and p.name[1:].isdigit()
-            and int(p.name[1:]) < batch_id
-        ]
+        versions = [v for v in _state_versions() if v < batch_id]
         if not versions:
             return None
-        return spark.read.parquet(str(state_dir / f"v{max(versions)}"))
+        return spark.read.parquet(f"{state_dir}/v{max(versions)}")
+
+    def _prune_state(batch_id: int, keep: int = 3) -> None:
+        """Drop superseded snapshots: only the latest version is ever
+        read (a replay re-reads max(version) < batch_id, i.e. the
+        previous one), so keeping a few versions bounds state storage
+        at O(conversations) instead of O(batches x conversations)."""
+        stale = [v for v in _state_versions() if v <= batch_id - keep]
+        if not stale:
+            return
+        p = _hpath(state_dir)
+        fs = p.getFileSystem(hconf)
+        for v in stale:
+            fs.delete(_hpath(f"{state_dir}/v{v}"), True)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         out = build_extraction_df(batch_df, cfg)
@@ -117,8 +144,11 @@ def stream_extraction(
             .partitionBy("batch_id")
             .parquet(str(output_path))
         )
-        # next-state from the data actually written (no kernel recompute)
-        written = spark.read.parquet(str(output_path)).where(
+        # next-state from the data actually written (no kernel recompute);
+        # an all-filtered FIRST batch leaves an empty output dir (no
+        # parquet footers) — read with the known schema so zero-row
+        # batches don't kill the query on schema inference
+        written = spark.read.schema(out.schema).parquet(str(output_path)).where(
             F.col("batch_id") == batch_id
         )
         new_max = written.groupBy("conv_id").agg(F.max("turn_rank").alias("max_rank"))
@@ -129,7 +159,8 @@ def stream_extraction(
             if prev is not None
             else new_max
         )
-        new_state.write.mode("overwrite").parquet(str(state_dir / f"v{batch_id}"))
+        new_state.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+        _prune_state(batch_id)
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", str(checkpoint_location)
