@@ -1,0 +1,73 @@
+"""Physical-plan invariants — the properties that make these queries
+survive a 100x scale-up, asserted so a refactor cannot silently lose
+them (pushdown reaching the parquet scan, broadcasts on small dims,
+partial top-k instead of global sorts, zero/one-shuffle extraction)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from web_mass_scraper_ocr_spark.config import ExtractionConfig
+from web_mass_scraper_ocr_spark.plans.extraction import build_extraction_df
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filters_push_to_parquet_scan(spark):
+    plan = _plan(entrymod.queries()["pricing_rollup"](spark, SF))
+    assert "LessThanOrEqual(l_shipdate" in plan  # predicate reached the scan
+    plan = _plan(entrymod.queries()["scan_order_limit"](spark, SF))
+    assert "IsNotNull(text)" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    # 2-column projection must not read the whole documents schema
+    plan = _plan(entrymod.queries()["scan_order_limit"](spark, SF))
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" in read and "source" not in read
+
+
+def test_small_dims_broadcast(spark):
+    plan = _plan(entrymod.queries()["dim_lookup"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    plan = _plan(entrymod.queries()["revenue_topk"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_global_topk_is_partial_not_full_sort(spark):
+    plan = _plan(entrymod.queries()["revenue_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan  # per-partition top-k + merge
+
+
+def test_clustered_extraction_has_zero_exchanges(spark):
+    t = entrymod.derive_transcripts(spark, SF)
+    # clustered mode contracts on conv-clustered sorted layout
+    arranged = t.repartition("conv_id").sortWithinPartitions(
+        "conv_id", "turn_idx", "ts"
+    )
+    # the extraction stage itself must add ZERO exchanges on top of
+    # whatever the input plan already carries (arrange + testdata fan-out)
+    base = _plan(arranged).count("Exchange")
+    out = build_extraction_df(arranged, ExtractionConfig(ordering_mode="clustered"))
+    assert _plan(out).count("Exchange") == base
+
+
+def test_sorted_extraction_adds_exactly_one_exchange(spark):
+    t = entrymod.derive_transcripts(spark, SF)
+    base = _plan(t).count("Exchange")
+    out = build_extraction_df(t, ExtractionConfig(ordering_mode="sorted"))
+    assert _plan(out).count("Exchange") == base + 1
+
+
+def test_no_cartesian_products_anywhere(spark):
+    # CartesianProduct = unbounded blowup; broadcast nested loops are
+    # allowed only for the deliberately tiny centroid/query frames
+    for name, fn in entrymod.queries().items():
+        if name == "streaming_extract":
+            continue  # runs a stream, not a comparable batch plan
+        plan = _plan(fn(spark, SF))
+        assert "CartesianProduct" not in plan, name
