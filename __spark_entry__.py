@@ -968,6 +968,20 @@ def q_repetition(spark, sf_dir):
     )
 
 
+def q_windowed_metrics(spark, sf_dir):
+    """The watermark-window rollup (streaming/ingest.py
+    windowed_status_metrics) under the batch oracle: tumbling 6-hour
+    event-time windows x status counts (watermark is a no-op on a
+    bounded frame, so the aggregation semantics gate cross-engine)."""
+    from web_mass_scraper_ocr_spark.streaming.ingest import windowed_status_metrics
+
+    e = _t(spark, sf_dir, "events").withColumnRenamed("event_type", "status")
+    return windowed_status_metrics(e, window_length="6 hours").select(
+        "window_start", "window_end", "status",
+        F.col("n_turns").cast("long").alias("n_turns"),
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (session starts when the inter-event
     gap within a user exceeds SESSION_GAP_S): one window shuffle,
@@ -1185,6 +1199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "hypertable_rollup": q_hypertable_rollup,
         "sessionize": q_sessionize,
+        "windowed_metrics": q_windowed_metrics,
         "corpus_pipeline": q_corpus_pipeline,
         "scrub_pii": q_scrub_pii,
         "chat_render": q_chat_render,
@@ -1689,6 +1704,12 @@ SELECT doc_id,
        regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
        regexp_extract(url, '\\?(.*)$', 1) AS query
 FROM u""",
+        "windowed_metrics": """
+SELECT CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600) AS TIMESTAMP) AS window_start,
+       CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600 + 21600) AS TIMESTAMP) AS window_end,
+       event_type AS status,
+       count(*) AS n_turns
+FROM events GROUP BY 1, 2, 3""",
         "corpus_pipeline": _corpus_pipeline_sql(),
         "chat_render": _transcript_cte()
         + """,

@@ -126,3 +126,35 @@ def test_safe_filename_frame_equals_column_form(spark):
         r.url: r.safe_filename for r in safe_filename_frame(df, "url").collect()
     }
     assert frame_form == col_form
+
+
+def test_safe_filename_fuzz_parity(spark):
+    """Seeded component cross-product vs the reference-algorithm mirror
+    (one Spark job for all cases)."""
+    import random
+
+    rng = random.Random(29)
+    hosts = ["https://h.example.com", "http://a.b.co:8080"]
+    dirs = ["", "/", "/a", "/a/b.d", "/a.b/c"]
+    names = ["", "pic", "pic.png", "we!rd(n).tar.gz", "a.", ".hidden.txt",
+             "x" * 120, "x" * 120 + ".jpeg", "pic name"]
+    queries = ["", "?q=1", "?a=1&b=2", "?" + "q" * 30]
+    frags = ["", "#f"]
+    cases = []
+    for _ in range(300):
+        cases.append(
+            rng.choice(hosts) + rng.choice(dirs)
+            + ("/" + rng.choice(names) if rng.random() < 0.8 else "")
+            + rng.choice(queries) + rng.choice(frags)
+        )
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(cases)], "i int, url string")
+    got = {
+        r.i: r.fn
+        for r in df.select("i", safe_filename(F.col("url")).alias("fn")).collect()
+    }
+    mismatches = [
+        (u, got[i], ref_safe_filename(u))
+        for i, u in enumerate(cases)
+        if got[i] != ref_safe_filename(u)
+    ]
+    assert not mismatches, mismatches[:10]
