@@ -968,6 +968,20 @@ def q_repetition(spark, sf_dir):
     )
 
 
+def q_quantiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (latency-style SLO
+    reporting; Spark `percentile` and DuckDB `quantile_cont` share the
+    linear-interpolation definition bit-for-bit).  The approximate path
+    at 100 TB is `approx_percentile` (sketch-based, rows-only gate like
+    approx_distinct)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.95).alias("p95"),
+        F.percentile("value", 0.99).alias("p99"),
+    )
+
+
 def q_windowed_metrics(spark, sf_dir):
     """The watermark-window rollup (streaming/ingest.py
     windowed_status_metrics) under the batch oracle: tumbling 6-hour
@@ -1200,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hypertable_rollup": q_hypertable_rollup,
         "sessionize": q_sessionize,
         "windowed_metrics": q_windowed_metrics,
+        "quantiles": q_quantiles,
         "corpus_pipeline": q_corpus_pipeline,
         "scrub_pii": q_scrub_pii,
         "chat_render": q_chat_render,
@@ -1704,6 +1719,12 @@ SELECT doc_id,
        regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
        regexp_extract(url, '\\?(.*)$', 1) AS query
 FROM u""",
+        "quantiles": """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.95) AS p95,
+       quantile_cont(value, 0.99) AS p99
+FROM events GROUP BY event_type""",
         "windowed_metrics": """
 SELECT CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600) AS TIMESTAMP) AS window_start,
        CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600 + 21600) AS TIMESTAMP) AS window_end,
