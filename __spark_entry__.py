@@ -28,6 +28,7 @@ from web_mass_scraper_ocr_spark.operators import similarity as S
 # shared parameters (mirrored verbatim into the SQL oracles)
 SHINGLE_N = 3
 JACCARD_THRESHOLD = 0.5
+JACCARD_DF_CAP = 5  # max shingle document frequency (fires at sf0.01)
 MINHASH_K = 16
 BAND_SIZE = 4
 SIMHASH_BITS = 32
@@ -428,9 +429,14 @@ def q_exact_dedup(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
+    """Exact shingle-Jaccard pairs WITH the document-frequency cap
+    exercised: at sf0.01 some shingles have df 6-7, so the cap of
+    JACCARD_DF_CAP=5 actually drops shingles and the oracle verifies
+    the capped semantics (Jaccard over the informative universe)."""
     d = _t(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(
-        d, "doc_id", "text", n=SHINGLE_N, threshold=JACCARD_THRESHOLD
+        d, "doc_id", "text", n=SHINGLE_N, threshold=JACCARD_THRESHOLD,
+        max_shingle_df=JACCARD_DF_CAP,
     ).select(
         F.col("id_a").alias("id_a"),
         F.col("id_b").alias("id_b"),
@@ -802,12 +808,13 @@ def q_url_dirname(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents")
-    i = F.col("doc_id") % 4
+    i = F.col("doc_id") % 5
     did = F.col("doc_id").cast("string")
     url = (
         F.when(i == 0, F.concat(F.lit("https://"), F.col("lang"), F.lit(".Example-Site.com/docs/"), did))
         .when(i == 1, F.concat(F.lit("https://cdn.example.com:8080/a/"), did, F.lit("?q=1")))
         .when(i == 2, F.concat(F.lit("mailto:user@host-"), did))  # no netloc -> md5 stub
+        .when(i == 3, F.concat(F.lit("https://MÜNCHEN.example.com/straße/"), did))  # IDN host
         .otherwise(F.concat(F.lit("https://h.example.com/p/"), did))
     )
     return d.select(
@@ -944,6 +951,7 @@ def q_scrub_pii(spark, sf_dir):
         F.md5(scrubbed).alias("scrub_md5"),
         counts["n_emails"].cast("long").alias("n_emails"),
         counts["n_ipv4s"].cast("long").alias("n_ipv4s"),
+        counts["n_phones"].cast("long").alias("n_phones"),
     )
 
 
@@ -979,6 +987,41 @@ def q_quantiles(spark, sf_dir):
         F.percentile("value", 0.5).alias("p50"),
         F.percentile("value", 0.95).alias("p95"),
         F.percentile("value", 0.99).alias("p99"),
+    )
+
+
+def q_approx_quantiles(spark, sf_dir):
+    """Sketch-based percentiles — the 100-TB form of `quantiles` (no
+    per-group full sort; KLL/GK-style mergeable sketch).  Sketch
+    internals are engine-specific, so like `approx_distinct` this is a
+    rows-only gate; the error bound vs the exact `percentile` is
+    asserted in tests/test_operators.py."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_percentile("value", 0.5, 10000).alias("p50"),
+        F.approx_percentile("value", 0.95, 10000).alias("p95"),
+        F.approx_percentile("value", 0.99, 10000).alias("p99"),
+    )
+
+
+def q_connected_components(spark, sf_dir):
+    """Connected components over a deterministic pair graph (chains of
+    10k..10k+3 merged with stars 10k<-{10k+7,10k+8,10k+9}) — the
+    transitive near-dup resolution operator (operators/graph.py),
+    oracled by a DuckDB recursive CTE computing min-reachable-vertex."""
+    from web_mass_scraper_ocr_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id") % 10
+    chain = d.where(i.isin(1, 2, 3)).select(
+        (F.col("doc_id") - 1).alias("id_a"), F.col("doc_id").alias("id_b")
+    )
+    star = d.where(i.isin(7, 8, 9)).select(
+        (F.col("doc_id") - i).alias("id_a"), F.col("doc_id").alias("id_b")
+    )
+    return connected_components(chain.union(star), "id_a", "id_b").select(
+        F.col("id").cast("long").alias("id"),
+        F.col("component").cast("long").alias("component"),
     )
 
 
@@ -1100,7 +1143,7 @@ def q_safe_filename(spark, sf_dir):
     from web_mass_scraper_ocr_spark.functions.files import safe_filename
 
     d = _t(spark, sf_dir, "documents")
-    i = F.col("doc_id") % 8
+    i = F.col("doc_id") % 10
     did = F.col("doc_id").cast("string")
     url = (
         F.when(i == 0, F.lit("https://h.example.com/imgs/pic.png"))
@@ -1110,6 +1153,8 @@ def q_safe_filename(spark, sf_dir):
         .when(i == 4, F.concat(F.lit("https://h.example.com/file"), did))
         .when(i == 5, F.lit("https://h.example.com/we!rd(name).tar.gz"))
         .when(i == 6, F.concat(F.lit("https://h.example.com/file?a="), did))
+        .when(i == 7, F.concat(F.lit("mailto:user-"), did, F.lit("@example.com")))
+        .when(i == 8, F.lit("https://h.example.com/imgs/café über.png"))
         .otherwise(F.concat(F.lit("https://h.example.com/d"), did, F.lit("/")))
     )
     from web_mass_scraper_ocr_spark.functions.files import safe_filename_frame
@@ -1137,12 +1182,19 @@ def q_streaming_extract(spark, sf_dir):
     trigger(availableNow) through foreachBatch(build_extraction_df), and
     return the materialized output.  availableNow processes the whole
     staging dir, so per-turn results must equal the batch oracle."""
+    import shutil
     import tempfile
     from pathlib import Path
 
     from web_mass_scraper_ocr_spark.streaming.ingest import stream_extraction
 
-    work = Path(tempfile.mkdtemp(prefix="wms_stream_q_"))
+    # fixed per-process staging dir, recreated each run: repeated gate
+    # runs reuse (not accumulate) it; the output parquet must outlive
+    # this function (the returned DataFrame is lazy), so cleanup is
+    # at-next-run rather than on-exit
+    work = Path(tempfile.gettempdir()) / "wms_stream_q"
+    shutil.rmtree(work, ignore_errors=True)
+    work.mkdir(parents=True)
     src, out, ckpt = work / "src", work / "out", work / "ckpt"
     derive_transcripts(spark, sf_dir).write.parquet(str(src))
     q = stream_extraction(spark, src, out, ckpt)
@@ -1215,6 +1267,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "windowed_metrics": q_windowed_metrics,
         "quantiles": q_quantiles,
+        "approx_quantiles": q_approx_quantiles,
+        "connected_components": q_connected_components,
         "corpus_pipeline": q_corpus_pipeline,
         "scrub_pii": q_scrub_pii,
         "chat_render": q_chat_render,
@@ -1575,10 +1629,15 @@ WHERE doc_id IN (
 )""",
         "ngram_jaccard": f"""
 WITH {_shingle_cte()},
-sizes AS (SELECT doc_id, count(*) AS set_size FROM shingles GROUP BY doc_id),
+informative AS (
+  SELECT shingle FROM (SELECT shingle, count(*) AS df FROM shingles GROUP BY shingle)
+  WHERE df <= {JACCARD_DF_CAP}
+),
+kept AS (SELECT s.doc_id, s.shingle FROM shingles s JOIN informative USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM kept GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common_shingles
-  FROM shingles a JOIN shingles b USING (shingle)
+  FROM kept a JOIN kept b USING (shingle)
   WHERE a.doc_id < b.doc_id GROUP BY 1, 2
 )
 SELECT id_a, id_b, common_shingles,
@@ -1719,6 +1778,20 @@ SELECT doc_id,
        regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
        regexp_extract(url, '\\?(.*)$', 1) AS query
 FROM u""",
+        "connected_components": """
+WITH RECURSIVE e AS (
+  SELECT doc_id - 1 AS a, doc_id AS b FROM documents WHERE doc_id % 10 IN (1, 2, 3)
+  UNION ALL
+  SELECT doc_id - (doc_id % 10) AS a, doc_id AS b FROM documents WHERE doc_id % 10 IN (7, 8, 9)
+),
+edges AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e2.a, reach.r FROM edges e2 JOIN reach ON reach.id = e2.b
+)
+SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS component
+FROM reach GROUP BY id""",
         "quantiles": """
 SELECT event_type,
        quantile_cont(value, 0.5) AS p50,
@@ -1824,15 +1897,20 @@ WITH p AS (
                 lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
                 ' ip 10.0.0.', CAST(doc_id % 256 AS VARCHAR)) AS pii
   FROM documents
+),
+m AS (
+  SELECT doc_id, pii,
+         regexp_replace(regexp_replace(pii,
+             '{T.EMAIL_RE}', '<EMAIL>', 'g'),
+             '{T.IPV4_RE}', '<IP>', 'g') AS masked
+  FROM p
 )
 SELECT doc_id,
-       md5(regexp_replace(regexp_replace(regexp_replace(pii,
-             '{T.EMAIL_RE}', '<EMAIL>', 'g'),
-             '{T.IPV4_RE}', '<IP>', 'g'),
-             '{T.PHONE_RE}', '<PHONE>', 'g')) AS scrub_md5,
+       md5(regexp_replace(masked, '{T.PHONE_RE}', '<PHONE>', 'g')) AS scrub_md5,
        CAST(len(regexp_extract_all(pii, '{T.EMAIL_RE}')) AS BIGINT) AS n_emails,
-       CAST(len(regexp_extract_all(pii, '{T.IPV4_RE}')) AS BIGINT) AS n_ipv4s
-FROM p""",
+       CAST(len(regexp_extract_all(pii, '{T.IPV4_RE}')) AS BIGINT) AS n_ipv4s,
+       CAST(len(regexp_extract_all(masked, '{T.PHONE_RE}')) AS BIGINT) AS n_phones
+FROM m""",
         "ngram_stats": f"""
 WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
 grams AS (
@@ -1862,10 +1940,11 @@ FROM per GROUP BY doc_id""",
         "url_dirname": r"""
 WITH u0 AS (
   SELECT doc_id,
-    CASE doc_id % 4
+    CASE doc_id % 5
       WHEN 0 THEN concat('https://', lang, '.Example-Site.com/docs/', CAST(doc_id AS VARCHAR))
       WHEN 1 THEN concat('https://cdn.example.com:8080/a/', CAST(doc_id AS VARCHAR), '?q=1')
       WHEN 2 THEN concat('mailto:user@host-', CAST(doc_id AS VARCHAR))
+      WHEN 3 THEN concat('https://MÜNCHEN.example.com/straße/', CAST(doc_id AS VARCHAR))
       ELSE concat('https://h.example.com/p/', CAST(doc_id AS VARCHAR))
     END AS url
   FROM documents
@@ -1882,7 +1961,7 @@ p AS (
 h AS (
   SELECT doc_id,
     CASE WHEN netloc = '' THEN concat('unknown_host_', substr(md5(url), 1, 8))
-         ELSE lower(regexp_replace(replace(netloc, '.', '_'), '[^\w-]', '_', 'g')) END AS host_key,
+         ELSE lower(regexp_replace(replace(netloc, '.', '_'), '[^\p{L}\p{N}_-]', '_', 'g')) END AS host_key,
     CASE WHEN qry <> '' THEN concat(pth, '?', qry) ELSE pth END AS path_query
   FROM p
 )
@@ -1974,7 +2053,7 @@ SELECT doc_id, reason = '' AS ok, reason FROM r""",
         "safe_filename": r"""
 WITH u0 AS (
   SELECT doc_id,
-    CASE doc_id % 8
+    CASE doc_id % 10
       WHEN 0 THEN 'https://h.example.com/imgs/pic.png'
       WHEN 1 THEN concat('https://h.example.com/imgs/pic name.png?x=', CAST(doc_id AS VARCHAR))
       WHEN 2 THEN 'https://h.example.com/'
@@ -1982,12 +2061,16 @@ WITH u0 AS (
       WHEN 4 THEN concat('https://h.example.com/file', CAST(doc_id AS VARCHAR))
       WHEN 5 THEN 'https://h.example.com/we!rd(name).tar.gz'
       WHEN 6 THEN concat('https://h.example.com/file?a=', CAST(doc_id AS VARCHAR))
+      WHEN 7 THEN concat('mailto:user-', CAST(doc_id AS VARCHAR), '@example.com')
+      WHEN 8 THEN 'https://h.example.com/imgs/café über.png'
       ELSE concat('https://h.example.com/d', CAST(doc_id AS VARCHAR), '/')
     END AS url
   FROM documents
 ),
 p AS (SELECT doc_id,
-  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS pth,
+  CASE WHEN regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*):', 1) <> ''
+       THEN regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*:(//[^/?#]*)?([^?#]*)', 2)
+       ELSE regexp_extract(url, '^([^?#]*)', 1) END AS pth,
   regexp_extract(url, '^[^#]*\?([^#]*)', 1) AS qry FROM u0),
 f1 AS (SELECT *, CASE WHEN regexp_extract(regexp_replace(pth, '/+$', ''), '([^/]*)$', 1) = ''
                       THEN substr(md5(pth), 1, 8)
@@ -1995,8 +2078,8 @@ f1 AS (SELECT *, CASE WHEN regexp_extract(regexp_replace(pth, '/+$', ''), '([^/]
 e0 AS (SELECT *, regexp_extract(filename, '^.+?(\.[^.]*)$', 1) AS ext FROM f1),
 n0 AS (SELECT *, CASE WHEN ext = '' THEN filename
                       ELSE substr(filename, 1, length(filename) - length(ext)) END AS nm FROM e0),
-s0 AS (SELECT *, regexp_replace(nm, '[^\w.-]', '_', 'g') AS sname0,
-                 regexp_replace(ext, '[^\w.]', '_', 'g') AS sext0 FROM n0),
+s0 AS (SELECT *, regexp_replace(nm, '[^\p{L}\p{N}_.-]', '_', 'g') AS sname0,
+                 regexp_replace(ext, '[^\p{L}\p{N}_.]', '_', 'g') AS sext0 FROM n0),
 s1 AS (SELECT *, CASE WHEN qry <> '' THEN concat(sname0, '_', substr(md5(qry), 1, 8)) ELSE sname0 END AS sname FROM s0),
 s2 AS (SELECT *, CASE WHEN sext0 = '' AND NOT contains(sname, '.') THEN '.jpg' ELSE sext0 END AS sext FROM s1),
 c0 AS (SELECT *, concat(sname, sext) AS final0 FROM s2),

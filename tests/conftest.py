@@ -14,6 +14,13 @@ def spark():
     s.stop()
 
 
+@pytest.fixture(scope="session")
+def sf_dir():
+    import os
+
+    return os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
 @pytest.fixture()
 def tmp_warehouse():
     d = tempfile.mkdtemp(prefix="wms_wh_")

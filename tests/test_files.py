@@ -46,6 +46,10 @@ URLS = [
     "https://h.example.com/dir/",  # pathlib ignores trailing slash
     "https://h.example.com/a/b/c.jpeg?q=z#frag",
     "https://h.example.com/trailing.",  # splitext keeps the bare dot
+    "https://h.example.com/imgs/café über.png",  # Unicode \w parity
+    "https://h.example.com/漢字/図面 v2.pdf?サイズ=大",  # CJK path+query
+    "mailto:user@example.com",  # netloc-less: urlparse path, md5 stub host
+    "some/relative/path/img.png?q=2",  # scheme-less: whole string is path
 ]
 
 
@@ -92,6 +96,7 @@ DIR_URLS = [
     "https://h.example.com/",
     "mailto:user@host-1",  # no netloc -> md5-stub host, urlparse path
     "some/relative/path?q=2",  # scheme-less: whole string is the path
+    "https://MÜNCHEN.example.com/straße/7",  # IDN host: Unicode \w + lower
 ]
 
 
@@ -137,7 +142,8 @@ def test_safe_filename_fuzz_parity(spark):
     hosts = ["https://h.example.com", "http://a.b.co:8080"]
     dirs = ["", "/", "/a", "/a/b.d", "/a.b/c"]
     names = ["", "pic", "pic.png", "we!rd(n).tar.gz", "a.", ".hidden.txt",
-             "x" * 120, "x" * 120 + ".jpeg", "pic name"]
+             "x" * 120, "x" * 120 + ".jpeg", "pic name",
+             "café-ü.png", "図面v2.pdf", "naïve £5 résumé.txt"]
     queries = ["", "?q=1", "?a=1&b=2", "?" + "q" * 30]
     frags = ["", "#f"]
     cases = []

@@ -1,0 +1,107 @@
+"""Connected-components resolution: chain/star fixtures, convergence
+guard, corpus-policy comparison, and the approx-percentile error bound
+(the two round-3 additions to the gated query set)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_mass_scraper_ocr_spark.operators.graph import (
+    component_representatives,
+    connected_components,
+)
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "id_a string, id_b string")
+
+
+def test_chain_collapses_to_global_min(spark):
+    # A~B, B~C: the whole chain is one component with representative A
+    comp = connected_components(_pairs(spark, [("A", "B"), ("B", "C")]))
+    got = {r.id: r.component for r in comp.collect()}
+    assert got == {"A": "A", "B": "A", "C": "A"}
+
+
+def test_star_merges_never_compared_vertices(spark):
+    # (A,C), (B,C): A and B were never directly compared but share a
+    # component via C — components keeps ONE of {A,B,C}; greedy would
+    # keep both A and B (drops only max of each pair = C)
+    reps = component_representatives(_pairs(spark, [("A", "C"), ("B", "C")]))
+    kept = {r.id for r in reps.where("keep").collect()}
+    assert kept == {"A"}
+
+
+def test_disjoint_components_stay_disjoint(spark):
+    comp = connected_components(
+        _pairs(spark, [("A", "B"), ("X", "Y"), ("Y", "Z")])
+    )
+    got = {r.id: r.component for r in comp.collect()}
+    assert got == {"A": "A", "B": "A", "X": "X", "Y": "X", "Z": "X"}
+
+
+def test_long_chain_converges_within_diameter_rounds(spark):
+    # propagation needs ~diameter rounds; a 12-edge chain within the
+    # default cap of 25 must converge to the single minimum
+    edges = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(12)]
+    comp = connected_components(_pairs(spark, edges))
+    assert comp.where(F.col("component") != "n00").count() == 0
+
+
+def test_nonconvergence_raises_not_silent(spark):
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(
+            _pairs(spark, [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(8)]),
+            max_iterations=2,
+        )
+
+
+def test_corpus_components_policy_transitive(spark):
+    """End-to-end: on a star-shaped near-dup group the components
+    policy keeps exactly one representative; greedy keeps the two
+    never-compared-directly members."""
+    from web_mass_scraper_ocr_spark.config import ExtractionConfig
+    from web_mass_scraper_ocr_spark.plans.corpus import build_training_corpus
+    from web_mass_scraper_ocr_spark.sources.transcripts import generate_transcripts
+
+    transcripts = spark.createDataFrame(generate_transcripts(n_convs=30))
+    kw = dict(
+        cfg=ExtractionConfig(), min_quality=0.2, neardup_threshold=0.8
+    )
+    greedy = build_training_corpus(transcripts, neardup_policy="greedy", **kw)
+    comps = build_training_corpus(transcripts, neardup_policy="components", **kw)
+    n_greedy, n_comps = greedy.count(), comps.count()
+    # components is at least as aggressive as greedy, and both keep a
+    # non-trivial corpus
+    assert 0 < n_comps <= n_greedy
+
+    with pytest.raises(ValueError, match="neardup_policy"):
+        build_training_corpus(transcripts, neardup_policy="nope", **kw).count()
+
+
+def test_approx_percentile_within_rank_bound(spark, sf_dir):
+    """The rows-only `approx_quantiles` gate's accuracy contract,
+    stated the way the sketch actually guarantees it: the returned
+    value (always an actual data value — no interpolation, unlike
+    exact `percentile`) must occupy a RANK within n/accuracy of the
+    target 0.95*n in its group."""
+    q, acc = 0.95, 10000
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ap = e.groupBy("event_type").agg(
+        F.approx_percentile("value", q, acc).alias("approx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ranks = (
+        e.join(ap, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("n").alias("n"),
+            F.sum((F.col("value") < F.col("approx")).cast("long")).alias("cnt_lt"),
+            F.sum((F.col("value") <= F.col("approx")).cast("long")).alias("cnt_le"),
+        )
+    )
+    tol = F.col("n") / acc + 1
+    target = q * F.col("n")
+    bad = ranks.where(
+        ~((F.col("cnt_lt") <= target + tol) & (F.col("cnt_le") >= target - tol))
+    )
+    assert bad.count() == 0, bad.collect()

@@ -16,13 +16,28 @@ in DuckDB — the splitext regex ``^.+?(\\.[^.]*)$`` reproduces
 ``os.path.splitext`` for names without leading dots (a leading-dot-only
 filename has no extension under splitext; such names don't survive step
 1's segment extraction here).
+
+Unicode fidelity: the reference sanitizes with Python ``re`` whose
+``\\w`` is Unicode-aware, while Java/RE2 ``\\w`` is ASCII-only — so the
+char classes here are spelled ``[\\p{L}\\p{N}_]`` (letters + numbers +
+underscore), which matches Python ``\\w`` (``str.isalnum() or '_'``)
+and evaluates identically in Spark (Java regex) and DuckDB (RE2).
+Path extraction uses :func:`_urlpath` (urlparse-equivalent for ANY url
+shape) so netloc-less URLs (``mailto:``) and scheme-less relative
+paths take the same path the reference's ``urlparse().path`` does.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
-from .validate import _NETLOC_RE, _PATH_RE, _QUERY_RE, _SCHEME_RE
+from .validate import _NETLOC_RE, _QUERY_RE, _SCHEME_RE
+
+# Python-\w-equivalent sanitizers (see module doc): Unicode letters,
+# numbers, underscore, plus the reference's kept punctuation.
+_NON_WORD_DOT_DASH = r"[^\p{L}\p{N}_.-]"  # reference: [^\w.-]
+_NON_WORD_DOT = r"[^\p{L}\p{N}_.]"  # reference: [^\w.]
+_NON_WORD_DASH = r"[^\p{L}\p{N}_-]"  # reference: [^\w-]
 
 # urlparse-equivalent path for ANY url shape: group 2 of (optional
 # '//netloc') after a scheme; scheme-less urls are all-path up to ?/#
@@ -56,7 +71,7 @@ def normalize_hostname(url: Column) -> Column:
         netloc == "",
         F.concat(F.lit("unknown_host_"), F.substring(F.md5(url), 1, 8)),
     ).otherwise(
-        F.lower(F.regexp_replace(F.replace(netloc, F.lit("."), F.lit("_")), r"[^\w-]", "_"))
+        F.lower(F.regexp_replace(F.replace(netloc, F.lit("."), F.lit("_")), _NON_WORD_DASH, "_"))
     )
 
 
@@ -78,7 +93,7 @@ def url_dirname(url: Column) -> Column:
 
 def safe_filename(url: Column, default_ext: str = DEFAULT_EXTENSION) -> Column:
     """URL -> deterministic filesystem-safe filename (see module doc)."""
-    path = F.regexp_extract(url, _PATH_RE, 1)
+    path = _urlpath(url)
     query = F.regexp_extract(url, _QUERY_RE, 1)
 
     seg = F.regexp_extract(F.regexp_replace(path, "/+$", ""), "([^/]*)$", 1)
@@ -88,8 +103,8 @@ def safe_filename(url: Column, default_ext: str = DEFAULT_EXTENSION) -> Column:
     name = F.when(ext == "", filename).otherwise(
         F.substring(filename, F.lit(1), F.length(filename) - F.length(ext))
     )
-    safe_name = F.regexp_replace(name, r"[^\w.-]", "_")
-    safe_ext = F.regexp_replace(ext, r"[^\w.]", "_")
+    safe_name = F.regexp_replace(name, _NON_WORD_DOT_DASH, "_")
+    safe_ext = F.regexp_replace(ext, _NON_WORD_DOT, "_")
 
     safe_name = F.when(
         query != "", F.concat(safe_name, F.lit("_"), F.substring(F.md5(query), 1, 8))
@@ -127,7 +142,7 @@ def safe_filename_frame(
     u = F.col(url_col)
     df = df.withColumns(
         {
-            "_sfn_path": F.regexp_extract(u, _PATH_RE, 1),
+            "_sfn_path": _urlpath(u),
             "_sfn_query": F.regexp_extract(u, _QUERY_RE, 1),
         }
     )
@@ -148,10 +163,10 @@ def safe_filename_frame(
                         F.length(F.col("_sfn_file")) - F.length(F.col("_sfn_ext")),
                     )
                 ),
-                r"[^\w.-]",
+                _NON_WORD_DOT_DASH,
                 "_",
             ),
-            "_sfn_sext": F.regexp_replace(F.col("_sfn_ext"), r"[^\w.]", "_"),
+            "_sfn_sext": F.regexp_replace(F.col("_sfn_ext"), _NON_WORD_DOT, "_"),
         }
     )
     df = df.withColumn(

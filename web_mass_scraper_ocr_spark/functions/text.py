@@ -171,24 +171,39 @@ def fingerprint(col: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
-PHONE_RE = r"\+?[0-9][0-9 ().\-]{7,}[0-9]"
+# 7-15 DIGITS (not 7 filler chars) with at most 3 separator chars
+# between consecutive digits — '1-------2' no longer matches.  Kept
+# lookaround-free so the DuckDB (RE2) oracle evaluates it identically.
+# Known over-masking bias: date-shaped runs ('2024-01-01') contain 8
+# digits and still match; for PII scrubbing the conservative direction
+# is to over-mask, and the bias is surfaced by the n_phones audit count.
+PHONE_RE = r"\+?[0-9](?:[ ().\-]{0,3}[0-9]){6,14}"
 IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 
 
 def scrub_pii(col: Column) -> Column:
     """Mask emails -> <EMAIL>, then IPv4s -> <IP>, then phone-number
     runs -> <PHONE> (order matters: emails and IPs contain digit runs a
-    phone pass would otherwise mangle)."""
+    phone pass would otherwise mangle).  See ``PHONE_RE`` for the
+    documented date-over-masking bias."""
     out = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
     out = F.regexp_replace(out, IPV4_RE, "<IP>")
     return F.regexp_replace(out, PHONE_RE, "<PHONE>")
 
 
 def pii_counts(col: Column) -> dict[str, Column]:
-    """How many of each PII shape a text contains (audit columns)."""
+    """How many of each PII shape a text contains (audit columns):
+    n_emails, n_ipv4s, n_phones.  Phones are counted on the email/IP-
+    masked text — the same runs :func:`scrub_pii`'s phone pass actually
+    replaces (counting on raw text would double-count digit runs inside
+    emails and IPs)."""
+    masked = F.regexp_replace(
+        F.regexp_replace(col, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+    )
     return {
         "n_emails": F.regexp_count(col, F.lit(EMAIL_RE)),
         "n_ipv4s": F.regexp_count(col, F.lit(IPV4_RE)),
+        "n_phones": F.regexp_count(masked, F.lit(PHONE_RE)),
     }
 
 

@@ -88,7 +88,16 @@ def _fan_out_small_input(df: DataFrame) -> DataFrame:
                 total += p.getFileSystem(hconf).getFileStatus(p).getLen()
             est_total = total * len(files) // len(sample)
             raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
-            max_pb = int("".join(ch for ch in raw if ch.isdigit()) or "134217728")
+            try:
+                # proper size-suffix parsing ('128m', '1g', ...) via
+                # Spark's own byte-string parser; a digit-strip would
+                # read '128m' as 128 BYTES and wreck the estimate
+                max_pb = int(
+                    jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+                )
+            except Exception:
+                max_pb = 134217728
+            max_pb = max(max_pb, 1)
             if est_total // max_pb + 1 < target:
                 return df.repartition(target)
         except Exception:
@@ -127,15 +136,35 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    max_shingle_df: int | None = 10_000,
 ) -> DataFrame:
     """Doc pairs with shingle-set Jaccard >= threshold.
 
-    Plan shape: explode -> self equi-join on shingle (AQE handles hot
-    shingles) -> pair-count agg -> join per-doc set sizes (broadcastable
-    when the corpus is reduced) -> filter.  Returns (id_a, id_b,
-    common_shingles, jaccard) with id_a < id_b.
+    Plan shape: explode -> document-frequency cap -> self equi-join on
+    shingle (AQE handles hot shingles) -> pair-count agg -> join per-doc
+    set sizes (broadcastable when the corpus is reduced) -> filter.
+    Returns (id_a, id_b, common_shingles, jaccard) with id_a < id_b.
+
+    ``max_shingle_df`` is the scale guard for the exact path: a shingle
+    present in k documents contributes k^2/2 rows to the self-join, so
+    one boilerplate shingle ("all rights reserved ...") in 1M docs
+    would alone produce 5e11 join rows.  Shingles with df above the cap
+    carry no near-dup signal (they fail to discriminate) and are
+    dropped BEFORE the self-join; Jaccard is then computed over the
+    informative-shingle universe (set sizes counted after the cap, so
+    the ratio stays a true Jaccard on that universe).  ``None``
+    disables the cap — only sane for bounded corpora; the 100-TB route
+    is :func:`lsh_candidate_pairs`.
     """
     sh = token_shingles(df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        informative = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(informative, "shingle", "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
 
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")

@@ -1,0 +1,115 @@
+"""Connected components over a pair graph — the principled resolution
+for near-duplicate clusters.
+
+The corpus pipeline's near-dup stage produces similar PAIRS; turning
+pairs into "keep one representative per cluster" needs the transitive
+closure: on pairs (A,C), (B,C) the cluster is {A,B,C} even though A and
+B were never directly compared.  The greedy per-pair policy (drop the
+greater key of every pair) never keeps a directly-similar pair but may
+keep several members of one transitive cluster; components-based
+resolution keeps exactly ONE (the minimum key) per cluster — the
+standard convention in large-scale dedup (suffix-array / MinHash
+cluster dedup both resolve via components).
+
+Algorithm: iterated min-label propagation.  Each vertex starts labeled
+with itself; every round each vertex takes the min of its own label and
+its neighbors' labels; at fixpoint every vertex carries its component's
+minimum vertex id.  Each round is one shuffle join + one hash
+aggregate, and the round count is the graph diameter (near-dup cluster
+graphs are shallow — dozens of rounds covers pathological chains).
+Rounds persist + localCheckpoint to truncate lineage, so the plan does
+not grow with iterations.  For graphs with million-hop chains use the
+alternating small-star/large-star variant (Kiveris et al., "Connected
+Components in MapReduce and Beyond") — same join primitive, fewer
+rounds; the simple propagation is the right trade for dedup graphs.
+
+No driver-side loops over DATA — the Python loop is over rounds, with
+one bounded `.count()` per round for the convergence check (counts the
+changed labels; 0 = fixpoint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(id, component) for every vertex in ``pairs``; ``component`` is
+    the minimum vertex id of the vertex's connected component.
+
+    Raises RuntimeError if the propagation has not converged after
+    ``max_iterations`` rounds (diameter larger than the cap) rather
+    than returning silently-wrong partial labels.
+    """
+    # symmetric edge list (undirected graph), deduplicated
+    fwd = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    rev = pairs.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    edges = fwd.union(rev).distinct()
+    edges = edges.persist()
+
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .persist()
+    )
+
+    try:
+        for _ in range(max_iterations):
+            nbr_min = (
+                edges.join(
+                    labels.select(
+                        F.col("id").alias("b"), F.col("component").alias("comp_b")
+                    ),
+                    "b",
+                )
+                .groupBy("a")
+                .agg(F.min("comp_b").alias("nbr_min"))
+            )
+            new_labels = (
+                labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("nbr_min"), F.col("component")),
+                    ).alias("component"),
+                    F.col("component").alias("_prev"),
+                )
+            )
+            # localCheckpoint cuts the lineage so round N's plan does
+            # not replay rounds 1..N-1; eager=True materializes it,
+            # making the convergence count below a cheap scan
+            new_labels = new_labels.localCheckpoint(eager=True)
+            changed = (
+                new_labels.where(F.col("component") != F.col("_prev")).limit(1).count()
+            )
+            old = labels
+            labels = new_labels.select("id", "component")
+            old.unpersist()
+            if changed == 0:
+                return labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds; "
+            "the pair graph has a longer chain than expected — raise "
+            "max_iterations or switch to a small-star/large-star variant"
+        )
+    finally:
+        edges.unpersist()
+
+
+def component_representatives(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """(id, keep): every vertex of the pair graph with keep=True only
+    for each component's minimum id — the "one representative per
+    near-dup cluster" selector."""
+    comp = connected_components(pairs, src, dst)
+    return comp.select(
+        "id", "component", (F.col("id") == F.col("component")).alias("keep")
+    )

@@ -26,7 +26,9 @@ def deterministic_sample(
     df: DataFrame, id_col: str, fraction: float, salt: str = ""
 ) -> DataFrame:
     """Keep a hash-stable ``fraction`` of rows (resumable sampling)."""
-    return df.where(_hash_bucket(F.col(id_col), salt) < int(fraction * _BUCKETS))
+    return df.where(
+        _hash_bucket(F.col(id_col), salt) < int(round(fraction * _BUCKETS))
+    )
 
 
 def stratified_sample(
@@ -39,13 +41,17 @@ def stratified_sample(
 ) -> DataFrame:
     """Per-stratum hash-stable sampling (e.g. rebalance languages in a
     training mix): each stratum keeps its own fraction; strata not in
-    ``fractions`` keep ``default_fraction``."""
-    frac: Column = F.lit(default_fraction)
+    ``fractions`` keep ``default_fraction``.
+
+    Thresholds are computed driver-side as ``int(round(f * 10000))`` —
+    the same rounding convention as :func:`hash_split` — so a fraction
+    like 0.33 keeps buckets < 3300, not the float-truncated 3299."""
+    threshold: Column = F.lit(int(round(default_fraction * _BUCKETS)))
     for value, f in sorted(fractions.items()):
-        frac = F.when(F.col(stratum_col) == value, F.lit(f)).otherwise(frac)
-    return df.where(
-        _hash_bucket(F.col(id_col), salt) < (frac * _BUCKETS).cast("long")
-    )
+        threshold = F.when(
+            F.col(stratum_col) == value, F.lit(int(round(f * _BUCKETS)))
+        ).otherwise(threshold)
+    return df.where(_hash_bucket(F.col(id_col), salt) < threshold)
 
 
 def hash_split(

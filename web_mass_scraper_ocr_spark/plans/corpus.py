@@ -33,9 +33,27 @@ def build_training_corpus(
     neardup_threshold: float = 0.8,
     shingle_n: int = 3,
     materialize: bool = True,
+    neardup_policy: str = "greedy",
 ) -> DataFrame:
     """Returns the kept corpus rows:
     (doc_key, conv_id, turn_idx, turn_rank, clean_text, quality_score).
+
+    ``neardup_policy`` picks how similar PAIRS become deletions:
+
+    - ``"greedy"`` (default): drop the greater key of every surviving
+      pair, one pass, no iteration.  Never keeps a directly-similar
+      pair, but treats similarity as non-transitive: on pairs (A,C),
+      (B,C) it keeps both A and B (never compared against each other)
+      and drops only C.  Over-deletion bound: a key is dropped iff it
+      is the greater member of SOME pair, so on a chain A~B~C exactly
+      the global minimum A survives.
+    - ``"components"``: transitive resolution — one iterated min-label
+      propagation over the pair graph (``operators.graph``), keep only
+      each connected component's minimum key.  The standard corpus-
+      dedup convention; deletes more than greedy on star/chain shapes
+      (the whole cluster collapses to one representative).  Costs
+      O(diameter) extra join rounds over the PAIR graph only (tiny next
+      to the corpus).
 
     ``materialize`` persists the post-quality frame (MEMORY_AND_DISK):
     the dedup stages reference it from FOUR plan branches (shingles,
@@ -76,15 +94,26 @@ def build_training_corpus(
     )
     uniq = scored.join(keep_exact, DOC_KEY, "left_semi")
 
-    # near-dup removal: LSH candidates verified by true Jaccard; drop the
-    # later key of each surviving pair (union-find-free greedy — at most
-    # one representative per connected pair chain survives each pass)
+    # near-dup removal: LSH candidates verified by true Jaccard, then
+    # pair -> deletion resolution per neardup_policy (see docstring)
     pairs = minhash_near_duplicates(
         uniq, DOC_KEY, "clean_text", n=shingle_n, threshold=neardup_threshold
     )
-    losers = pairs.select(
-        F.greatest("id_a", "id_b").alias(DOC_KEY)
-    ).distinct()
+    if neardup_policy == "components":
+        from ..operators.graph import connected_components
+
+        comp = connected_components(pairs, "id_a", "id_b")
+        losers = comp.where(F.col("id") != F.col("component")).select(
+            F.col("id").alias(DOC_KEY)
+        )
+    elif neardup_policy == "greedy":
+        losers = pairs.select(
+            F.greatest("id_a", "id_b").alias(DOC_KEY)
+        ).distinct()
+    else:
+        raise ValueError(
+            f"unknown neardup_policy {neardup_policy!r} (greedy | components)"
+        )
     kept = uniq.join(losers, DOC_KEY, "left_anti")
 
     return kept.select(
