@@ -35,6 +35,7 @@ SIMHASH_BITS = 32
 TOPK = 5
 N_QUERY_VECS = 20
 IVF_N_CENTROIDS = 16
+IVF_NPROBE = 2  # multi-probe: each query searches its 2 nearest cells
 SHIP_CUT = "1999-01-01 00:00:00"
 PAYLOAD_MAX_CHARS = 1000  # validate_payload query-level cap
 SESSION_GAP_S = 43200  # 12h session gap (median inter-event gap ~7h)
@@ -464,9 +465,14 @@ def q_embedding_topk(spark, sf_dir):
 
 
 def q_ivf_topk(spark, sf_dir):
+    """IVF ANN with multi-probe: each query searches its IVF_NPROBE
+    nearest cells (the recall/cost knob; recall ladder measured in
+    BENCH/ANN_SCALE.md)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
-    return S.ivf_topk(emb, queries, n_centroids=IVF_N_CENTROIDS, k=TOPK)
+    return S.ivf_topk(
+        emb, queries, n_centroids=IVF_N_CENTROIDS, k=TOPK, nprobe=IVF_NPROBE
+    )
 
 
 COSINE_DUP_THRESHOLD = 0.45
@@ -1673,7 +1679,14 @@ assign AS (
     FROM embeddings e CROSS JOIN cent c
   ) WHERE rn = 1
 ),
-q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, centroid_id FROM assign WHERE vec_id < {N_QUERY_VECS}),
+q AS (
+  SELECT vec_id AS query_id, qv, centroid_id FROM (
+    SELECT e.vec_id, e.embedding::DOUBLE[] AS qv, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cent_vec) DESC, c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c
+    WHERE e.vec_id < {N_QUERY_VECS}
+  ) WHERE rn <= {IVF_NPROBE}
+),
 scored AS (
   SELECT q.query_id, a.vec_id AS neighbor_id,
          list_cosine_similarity(q.qv, a.embedding::DOUBLE[]) AS cos

@@ -1,0 +1,93 @@
+"""ANN recall ladder: measured recall@k of IVF multi-probe vs the
+brute-force ground truth, per nprobe — the missing half of
+BENCH/ANN_SCALE.md (which measures cost; this measures what the cost
+buys).  Also measures pair recall of the bucketed embedding near-dup
+(cross-cell pairs are the known miss mode).
+
+Usage: python scripts/bench_ann_recall.py [nprobe ...]
+Writes one JSON line per configuration.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from web_mass_scraper_ocr_spark.operators import dedup as D
+from web_mass_scraper_ocr_spark.operators import similarity as S
+from web_mass_scraper_ocr_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_QUERIES = 20
+K = 5
+N_CENTROIDS = 16
+COSINE_T = 0.45
+
+
+def recall_at_k(truth, approx) -> float:
+    """|approx ∩ truth| / |truth| over (query_id, neighbor_id) sets."""
+    t = truth.select("query_id", "neighbor_id")
+    a = approx.select("query_id", "neighbor_id")
+    hit = t.join(a, ["query_id", "neighbor_id"], "left_semi").count()
+    return hit / t.count()
+
+
+def main() -> None:
+    nprobes = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 8, N_CENTROIDS]
+    spark = get_spark(app_name="bench-ann-recall", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    n = emb.count()
+    queries = emb.where(F.col("vec_id") < N_QUERIES).cache()
+    queries.count()
+
+    truth = S.brute_force_topk(emb, queries, k=K).cache()
+    truth.count()
+
+    cents = S.select_centroids(emb, N_CENTROIDS).cache()
+    assigned = S.ivf_assign(emb, cents).cache()
+    assigned.count()
+
+    for nprobe in nprobes:
+        t0 = time.monotonic()
+        approx = S.ivf_topk(
+            emb, queries, k=K, centroids=cents, assigned=assigned, nprobe=nprobe
+        )
+        r = recall_at_k(truth, approx)
+        print(json.dumps({
+            "op": "ivf_topk", "n_vectors": n, "n_centroids": N_CENTROIDS,
+            "nprobe": nprobe, "k": K,
+            "recall_at_k": round(r, 4),
+            "search_wall_sec": round(time.monotonic() - t0, 2),
+        }))
+
+    # bucketed near-dup pair recall vs the exact blocked-GEMM pairs
+    exact = D.embedding_near_duplicates(
+        emb, "vec_id", "embedding", threshold=COSINE_T
+    ).cache()
+    n_exact = exact.count()
+    for nprobe in (1, 2, 4):
+        t0 = time.monotonic()
+        bucketed = D.embedding_near_duplicates_bucketed(
+            emb, id_col="vec_id", vec_col="embedding",
+            threshold=COSINE_T, n_centroids=N_CENTROIDS, nprobe=nprobe,
+        )
+        hit = exact.join(bucketed, ["id_a", "id_b"], "left_semi").count()
+        print(json.dumps({
+            "op": "embedding_neardup_bucketed", "n_vectors": n,
+            "n_centroids": N_CENTROIDS, "threshold": COSINE_T, "nprobe": nprobe,
+            "exact_pairs": n_exact,
+            "pair_recall": round(hit / max(n_exact, 1), 4),
+            "wall_sec": round(time.monotonic() - t0, 2),
+        }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

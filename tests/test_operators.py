@@ -135,6 +135,31 @@ def test_select_centroids_fixed_count(vecs):
     assert S.select_centroids(vecs, 3).count() == 3
 
 
+def test_ivf_nprobe_recall_monotone_and_exact_at_full_probe(spark, sf_dir):
+    """Multi-probe contract: recall@k never decreases as nprobe grows,
+    and nprobe=n_centroids scans every cell -> identical to brute
+    force (recall exactly 1.0)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    queries = emb.where(F.col("vec_id") < 10)
+    n_cent, k = 8, 5
+    truth = S.brute_force_topk(emb, queries, k=k).cache()
+    n_truth = truth.count()
+    cents = S.select_centroids(emb, n_cent).cache()
+    assigned = S.ivf_assign(emb, cents).cache()
+    recalls = []
+    for nprobe in (1, 2, n_cent):
+        approx = S.ivf_topk(
+            emb, queries, k=k, centroids=cents, assigned=assigned, nprobe=nprobe
+        )
+        hit = truth.join(
+            approx, ["query_id", "neighbor_id"], "left_semi"
+        ).count()
+        recalls.append(hit / n_truth)
+    assert recalls == sorted(recalls), recalls
+    assert recalls[-1] == 1.0, recalls
+    emb.unpersist(); truth.unpersist(); cents.unpersist(); assigned.unpersist()
+
+
 def test_ivf_topk_searches_own_cell(vecs):
     # centroids (fixed k=2, md5-ranked) = ids {4, 1}; query vec 1 lands
     # in centroid 1's cell together with vecs {0, 2, 3}

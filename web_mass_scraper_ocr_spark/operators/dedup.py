@@ -440,12 +440,21 @@ def embedding_near_duplicates_bucketed(
     threshold: float = 0.45,
     n_centroids: int = 16,
     n_blocks_per_cell: int = 4,
+    nprobe: int = 1,
 ) -> DataFrame:
     """Scale path: assign vectors to IVF cells (broadcast fixed-count
     centroids, see similarity.select_centroids), then run the SAME
     blocked-GEMM kernel as the exact path per cell — candidate volume
     drops ~1/n_cells at the cost of missing cross-cell pairs (recall
     trade-off, standard ANN-dedup practice).
+
+    ``nprobe`` is the recall knob: each vector is replicated into its
+    ``nprobe`` nearest cells, so a pair is found if the two vectors
+    share ANY of their probed cells (pairs deduped when nprobe > 1).
+    Cost grows ~nprobe^2 per cell-pair volume; measured recall per
+    nprobe is in BENCH/ANN_SCALE.md.  On corpora whose near-dups sit in
+    tight clusters nprobe=1 recall is high; on diffuse corpora raise
+    nprobe (or fall back to the exact path).
 
     Per-cell sub-blocking (``n_blocks_per_cell``) bounds collect_list
     row sizes independently of cell skew; per-pair similarity is one
@@ -454,10 +463,12 @@ def embedding_near_duplicates_bucketed(
 
     if centroids is None:
         centroids = select_centroids(df, n_centroids, id_col, vec_col)
-    assigned = ivf_assign(df, centroids, id_col, vec_col)
-    return _gemm_pair_frame(
+    assigned = ivf_assign(df, centroids, id_col, vec_col, nprobe=nprobe)
+    pairs = _gemm_pair_frame(
         assigned, id_col, vec_col, threshold, n_blocks_per_cell, cell_col="centroid_id"
     )
+    # with multi-probe a pair can co-occur in up to nprobe shared cells
+    return pairs.distinct() if nprobe > 1 else pairs
 
 
 # ---------------------------------------------------------------------------

@@ -79,9 +79,15 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid (max cosine, tie ->
-    lower centroid id).  Centroids are broadcast."""
+    """Assign each vector to its ``nprobe`` nearest centroids (cosine
+    desc, tie -> lower centroid id).  Centroids are broadcast.
+
+    ``nprobe=1`` (the default, used for CORPUS assignment — a vector
+    lives in exactly one cell) returns one row per vector; ``nprobe>1``
+    (used for QUERY assignment — multi-probe search) returns one row
+    per (vector, probed cell)."""
     cent = centroids.select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
     )
@@ -93,7 +99,7 @@ def ivf_assign(
     )
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        .where(F.col("rn") <= nprobe)
         .select(id_col, vec_col, "centroid_id")
     )
 
@@ -133,11 +139,17 @@ def ivf_topk(
     k: int = 5,
     centroids: DataFrame | None = None,
     assigned: DataFrame | None = None,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF ANN: a fixed count of deterministically-sampled centroids
-    (see :func:`select_centroids`); each query searches only its own cell.
+    (see :func:`select_centroids`); each query searches its ``nprobe``
+    nearest cells (nprobe=1: single-probe; nprobe=n_centroids: exact,
+    equal to brute force).
 
-    Approximate: recall < 1 vs brute force, scan cost ~1/n_centroids.
+    Approximate: recall < 1 vs brute force, scan cost ~nprobe/n_centroids
+    of the corpus per query.  The recall/cost knob is nprobe — measured
+    recall@k per nprobe is in BENCH/ANN_SCALE.md; tests assert recall
+    is monotone in nprobe and hits 1.0 at nprobe=n_centroids.
 
     Index-build/search split: corpus assignment costs O(n * n_centroids)
     — the same order as ONE brute-force query batch — so one-shot use
@@ -150,7 +162,7 @@ def ivf_topk(
     if assigned is None:
         assigned = ivf_assign(corpus, centroids, id_col, vec_col)
     q_assigned = (
-        ivf_assign(queries, centroids, id_col, vec_col)
+        ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe)
         .select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
