@@ -534,6 +534,27 @@ def q_extract_pipeline(spark, sf_dir):
     )
 
 
+def q_extract_clustered(spark, sf_dir):
+    """The zero-shuffle production path under the value oracle: input
+    laid out conv-contiguous and (turn_idx, ts)-sorted (the Iceberg
+    write-time layout the clustered contract assumes), then
+    build_extraction_df(ordering_mode='clustered') — in-kernel ranking,
+    no exchange.  Must equal the sorted-mode result bit-for-bit, so it
+    shares extract_pipeline's oracle SQL."""
+    from web_mass_scraper_ocr_spark.config import ExtractionConfig
+    from web_mass_scraper_ocr_spark.plans.extraction import build_extraction_df
+
+    transcripts = derive_transcripts(spark, sf_dir)
+    clustered = transcripts.repartition(8, F.col("conv_id")).sortWithinPartitions(
+        "conv_id", "turn_idx", "ts"
+    )
+    out = build_extraction_df(clustered, ExtractionConfig(ordering_mode="clustered"))
+    return out.select(
+        "conv_id", "turn_idx", "turn_rank", "content_kind", "clean_text", "status",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
 def q_paragraph_explode(spark, sf_dir):
     """Per-item fan-out with stable enumeration (reference per-image
     loop + idx+1 numbering, scraper.py:72-76,217-277): posexplode of
@@ -907,6 +928,117 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+def q_deterministic_shuffle(spark, sf_dir):
+    """Reproducible corpus shuffle for training order: position =
+    rank in md5(id||seed) order, computed with the two-pass
+    bucket-offset form (no single-partition window), output
+    range-partitioned on the position so the on-disk order IS the
+    shuffle order (operators/shuffle.py)."""
+    from web_mass_scraper_ocr_spark.operators.shuffle import deterministic_shuffle
+
+    d = _t(spark, sf_dir, "documents")
+    return deterministic_shuffle(d, "doc_id", seed="epoch0", out_partitions=8).select(
+        "doc_id", "shuffle_pos"
+    )
+
+
+def q_token_budget_cap(spark, sf_dir):
+    """'First 50k tokens of the shuffled corpus': keep docs whose
+    running token total (in deterministic shuffle order) starts under
+    the budget — global prefix sum via per-bucket windows + broadcast
+    bucket offsets, never a global sort."""
+    from web_mass_scraper_ocr_spark.operators.shuffle import capped_take_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    return capped_take_tokens(
+        d, "doc_id", "n_chars", budget=50_000, seed="cap"
+    ).select("doc_id", "tokens_before")
+
+
+def q_weighted_interleave(spark, sf_dir):
+    """Deterministic weighted merge of sources into one training order
+    (stride scheduling): interleave_key = (per-source shuffle index+1)
+    / weight; sorting by it yields src0:src1:src2 at 1 : 0.5 : 0.25."""
+    from web_mass_scraper_ocr_spark.operators.shuffle import weighted_interleave
+
+    d = _t(spark, sf_dir, "documents")
+    return weighted_interleave(
+        d, "doc_id", "source", {"src0": 1.0, "src1": 0.5, "src2": 0.25}, seed="mix"
+    ).select("doc_id", "source", "src_idx", "interleave_key")
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Training-mixture composition: hash-sample each source so its
+    token mass hits share*budget (40/30/20/10 over a 10k-token budget);
+    per-source keep fractions derive from one tiny aggregate, rows are
+    filtered by id-hash threshold — deterministic, resumable."""
+    from web_mass_scraper_ocr_spark.operators.sampling import mixture_by_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    return mixture_by_tokens(
+        d,
+        "doc_id",
+        "source",
+        "n_chars",
+        shares={"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        budget=10_000,
+    ).select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
+
+
+def q_quality_filter(spark, sf_dir):
+    """Per-group quantile quality gate: drop docs below their
+    language's p25 of the score (per-group cutoffs self-calibrate
+    across languages; one grouped percentile agg broadcast back, no
+    window sort of the data)."""
+    from web_mass_scraper_ocr_spark.operators.sampling import quality_quantile_filter
+
+    d = _t(spark, sf_dir, "documents")
+    return quality_quantile_filter(d, "lang", "n_chars", q=0.25).select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+def _split_new_corpus(d):
+    """Deterministic 20/80 split of documents into (new batch, corpus)
+    for the incremental-dedup queries — same md5 bucket as sampling."""
+    b = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 10_000
+    )
+    return d.where(b < 2_000), d.where(b >= 2_000)
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """Per-ingest exact dedup: today's batch deduped within itself
+    (min-id keeper per fingerprint) and anti-joined against the
+    corpus fingerprint index — O(|batch|) + index join, never a
+    corpus rescan (operators/incremental.py)."""
+    from web_mass_scraper_ocr_spark.operators.incremental import (
+        incremental_dedup_exact,
+    )
+
+    new, corpus = _split_new_corpus(_t(spark, sf_dir, "documents"))
+    return incremental_dedup_exact(new, corpus, "doc_id", "text").select(
+        "doc_id", "lang"
+    )
+
+
+def q_incremental_lsh(spark, sf_dir):
+    """Per-ingest near-dup detection: the new batch's LSH band keys
+    joined against the corpus band index, true Jaccard verified only
+    on candidates — the corpus is touched via its index, not
+    rescanned."""
+    from web_mass_scraper_ocr_spark.operators.incremental import (
+        incremental_lsh_near_duplicates,
+    )
+
+    new, corpus = _split_new_corpus(_t(spark, sf_dir, "documents"))
+    return incremental_lsh_near_duplicates(
+        new, corpus, "doc_id", "text", threshold=0.5
+    )
+
+
 def q_multimodal_resize(spark, sf_dir):
     """Multimodal resize plumbing under the value oracle: the stub
     resize is a deterministic byte transform ((payload*reps)[:w*h]), so
@@ -1251,6 +1383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "extract_plain": q_extract_plain,
         "extract_pipeline": q_extract_pipeline,
+        "extract_clustered": q_extract_clustered,
         "multimodal_meta": q_multimodal_meta,
         "paragraph_explode": q_paragraph_explode,
         "source_union": q_source_union,
@@ -1282,6 +1415,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "hash_split": q_hash_split,
         "pack_sequences": q_pack_sequences,
+        "deterministic_shuffle": q_deterministic_shuffle,
+        "token_budget_cap": q_token_budget_cap,
+        "weighted_interleave": q_weighted_interleave,
+        "mixture_sample": q_mixture_sample,
+        "quality_filter": q_quality_filter,
+        "incremental_dedup": q_incremental_dedup,
+        "incremental_lsh": q_incremental_lsh,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
         "ngram_stats": q_ngram_stats,
@@ -1656,6 +1796,32 @@ SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM ({_band_select_sql()}) a
 JOIN ({_band_select_sql()}) b USING (band_idx, band_key)
 WHERE a.doc_id < b.doc_id""",
+        "incremental_lsh": _minhash_cte()
+        + f""",
+bkt AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS bucket
+  FROM documents
+),
+bands AS ({_band_select_sql()}),
+new_bands AS (SELECT doc_id, band_idx, band_key FROM bands JOIN bkt USING (doc_id) WHERE bucket < 2000),
+corp_bands AS (SELECT doc_id, band_idx, band_key FROM bands JOIN bkt USING (doc_id) WHERE bucket >= 2000),
+cands AS (
+  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+  FROM new_bands n JOIN corp_bands c USING (band_idx, band_key)
+),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT cands.new_id, cands.corpus_id, count(*) AS common_shingles
+  FROM cands
+  JOIN shingles sn ON sn.doc_id = cands.new_id
+  JOIN shingles sc ON sc.doc_id = cands.corpus_id AND sc.shingle = sn.shingle
+  GROUP BY 1, 2
+)
+SELECT new_id, corpus_id, common_shingles,
+       common_shingles::DOUBLE / (zn.set_size + zc.set_size - common_shingles)::DOUBLE AS jaccard
+FROM common JOIN sizes zn ON zn.doc_id = new_id JOIN sizes zc ON zc.doc_id = corpus_id
+WHERE common_shingles::DOUBLE / (zn.set_size + zc.set_size - common_shingles)::DOUBLE >= 0.5""",
         "simhash": _simhash_sql(),
         "embedding_topk": f"""
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
@@ -1880,6 +2046,80 @@ SELECT doc_id, shard,
        CAST(start // 512 AS BIGINT) AS bin,
        CAST(start % 512 AS BIGINT) AS bin_offset
 FROM o""",
+        "deterministic_shuffle": """
+SELECT doc_id,
+       ROW_NUMBER() OVER (ORDER BY md5(concat(CAST(doc_id AS VARCHAR), 'epoch0')), doc_id) - 1 AS shuffle_pos
+FROM documents""",
+        "token_budget_cap": """
+WITH k AS (
+  SELECT doc_id, n_chars, md5(concat(CAST(doc_id AS VARCHAR), 'cap')) AS key
+  FROM documents
+)
+SELECT doc_id, tokens_before FROM (
+  SELECT doc_id,
+         CAST(coalesce(sum(n_chars) OVER (ORDER BY key, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+  FROM k
+) WHERE tokens_before < 50000""",
+        "weighted_interleave": """
+WITH r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+           ORDER BY md5(concat(CAST(doc_id AS VARCHAR), 'mix')), doc_id) - 1 AS src_idx
+  FROM documents WHERE source IN ('src0', 'src1', 'src2')
+)
+SELECT doc_id, source, src_idx,
+       CAST(src_idx + 1 AS DOUBLE) /
+       (CASE source WHEN 'src0' THEN CAST(1.0 AS DOUBLE)
+                    WHEN 'src1' THEN CAST(0.5 AS DOUBLE)
+                    ELSE CAST(0.25 AS DOUBLE) END) AS interleave_key
+FROM r""",
+        "mixture_sample": """
+WITH tot AS (
+  SELECT source, CAST(sum(n_chars) AS DOUBLE) AS t FROM documents GROUP BY source
+),
+thr AS (
+  SELECT source,
+         CAST(floor(least(CAST(1.0 AS DOUBLE), w * 10000 / t) * 10000 + 0.5) AS BIGINT) AS thr
+  FROM (SELECT source, t,
+               CASE source WHEN 'src0' THEN CAST(0.4 AS DOUBLE)
+                           WHEN 'src1' THEN CAST(0.3 AS DOUBLE)
+                           WHEN 'src2' THEN CAST(0.2 AS DOUBLE)
+                           WHEN 'src3' THEN CAST(0.1 AS DOUBLE) END AS w
+        FROM tot)
+  WHERE w IS NOT NULL
+)
+SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d JOIN thr USING (source)
+WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < thr""",
+        "quality_filter": """
+WITH cuts AS (
+  SELECT lang, quantile_cont(n_chars, 0.25) AS cut FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d JOIN cuts USING (lang)
+WHERE d.n_chars >= cut""",
+        "incremental_dedup": """
+WITH b AS (
+  SELECT doc_id, text, lang,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS bucket
+  FROM documents
+),
+new AS (
+  SELECT doc_id, lang,
+         md5(lower(trim(regexp_replace(text, '[ \\t\\r\\n]+', ' ', 'g')))) AS fp
+  FROM b WHERE bucket < 2000
+),
+corpus AS (
+  SELECT DISTINCT md5(lower(trim(regexp_replace(text, '[ \\t\\r\\n]+', ' ', 'g')))) AS fp
+  FROM b WHERE bucket >= 2000
+),
+keep AS (SELECT fp, min(doc_id) AS doc_id FROM new GROUP BY fp),
+surv AS (
+  SELECT doc_id FROM keep
+  WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = keep.fp)
+)
+SELECT n.doc_id, n.lang FROM new n JOIN surv USING (doc_id)""",
         "multimodal_resize": """
 WITH r AS (
   SELECT doc_id,
@@ -2186,6 +2426,9 @@ SELECT doc_id,
        'image' AS media_kind
 FROM documents""",
     }
+    # clustered mode must produce the identical result through a
+    # different physical plan (zero-shuffle, in-kernel rank)
+    sql["extract_clustered"] = sql["extract_pipeline"]
     return sql
 
 

@@ -188,6 +188,85 @@ def test_stateful_turn_rank_across_batches(spark, tmp_path):
     assert got == {("c1", 0): 1, ("c1", 1): 2, ("c1", 2): 3, ("c1", 3): 4}
 
 
+def test_stateful_turn_rank_ttl_evicts_idle_conversation(spark, tmp_path):
+    """state_ttl_ms semantics, in two halves:
+
+    (a) eviction — a conversation idle past the TTL has its counter
+        removed (bounded state); when it resumes, ranking restarts at 1.
+        Note the restart gotcha this pins down: on query restart Spark
+        fires pending processing-time timeouts before (or alongside)
+        reading new data, so ANY conversation whose TTL lapsed during
+        downtime is evicted even if its data arrives in the restarted
+        run — continuity across an expired TTL window is impossible by
+        design, which is why the TTL must exceed the conversation-close
+        SLA plus the longest expected drain gap.
+    (b) continuity — with a TTL comfortably above the gap between
+        drains, ranks continue across batches exactly as the no-TTL
+        form does (setTimeoutDuration does not perturb the counter).
+    """
+    import time as _time
+    from datetime import datetime
+
+    from web_mass_scraper_ocr_spark.streaming.stateful import streaming_turn_rank
+
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    t0 = datetime(2026, 1, 1)
+
+    def make(tag, ttl_ms):
+        src = tmp_path / tag / "src"
+        out = tmp_path / tag / "out"
+        ckpt = tmp_path / tag / "ckpt"
+
+        def write_batch(rows):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src))
+
+        def drain():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src))
+            )
+            q = (
+                streaming_turn_rank(stream, state_ttl_ms=ttl_ms)
+                .writeStream.format("parquet")
+                .option("path", str(out))
+                .option("checkpointLocation", str(ckpt))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        def result():
+            return {
+                (r.conv_id, r.turn_idx): r.turn_rank
+                for r in spark.read.parquet(str(out)).collect()
+            }
+
+        return write_batch, drain, result
+
+    # (a) short TTL + idle gap longer than it: counter evicted, resumes at 1
+    write_batch, drain, result = make("evict", ttl_ms=500)
+    write_batch([("idle", 0, "user", "a", "", t0)])
+    drain()
+    _time.sleep(1.0)  # > TTL: 'idle' expires before the next drain
+    write_batch([("idle", 1, "user", "b", "", t0)])
+    drain()
+    got = result()
+    assert got[("idle", 0)] == 1
+    assert got[("idle", 1)] == 1, got  # restarted after TTL eviction
+
+    # (b) long TTL: rank continuity identical to the no-TTL operator
+    write_batch, drain, result = make("cont", ttl_ms=600_000)
+    write_batch([("live", 0, "user", "x", "", t0)])
+    drain()
+    write_batch([("live", 1, "user", "y", "", t0)])
+    drain()
+    got = result()
+    assert got[("live", 0)] == 1 and got[("live", 1)] == 2, got
+
+
 def test_stateful_turn_rank_tws_across_batches(spark, tmp_path):
     """transformWithStateInPandas (Spark 4 arbitrary-state API): same
     cross-batch rank continuity as the applyInPandasWithState form.

@@ -35,8 +35,15 @@ def _rank_group(
     key: tuple,
     pdf_iter: Iterator[pd.DataFrame],
     state: GroupState,
+    ttl_ms: int | None = None,
 ) -> Iterator[pd.DataFrame]:
-    (conv_id,) = key
+    if ttl_ms is not None and state.hasTimedOut:
+        # the conversation went idle past its TTL: drop its counter.
+        # If it ever resumes, ranking restarts at 1 (documented
+        # closed-conversation semantics — reprocess in batch for
+        # globally consistent ranks).
+        state.remove()
+        return
     next_rank = state.get[0] if state.exists else 1
     for pdf in pdf_iter:
         pdf = pdf.sort_values(["turn_idx", "ts"], kind="mergesort").reset_index(
@@ -49,19 +56,42 @@ def _rank_group(
             ["conv_id", "turn_idx", "turn_rank", "role", "text", "tool", "ts"]
         ]
     state.update((next_rank,))
+    if ttl_ms is not None:
+        state.setTimeoutDuration(ttl_ms)
 
 
-def streaming_turn_rank(transcript_stream: DataFrame) -> DataFrame:
+def streaming_turn_rank(
+    transcript_stream: DataFrame, state_ttl_ms: int | None = None
+) -> DataFrame:
     """Attach a persistent per-conversation turn_rank to a transcript
-    stream.  State = one int per live conversation; no timeout (ranks
-    must survive arbitrarily long gaps — at scale, add a TTL policy and
-    a compaction job if conversations are known to close)."""
+    stream.  State = one int per live conversation.
+
+    ``state_ttl_ms`` bounds state growth: a conversation idle longer
+    than the TTL has its counter evicted (processing-time timeout), so
+    state holds O(conversations active within one TTL window) instead
+    of O(all conversations ever seen) — the knob a 10^12-turn stream
+    needs.  An evicted conversation that resumes restarts at rank 1
+    (tested in test_streaming.py); pick the TTL above the
+    conversation-close SLA PLUS the longest expected query downtime —
+    on restart Spark fires pending processing-time timeouts before new
+    data is read, so a conversation whose TTL lapsed while the query
+    was down is evicted even if its next turn arrives in the restarted
+    run.  Reprocess in batch when globally consistent ranks matter.
+    ``None`` (default) keeps state forever — correct for bounded
+    drains and replays."""
+    if state_ttl_ms is None:
+        fn, timeout = _rank_group, GroupStateTimeout.NoTimeout
+    else:
+        def fn(key, pdf_iter, state):
+            return _rank_group(key, pdf_iter, state, ttl_ms=state_ttl_ms)
+
+        timeout = GroupStateTimeout.ProcessingTimeTimeout
     return transcript_stream.groupBy("conv_id").applyInPandasWithState(
-        _rank_group,
+        fn,
         outputStructType=RANKED_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
 
 
