@@ -1,0 +1,237 @@
+"""Deterministic global ordering + incremental dedup operators.
+
+The two-pass bucket-offset machinery (operators/shuffle.py) must equal
+the single-window row_number it replaces, bit for bit — these tests pin
+that equivalence plus the budget/interleave semantics on top of it, and
+the incremental (new-batch-vs-corpus) dedup join shapes.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql.window import Window
+
+from web_mass_scraper_ocr_spark.operators.incremental import (
+    exact_fingerprint_index,
+    incremental_dedup_exact,
+    incremental_lsh_near_duplicates,
+    lsh_band_index,
+)
+from web_mass_scraper_ocr_spark.operators.shuffle import (
+    capped_take_tokens,
+    deterministic_shuffle,
+    global_order_index,
+    order_key,
+    weighted_interleave,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"src{i % 3}", (i * 37) % 100 + 1) for i in range(500)]
+    return spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+
+
+def test_global_order_index_equals_single_window(spark, docs):
+    """Two-pass bucket-offset rank == row_number over the global key
+    order (the single-partition form it replaces at scale)."""
+    got = {
+        r.doc_id: r.shuffle_pos
+        for r in global_order_index(docs, "doc_id", seed="s1").collect()
+    }
+    w = Window.orderBy(order_key(F.col("doc_id"), "s1"), "doc_id")
+    want = {
+        r.doc_id: r.pos
+        for r in docs.select(
+            "doc_id", (F.row_number().over(w) - 1).alias("pos")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_order_index_grouped(spark, docs):
+    """group_cols: independent 0..n-1 index per group, contiguous."""
+    out = global_order_index(
+        docs, "doc_id", seed="g", index_col="idx", group_cols=["source"]
+    )
+    per = (
+        out.groupBy("source")
+        .agg(F.min("idx").alias("lo"), F.max("idx").alias("hi"), F.count("*").alias("n"))
+        .collect()
+    )
+    for r in per:
+        assert r.lo == 0 and r.hi == r.n - 1
+
+
+def test_deterministic_shuffle_reproducible_and_seeded(spark, docs):
+    a = deterministic_shuffle(docs, "doc_id", seed="e0").collect()
+    b = deterministic_shuffle(docs, "doc_id", seed="e0").collect()
+    assert a == b  # same seed -> byte-identical order, incl. layout
+    pos_a = {r.doc_id: r.shuffle_pos for r in a}
+    pos_c = {
+        r.doc_id: r.shuffle_pos
+        for r in deterministic_shuffle(docs, "doc_id", seed="e1").collect()
+    }
+    assert pos_a != pos_c  # different seed -> different permutation
+    assert sorted(pos_a.values()) == list(range(500))  # a true permutation
+
+
+def test_capped_take_tokens_budget_semantics(spark, docs):
+    budget = 5_000
+    kept = capped_take_tokens(docs, "doc_id", "n_tokens", budget, seed="c").collect()
+    assert all(r.tokens_before < budget for r in kept)
+    # kept set = exactly the prefix of the shuffle order whose running
+    # start offsets are under budget (the straddling doc included)
+    total_kept = sum(r.n_tokens for r in kept)
+    assert total_kept >= budget  # last doc straddles
+    max_before = max(r.tokens_before for r in kept)
+    assert total_kept == max_before + [r.n_tokens for r in kept if r.tokens_before == max_before][0]
+
+
+def test_capped_take_tokens_grouped_budget(spark, docs):
+    per_src = capped_take_tokens(
+        docs, "doc_id", "n_tokens", 1_000, seed="c", group_cols=["source"]
+    )
+    agg = per_src.groupBy("source").agg(F.max("tokens_before").alias("m")).collect()
+    assert len(agg) == 3 and all(r.m < 1_000 for r in agg)
+
+
+def test_weighted_interleave_stride_ratio(spark, docs):
+    out = weighted_interleave(
+        docs, "doc_id", "source", {"src0": 1.0, "src1": 0.5}, seed="m"
+    )
+    rows = sorted(out.collect(), key=lambda r: (r.interleave_key, r.source))
+    assert {r.source for r in rows} == {"src0", "src1"}  # src2 dropped
+    # in any prefix of the merged order, src0 count ~= 2x src1 count
+    head = rows[:90]
+    n0 = sum(1 for r in head if r.source == "src0")
+    n1 = sum(1 for r in head if r.source == "src1")
+    assert abs(n0 - 2 * n1) <= 2
+
+
+def test_weighted_interleave_rejects_bad_weights(spark, docs):
+    with pytest.raises(ValueError):
+        weighted_interleave(docs, "doc_id", "source", {})
+    with pytest.raises(ValueError):
+        weighted_interleave(docs, "doc_id", "source", {"src0": 0.0})
+
+
+@pytest.fixture(scope="module")
+def batches(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "sleepy penguins watch from a nearby iceberg counting clouds "
+        "and waiting patiently for the afternoon fish delivery boat"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "completely unrelated corpus text about spark physical plans"),
+            (3, "another corpus document that shares nothing with the batch"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            # exact dup of corpus doc 1 (whitespace-normalized)
+            (10, base.replace(" fox ", "   fox  ")),
+            # near-dup of corpus doc 1: same text plus a short suffix
+            # (shingle Jaccard ~ 0.9 -> banding catches it)
+            (11, base + " with extra commentary appended"),
+            # novel
+            (12, "a brand new document with fresh unseen training content here"),
+            # in-batch exact dup of 12
+            (13, "a brand new document with fresh unseen training content here"),
+        ],
+        "doc_id long, text string",
+    )
+    return new, corpus
+
+
+def test_incremental_dedup_exact(spark, batches):
+    new, corpus = batches
+    surv = sorted(
+        r.doc_id for r in incremental_dedup_exact(new, corpus, "doc_id", "text").collect()
+    )
+    # 10 dropped (in corpus), 13 dropped (in-batch dup of 12), 11+12 kept
+    assert surv == [11, 12]
+
+
+def test_incremental_dedup_accepts_prebuilt_index(spark, batches):
+    new, corpus = batches
+    idx = exact_fingerprint_index(corpus, "text")
+    via_index = incremental_dedup_exact(
+        new, idx, "doc_id", "text", corpus_is_index=True
+    )
+    inline = incremental_dedup_exact(new, corpus, "doc_id", "text")
+    assert sorted(r.doc_id for r in via_index.collect()) == sorted(
+        r.doc_id for r in inline.collect()
+    )
+
+
+def test_incremental_lsh_finds_cross_batch_near_dup(spark, batches):
+    new, corpus = batches
+    pairs = incremental_lsh_near_duplicates(
+        new, corpus, "doc_id", "text", threshold=0.3
+    ).collect()
+    got = {(r.new_id, r.corpus_id) for r in pairs}
+    assert (11, 1) in got  # one-token edit of corpus doc 1
+    assert all(r.jaccard >= 0.3 for r in pairs)
+    # index path == inline path
+    idx = lsh_band_index(corpus, "doc_id", "text")
+    via_index = incremental_lsh_near_duplicates(
+        new, corpus, "doc_id", "text", threshold=0.3, corpus_index=idx
+    ).collect()
+    assert {(r.new_id, r.corpus_id) for r in via_index} == got
+
+
+def test_mixture_by_tokens_hits_shares(spark, docs):
+    from web_mass_scraper_ocr_spark.operators.sampling import mixture_by_tokens
+
+    out = mixture_by_tokens(
+        docs, "doc_id", "source", "n_tokens",
+        shares={"src0": 0.5, "src1": 0.5}, budget=8_000,
+    )
+    got = {
+        r.source: r.tok
+        for r in out.groupBy("source").agg(F.sum("n_tokens").alias("tok")).collect()
+    }
+    assert set(got) <= {"src0", "src1"}  # src2 dropped
+    for src in got:
+        assert abs(got[src] - 4_000) < 800  # ~share*budget per source
+    # deterministic: second run identical
+    again = mixture_by_tokens(
+        docs, "doc_id", "source", "n_tokens",
+        shares={"src0": 0.5, "src1": 0.5}, budget=8_000,
+    )
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+
+
+def test_mixture_by_tokens_share_capped_at_full_source(spark, docs):
+    from web_mass_scraper_ocr_spark.operators.sampling import mixture_by_tokens
+
+    # budget so large every source is fully kept (fraction capped at 1)
+    out = mixture_by_tokens(
+        docs, "doc_id", "source", "n_tokens",
+        shares={"src0": 1.0}, budget=10**9,
+    )
+    assert out.count() == docs.where("source = 'src0'").count()
+
+
+def test_quality_quantile_filter(spark, docs):
+    from web_mass_scraper_ocr_spark.operators.sampling import quality_quantile_filter
+
+    out = quality_quantile_filter(docs, "source", "n_tokens", q=0.5)
+    # every surviving row >= its group median; roughly half survive
+    cuts = {
+        r.source: r.cut
+        for r in docs.groupBy("source")
+        .agg(F.expr("percentile(n_tokens, 0.5)").alias("cut"))
+        .collect()
+    }
+    rows = out.collect()
+    assert all(r.n_tokens >= cuts[r.source] for r in rows)
+    assert 200 <= len(rows) <= 300

@@ -1,0 +1,171 @@
+"""Incremental deduplication: a NEW batch against an EXISTING corpus.
+
+Production pipelines never re-dedup the whole 100-TB corpus per
+ingest; they dedup today's batch (a) within itself and (b) against an
+index built from everything already accepted.  The corpus side of both
+joins is an INDEX (fingerprints, or LSH band keys) — a few dozen bytes
+per accepted document, persisted once and appended per batch — so the
+per-ingest cost is O(|new batch|) plus an equi-join against the index,
+never a corpus rescan.
+
+The functions accept either raw corpus documents (they build the index
+inline — convenient at test scale) or a prebuilt index DataFrame (the
+production shape): pass ``corpus_is_index=True`` when the corpus side
+is already (fp) / (band_idx, band_key, id) rows.
+
+Hashing is md5 throughout, same as operators/dedup.py, so the DuckDB
+oracle reproduces every signature bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import fingerprint
+from .dedup import minhash_signature, token_shingles
+
+
+def exact_fingerprint_index(df: DataFrame, text_col: str) -> DataFrame:
+    """The persisted exact-dedup index: distinct md5 fingerprints of
+    every accepted document (one 32-char string per unique text)."""
+    return df.select(fingerprint(F.col(text_col)).alias("fp")).distinct()
+
+
+def incremental_dedup_exact(
+    new_df: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    corpus_is_index: bool = False,
+) -> DataFrame:
+    """Rows of ``new_df`` that survive exact dedup against the corpus:
+    (a) min-id keeper per fingerprint within the batch, (b) fingerprint
+    not already in the corpus index.  Two hash-joins, both keyed on the
+    32-char fingerprint; the corpus side is index-sized, so at steady
+    state this is a shuffle of the NEW BATCH only (and the index join
+    broadcasts whenever the index fits)."""
+    index = corpus if corpus_is_index else exact_fingerprint_index(corpus, text_col)
+    keep = (
+        new_df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+        .join(index, "fp", "left_anti")
+        .select(id_col)
+    )
+    return new_df.join(keep, id_col, "left_semi")
+
+
+def lsh_band_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 4,
+) -> DataFrame:
+    """The persisted near-dup index: (id, band_idx, band_key) rows —
+    num_hashes/band_size rows of ~40 bytes per accepted document."""
+    assert num_hashes % band_size == 0
+    sig = minhash_signature(df, id_col, text_col, n, num_hashes)
+    bands = []
+    for b in range(num_hashes // band_size):
+        cols = [
+            F.col(f"mh_{b * band_size + j}").cast("string")
+            for j in range(band_size)
+        ]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+            )
+        )
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("band")
+    ).select(
+        id_col,
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_key").alias("band_key"),
+    )
+
+
+def incremental_lsh_near_duplicates(
+    new_df: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.8,
+    corpus_index: DataFrame | None = None,
+    corpus_shingles: DataFrame | None = None,
+) -> DataFrame:
+    """New-vs-corpus near-duplicate pairs: LSH band keys of the new
+    batch equi-joined against the corpus band index, then true Jaccard
+    verified ONLY on the candidates (new-side shingles joined to
+    corpus-side shingles restricted to candidate ids).  Returns
+    (new_id, corpus_id, common_shingles, jaccard) with jaccard >=
+    threshold.
+
+    At production scale pass ``corpus_index`` (the persisted band
+    index) and ``corpus_shingles`` (or recompute shingles for just the
+    candidate corpus docs from their stored text): the corpus is then
+    touched only via index lookups, never rescanned.  The inline
+    default computes both from ``corpus`` — fine at test scale,
+    and the plan shape (band equi-join, candidate-restricted verify)
+    is identical either way.
+    """
+    new_bands = lsh_band_index(new_df, id_col, text_col, n, num_hashes, band_size)
+    corp_bands = (
+        corpus_index
+        if corpus_index is not None
+        else lsh_band_index(corpus, id_col, text_col, n, num_hashes, band_size)
+    )
+    cands = (
+        new_bands.select(F.col(id_col).alias("new_id"), "band_idx", "band_key")
+        .join(
+            corp_bands.select(
+                F.col(id_col).alias("corpus_id"), "band_idx", "band_key"
+            ),
+            ["band_idx", "band_key"],
+        )
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    new_sh = token_shingles(new_df, id_col, text_col, n)
+    corp_sh = (
+        corpus_shingles
+        if corpus_shingles is not None
+        else token_shingles(corpus, id_col, text_col, n)
+    )
+    new_sizes = new_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("size_new"))
+    corp_sizes = corp_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("size_corpus"))
+    common = (
+        cands.join(
+            new_sh.select(F.col(id_col).alias("new_id"), "shingle"), "new_id"
+        )
+        .join(
+            corp_sh.select(F.col(id_col).alias("corpus_id"), "shingle"),
+            ["corpus_id", "shingle"],
+        )
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("common_shingles"))
+    )
+    return (
+        common.join(
+            new_sizes.select(F.col(id_col).alias("new_id"), "size_new"), "new_id"
+        )
+        .join(
+            corp_sizes.select(F.col(id_col).alias("corpus_id"), "size_corpus"),
+            "corpus_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("common_shingles").cast("double")
+            / (
+                F.col("size_new") + F.col("size_corpus") - F.col("common_shingles")
+            ).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "common_shingles", "jaccard")
+    )

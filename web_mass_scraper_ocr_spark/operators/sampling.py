@@ -81,6 +81,69 @@ def hash_split(
     return df.withColumn(split_col, expr.otherwise(F.lit(list(weights)[-1])))
 
 
+def mixture_by_tokens(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    n_tokens_col: str,
+    shares: dict[str, float],
+    budget: int,
+    salt: str = "",
+) -> DataFrame:
+    """Compose a training mixture: sample each source down so its token
+    mass approximates ``share * budget`` (e.g. 60% web / 30% code /
+    10% reference out of a 1e12-token budget).
+
+    Two phases: a tiny per-source token-total aggregate (|sources|
+    rows, collected to the driver — statistics, not data), then one
+    hash-stable filter per row.  Keep fraction per source is
+    ``min(1, share*budget / total_tokens)`` mapped to a bucket
+    threshold with floor(f*10000 + 0.5) — explicit half-up rounding so
+    the SQL oracle reproduces it without Python/SQL round() parity
+    traps.  Sources absent from ``shares`` are dropped.  Fractions are
+    deterministic given the corpus, so re-runs (and the DuckDB oracle)
+    see the identical sample."""
+    totals = {
+        r["src"]: r["tot"]
+        for r in df.groupBy(F.col(source_col).alias("src"))
+        .agg(F.sum(n_tokens_col).alias("tot"))
+        .collect()
+    }
+    threshold: Column = F.lit(0)
+    for src, share in sorted(shares.items()):
+        tot = totals.get(src, 0) or 0
+        frac = min(1.0, share * budget / tot) if tot > 0 else 0.0
+        threshold = F.when(
+            F.col(source_col) == src, F.lit(int(frac * _BUCKETS + 0.5))
+        ).otherwise(threshold)
+    return df.where(_hash_bucket(F.col(id_col), salt) < threshold)
+
+
+def quality_quantile_filter(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    q: float,
+) -> DataFrame:
+    """Drop rows below their group's q-quantile of ``score_col`` — the
+    standard per-language quality gate (an absolute threshold that is
+    right for English is wrong for low-resource languages; a per-group
+    quantile self-calibrates).
+
+    Shape: one grouped exact-percentile aggregate (|groups| rows)
+    broadcast-joined back as the cutoff — the data itself is scanned
+    once and never window-sorted.  At extreme scale swap the aggregate
+    for approx_percentile; the join-back shape is unchanged."""
+    cuts = df.groupBy(group_col).agg(
+        F.expr(f"percentile({score_col}, {q!r})").alias("_cut")
+    )
+    return (
+        df.join(F.broadcast(cuts), group_col)
+        .where(F.col(score_col) >= F.col("_cut"))
+        .drop("_cut")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

@@ -1,0 +1,174 @@
+"""Deterministic global ordering for training-data layout.
+
+A training run needs the corpus in a *shuffled but reproducible* order
+(example order affects convergence; re-runs and resumed runs must see
+the identical order), and often capped to a token budget measured in
+that order.  The order key here is md5(id || seed) — pure data
+function, no RNG state, so any subset of the corpus sorts identically
+on any cluster size, and a DuckDB oracle can verify positions
+bit-for-bit.
+
+The global position itself is the scale problem: ``row_number() OVER
+(ORDER BY key)`` is a single-partition window — a non-starter at 10^11
+rows.  Every operator here uses the classic two-pass form instead:
+
+  pass 1: partition rows by a key-prefix bucket (4096 buckets), rank
+          inside each bucket (parallel window, one shuffle);
+  pass 2: aggregate per-bucket counts (4096 rows — driver-scale),
+          prefix-sum them into bucket offsets, broadcast-join back.
+
+Because the bucket is the numeric value of the key's first 3 hex chars,
+bucket order == key order, so `offset + local_rank` IS the global rank.
+Cost: one shuffle of the data + one tiny agg — the same shape Spark's
+own ``zipWithIndex`` uses, but expressed in DataFrame ops so Catalyst
+still prunes/pushes around it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+# 16^3 buckets: few enough that the offset table is driver-trivial,
+# many enough that a 1000-executor cluster keeps every core busy.
+_N_BUCKET_HEX = 3
+
+
+def order_key(id_col: Column, seed: str = "") -> Column:
+    """md5(id || seed): the deterministic shuffle key."""
+    return F.md5(F.concat(id_col.cast("string"), F.lit(seed)))
+
+
+def _bucket(key: Column) -> Column:
+    # numeric value of the first 3 hex chars; hex-string lexicographic
+    # order equals numeric order (lowercase 0-9a-f), so sorting by
+    # (bucket, key) is the same total order as sorting by key alone —
+    # the property pass 2's offset arithmetic depends on.
+    return F.conv(F.substring(key, 1, _N_BUCKET_HEX), 16, 10).cast("int")
+
+
+def _with_offsets(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Attach `_ofs` = sum of `value_col` over all lower `_bkt` values
+    (within group_cols): the pass-2 prefix sum.  The per-(group, bucket)
+    aggregate is at most |groups| * 4096 rows, so the prefix-sum window
+    and the join back are broadcast-cheap."""
+    keys = group_cols + ["_bkt"]
+    totals = df.groupBy(*keys).agg(F.sum(value_col).alias("_tot"))
+    w = (
+        Window.partitionBy(*group_cols).orderBy("_bkt")
+        if group_cols
+        else Window.orderBy("_bkt")
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "_ofs", F.coalesce(F.sum("_tot").over(w), F.lit(0)).cast("long")
+    ).select(*keys, "_ofs")
+    return df.join(F.broadcast(offsets), keys)
+
+
+def global_order_index(
+    df: DataFrame,
+    id_col: str,
+    seed: str = "",
+    index_col: str = "shuffle_pos",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Add ``index_col`` = the row's 0-based position in the
+    deterministic md5(id||seed) shuffle order (per group when
+    ``group_cols`` is given, global otherwise).  Equals
+    ``row_number() OVER ([PARTITION BY groups] ORDER BY key, id) - 1``
+    without the single-partition window."""
+    groups = list(group_cols or [])
+    key = order_key(F.col(id_col), seed)
+    out = df.withColumn("_key", key).withColumn("_bkt", _bucket(F.col("_key")))
+    w = Window.partitionBy(*(groups + ["_bkt"])).orderBy("_key", id_col)
+    out = out.withColumn("_local", F.row_number().over(w).cast("long"))
+    out = _with_offsets(out.withColumn("_one", F.lit(1)), groups, "_one")
+    return out.withColumn(
+        index_col, (F.col("_ofs") + F.col("_local") - 1).cast("long")
+    ).drop("_key", "_bkt", "_local", "_one", "_ofs")
+
+
+def deterministic_shuffle(
+    df: DataFrame, id_col: str, seed: str = "", out_partitions: int | None = None
+) -> DataFrame:
+    """The corpus in reproducible shuffled order, position materialised
+    as ``shuffle_pos`` and the physical layout range-partitioned on it
+    — so a sequential reader (a training loader walking output files in
+    order) sees the shuffle order on disk, and re-runs byte-match."""
+    out = global_order_index(df, id_col, seed)
+    n = out_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return out.repartitionByRange(n, "shuffle_pos").sortWithinPartitions(
+        "shuffle_pos"
+    )
+
+
+def capped_take_tokens(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    budget: int,
+    seed: str = "",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keep documents while the running token total (in deterministic
+    shuffle order) stays under ``budget``: the "give me the first N
+    tokens of the shuffled corpus" sampler.  A document is kept iff the
+    token sum of everything BEFORE it is < budget, so exactly the docs
+    a sequential budget-limited reader would consume (the last one may
+    straddle the boundary).  Adds ``tokens_before``.  Per-group budgets
+    via ``group_cols`` (e.g. one budget per source)."""
+    groups = list(group_cols or [])
+    key = order_key(F.col(id_col), seed)
+    out = df.withColumn("_key", key).withColumn("_bkt", _bucket(F.col("_key")))
+    w = (
+        Window.partitionBy(*(groups + ["_bkt"]))
+        .orderBy("_key", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = out.withColumn(
+        "_local_before",
+        F.coalesce(F.sum(F.col(n_tokens_col)).over(w), F.lit(0)).cast("long"),
+    )
+    out = _with_offsets(out, groups, n_tokens_col)
+    return (
+        out.withColumn(
+            "tokens_before", (F.col("_ofs") + F.col("_local_before")).cast("long")
+        )
+        .where(F.col("tokens_before") < F.lit(budget))
+        .drop("_key", "_bkt", "_local_before", "_ofs")
+    )
+
+
+def weighted_interleave(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    weights: dict[str, float],
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic weighted interleaving of sources into one training
+    order: each source's rows are shuffled (per-source global index),
+    then merged by ``interleave_key = (src_idx + 1) / weight`` — the
+    standard stride-scheduling merge, so a weight-0.5 source
+    contributes one row for every two rows of a weight-1.0 source,
+    deterministically.  Sources absent from ``weights`` are dropped
+    (weight 0).  Sorting the result by (interleave_key, source) gives
+    the training order; at scale, feed that sort to
+    ``repartitionByRange`` exactly like :func:`deterministic_shuffle`.
+    """
+    if not weights:
+        raise ValueError("weighted_interleave needs at least one source weight")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be positive; omit a source to drop it")
+    keep = df.where(F.col(source_col).isin(list(weights)))
+    out = global_order_index(
+        keep, id_col, seed, index_col="src_idx", group_cols=[source_col]
+    )
+    w_expr: Column = F.lit(None).cast("double")
+    for src, w in sorted(weights.items()):
+        w_expr = F.when(F.col(source_col) == src, F.lit(float(w))).otherwise(w_expr)
+    return out.withColumn(
+        "interleave_key", (F.col("src_idx") + F.lit(1)).cast("double") / w_expr
+    )
