@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from web_mass_scraper_ocr_spark.operators.graph import (
     component_representatives,
     connected_components,
+    connected_components_propagation,
 )
 
 
@@ -53,6 +54,37 @@ def test_nonconvergence_raises_not_silent(spark):
             _pairs(spark, [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(8)]),
             max_iterations=2,
         )
+
+
+def test_star_and_propagation_agree(spark):
+    """The two CC implementations must produce identical labels on a
+    messy multi-component graph (chains + stars + a cycle)."""
+    edges = (
+        [(f"c{i:03d}", f"c{i + 1:03d}") for i in range(10)]  # chain
+        + [("hub", f"leaf{j}") for j in range(6)]  # star
+        + [("x1", "x2"), ("x2", "x3"), ("x3", "x1")]  # cycle
+        + [("c005", "hub")]  # chain~star bridge
+    )
+    star = {
+        (r.id, r.component)
+        for r in connected_components(_pairs(spark, edges)).collect()
+    }
+    prop = {
+        (r.id, r.component)
+        for r in connected_components_propagation(_pairs(spark, edges)).collect()
+    }
+    assert star == prop
+
+
+def test_deep_chain_converges_logarithmically(spark):
+    """A 120-hop chain: label propagation needs ~120 rounds (far over
+    the default cap of 25), star contraction needs ~log2(120) ~ 7 —
+    the property that makes the star variant the 100-TB default."""
+    edges = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(120)]
+    comp = connected_components(_pairs(spark, edges))  # default cap 25
+    assert comp.where(F.col("component") != "n000").count() == 0
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_propagation(_pairs(spark, edges), max_iterations=20)
 
 
 def test_corpus_components_policy_transitive(spark):

@@ -11,26 +11,70 @@ resolution keeps exactly ONE (the minimum key) per cluster — the
 standard convention in large-scale dedup (suffix-array / MinHash
 cluster dedup both resolve via components).
 
-Algorithm: iterated min-label propagation.  Each vertex starts labeled
-with itself; every round each vertex takes the min of its own label and
-its neighbors' labels; at fixpoint every vertex carries its component's
-minimum vertex id.  Each round is one shuffle join + one hash
-aggregate, and the round count is the graph diameter (near-dup cluster
-graphs are shallow — dozens of rounds covers pathological chains).
-Rounds persist + localCheckpoint to truncate lineage, so the plan does
-not grow with iterations.  For graphs with million-hop chains use the
-alternating small-star/large-star variant (Kiveris et al., "Connected
-Components in MapReduce and Beyond") — same join primitive, fewer
-rounds; the simple propagation is the right trade for dedup graphs.
+Two algorithms, one output contract ((id, component-min) for every
+vertex):
 
-No driver-side loops over DATA — the Python loop is over rounds, with
-one bounded `.count()` per round for the convergence check (counts the
-changed labels; 0 = fixpoint).
+- :func:`connected_components` — alternating large-star / small-star
+  (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  a public MapReduce-era algorithm).  Each round is two grouped-min +
+  join passes over the EDGE set, and the edge set contracts toward
+  stars centered at component minima in O(log n) rounds regardless of
+  diameter — the shape that survives adversarial dedup graphs (template
+  pages chaining thousands of near-dup hops).  The default.
+- :func:`connected_components_propagation` — iterated min-label
+  propagation (each vertex takes the min of its neighbors' labels);
+  one join + one agg per round but O(diameter) rounds.  Kept as the
+  simpler reference implementation and cross-checked against the star
+  variant in tests.
+
+Both truncate lineage per round (localCheckpoint), so the plan does not
+grow with iterations, and both raise RuntimeError instead of returning
+silently-wrong partial labels if the round cap is hit.  No driver-side
+loops over DATA — the Python loop is over rounds, with one bounded
+`.count()` per round for the convergence check.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+
+def _symmetric_edges(pairs: DataFrame, src: str, dst: str) -> DataFrame:
+    fwd = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    rev = pairs.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    return fwd.union(rev).where(F.col("a") != F.col("b")).distinct()
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """For each center u: connect every strictly-larger neighbor to
+    min(N(u) ∪ {u}).  Input and output are SYMMETRIC edge lists."""
+    nbr_min = sym.groupBy("a").agg(F.min("b").alias("_mn"))
+    m = F.least(F.col("a"), F.col("_mn"))
+    out = (
+        sym.join(nbr_min, "a")
+        .where(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), m.alias("b"))
+        .where(F.col("a") != F.col("b"))
+    )
+    return _symmetric_edges(out, "a", "b")
+
+
+def _small_star(sym: DataFrame) -> DataFrame:
+    """For each center u: connect u and all its strictly-smaller
+    neighbors to the minimum of that set.  Returns the DIRECTED
+    (larger -> smaller) edge list the next large-star re-symmetrizes."""
+    directed = sym.where(F.col("b") < F.col("a"))
+    mn = directed.groupBy("a").agg(F.min("b").alias("_m"))
+    to_center = directed.join(mn, "a").select(
+        F.col("b").alias("x"), F.col("_m").alias("m")
+    )
+    self_edge = mn.select(F.col("a").alias("x"), F.col("_m").alias("m"))
+    return (
+        to_center.union(self_edge)
+        .where(F.col("x") != F.col("m"))
+        .select(F.col("x").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
 
 
 def connected_components(
@@ -41,6 +85,58 @@ def connected_components(
 ) -> DataFrame:
     """(id, component) for every vertex in ``pairs``; ``component`` is
     the minimum vertex id of the vertex's connected component.
+
+    Alternating large-star / small-star contraction: each round shrinks
+    the edge set toward stars centered at component minima; O(log n)
+    rounds independent of graph diameter (a 10^6-hop chain converges in
+    ~20 rounds where label propagation needs 10^6).  Convergence =
+    the small-star output is a fixed point (edge multiset unchanged,
+    checked with exceptAll on the shrinking edge set).
+
+    Raises RuntimeError if not converged after ``max_iterations``
+    rounds rather than returning silently-wrong partial labels.
+    """
+    vertices = _symmetric_edges(pairs, src, dst).select(
+        F.col("a").alias("id")
+    ).distinct()
+
+    # start from the directed (larger -> smaller) form small-star emits
+    sym = _symmetric_edges(pairs, src, dst)
+    edges = sym.where(F.col("b") < F.col("a")).localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        new_edges = _small_star(_large_star(_symmetric_edges(edges, "a", "b")))
+        new_edges = new_edges.localCheckpoint(eager=True)
+        changed = (
+            new_edges.exceptAll(edges).limit(1).count()
+            + edges.exceptAll(new_edges).limit(1).count()
+        )
+        edges = new_edges
+        if changed == 0:
+            # fixed point: edges are stars (v -> component min)
+            labels = edges.select(F.col("a").alias("id"), F.col("b").alias("component"))
+            return (
+                vertices.join(labels, "id", "left")
+                .select(
+                    "id", F.coalesce(F.col("component"), F.col("id")).alias("component")
+                )
+            )
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds; "
+        "raise max_iterations (rounds needed ~ log2 of the largest component)"
+    )
+
+
+def connected_components_propagation(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(id, component) via iterated min-label propagation — O(diameter)
+    rounds, one join + one agg per round.  The simpler twin of
+    :func:`connected_components`, kept as a cross-check and for graphs
+    known to be shallow.
 
     Raises RuntimeError if the propagation has not converged after
     ``max_iterations`` rounds (diameter larger than the cap) rather
@@ -95,9 +191,10 @@ def connected_components(
             if changed == 0:
                 return labels
         raise RuntimeError(
-            f"connected_components did not converge in {max_iterations} rounds; "
-            "the pair graph has a longer chain than expected — raise "
-            "max_iterations or switch to a small-star/large-star variant"
+            f"connected_components_propagation did not converge in "
+            f"{max_iterations} rounds; the pair graph has a longer chain than "
+            "expected — use connected_components (star contraction, O(log n) "
+            "rounds) or raise max_iterations"
         )
     finally:
         edges.unpersist()
