@@ -1039,6 +1039,24 @@ def q_incremental_lsh(spark, sf_dir):
     )
 
 
+def q_salted_join(spark, sf_dir):
+    """Hot-key fact-dim join with deterministic salting (left side
+    salted, right side replicated salt_factor x) — the fallback when
+    neither broadcast nor AQE skew-join applies; the salt never leaks,
+    so the result equals the plain join and shares its oracle shape."""
+    from web_mass_scraper_ocr_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    j = salted_join(li, o, "l_orderkey", salt_factor=8)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_dec("l_quantity", 15, 4)).cast("double").alias("sum_qty"),
+    )
+
+
 def q_multimodal_resize(spark, sf_dir):
     """Multimodal resize plumbing under the value oracle: the stub
     resize is a deterministic byte transform ((payload*reps)[:w*h]), so
@@ -1422,6 +1440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "incremental_dedup": q_incremental_dedup,
         "incremental_lsh": q_incremental_lsh,
+        "salted_join": q_salted_join,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
         "ngram_stats": q_ngram_stats,
@@ -2099,6 +2118,12 @@ WITH cuts AS (
 SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
 FROM documents d JOIN cuts USING (lang)
 WHERE d.n_chars >= cut""",
+        "salted_join": """
+SELECT o_orderpriority,
+       count(*) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(15,4))) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority""",
         "incremental_dedup": """
 WITH b AS (
   SELECT doc_id, text, lang,

@@ -410,3 +410,38 @@ def test_chunk_text_edges(request):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         T.chunk_text(df, "doc_id", "text", chunk_chars=50, overlap=50)
+
+
+def test_salted_join_equals_plain_join(request):
+    """salted_join: the salt must never leak into the result — inner
+    and left results equal the plain join row-for-row; right/outer is
+    rejected (unmatched right rows would replicate per salt)."""
+    import pytest as _pytest
+
+    from web_mass_scraper_ocr_spark.operators.skew import salted_join
+
+    spark = request.getfixturevalue("spark")
+    # skewed left: key 1 is hot; right has dup keys too (general case)
+    left = spark.createDataFrame(
+        [(1, i) for i in range(200)] + [(2, 900), (3, 901), (5, 902)],
+        "k long, v long",
+    )
+    right = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (4, "d")], "k long, tag string"
+    )
+
+    def ms(df):  # row multiset
+        rows = [tuple(r) for r in df.collect()]
+        return sorted(rows, key=lambda t: tuple(str(x) for x in t))
+
+    for how in ("inner", "left"):
+        got = salted_join(left, right, "k", how=how, salt_factor=4)
+        want = left.join(right, "k", how)
+        assert ms(got) == ms(want), how
+
+    with _pytest.raises(ValueError, match="inner/left"):
+        salted_join(left, right, "k", how="right")
+
+    # plan shape: the right side is replicated via explode(sequence)
+    plan = salted_join(left, right, "k")._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" in plan or "explode" in plan.lower()

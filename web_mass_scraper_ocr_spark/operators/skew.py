@@ -23,3 +23,44 @@ def salted_repartition(
     if num_partitions:
         return df.repartition(num_partitions, F.col(key), salt)
     return df.repartition(F.col(key), salt)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt_factor: int = 8,
+    salt_src: str | None = None,
+) -> DataFrame:
+    """Hot-key equi-join: salt the LEFT (big, skewed) side with a
+    deterministic per-row salt and replicate the RIGHT side
+    ``salt_factor``x, so one hot key spreads over ``salt_factor`` tasks
+    instead of melting one.
+
+    When to use: Spark's first-choice answers are broadcast (small
+    right side) and AQE skew-join (sort-merge splits oversized
+    partitions at runtime).  Salting is for the remaining case — a
+    shuffled hash join where the right side is too big to broadcast AND
+    the join isn't sort-merge (or AQE is off), e.g. a 10^9-row dim
+    against a fact with one viral key.  The salt is derived from
+    ``salt_src`` (default: xxhash64 of the whole left row), never
+    RNG, so replays are deterministic; it feeds only the join keys and
+    is dropped from the output — result == the plain join, row for row
+    (oracle-verified).
+
+    ``how``: 'inner' or 'left' (right/outer would multiply unmatched
+    right rows by salt_factor — rejected)."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports inner/left (got {how!r}): an unmatched "
+            "right row would otherwise appear once per salt replica"
+        )
+    salt_cols = [salt_src] if salt_src else [c for c in left.columns]
+    lsalt = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(*salt_cols), F.lit(salt_factor)).cast("int")
+    )
+    rsalt = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    return lsalt.join(rsalt, [on, "_salt"], how).drop("_salt")
