@@ -125,6 +125,42 @@ def test_cli_extract_smoke(spark, tmp_path, transcripts):
     assert report["turns_total"] > 0
 
 
+def test_cli_dedup_and_shuffle_smoke(spark, tmp_path):
+    """python -m web_mass_scraper_ocr_spark dedup|shuffle ... — the
+    dataset-prep CLI surface: exact dedup removes the planted dup,
+    shuffle emits a stable permutation with shuffle_pos on disk."""
+    import json
+
+    from web_mass_scraper_ocr_spark.__main__ import main
+
+    src = tmp_path / "docs"
+    rows = [(i, f"unique document number {i}") for i in range(20)] + [
+        (100, "unique document number 0")  # exact dup of doc 0
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(str(src))
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["dedup", "--input", str(src), "--output", str(tmp_path / "dd")])
+    assert rc == 0
+    rep = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert (rep["rows_in"], rep["rows_out"], rep["rows_removed"]) == (21, 20, 1)
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main([
+            "shuffle", "--input", str(src), "--output", str(tmp_path / "sh"),
+            "--seed", "e0", "--out-partitions", "4",
+        ])
+    assert rc == 0
+    out = spark.read.parquet(str(tmp_path / "sh"))
+    pos = sorted(r.shuffle_pos for r in out.collect())
+    assert pos == list(range(21))
+
+
 def test_all_invalid_input_completes_and_resumes(spark, tmp_warehouse):
     """Degenerate input (every payload NULL/empty): the run must finish,
     checkpoint every bucket, and a rerun must skip them all (regression:

@@ -12,6 +12,15 @@
         --input /path/transcripts.parquet --output /path/corpus.parquet \
         [--min-quality 0.3] [--neardup-threshold 0.8]
 
+    # dedup a document table (exact, or minhash+connected-components)
+    python -m web_mass_scraper_ocr_spark dedup \
+        --input docs.parquet --output deduped.parquet \
+        [--mode exact|minhash] [--threshold 0.8] [--id-col doc_id] [--text-col text]
+
+    # reproducible training-order shuffle (md5(id||seed) order on disk)
+    python -m web_mass_scraper_ocr_spark shuffle \
+        --input docs.parquet --output shuffled.parquet [--seed epoch0]
+
 Ships via ``spark-submit --py-files app.zip`` with a 3-line driver, or
 runs directly (it builds its own session).
 """
@@ -51,6 +60,24 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("--min-quality", type=float, default=0.3)
     pc.add_argument("--neardup-threshold", type=float, default=0.8)
 
+    pd = sub.add_parser("dedup", help="dedup a document parquet")
+    _add_common(pd)
+    pd.add_argument("--output", required=True)
+    pd.add_argument("--id-col", default="doc_id")
+    pd.add_argument("--text-col", default="text")
+    pd.add_argument("--mode", default="exact", choices=["exact", "minhash"])
+    pd.add_argument("--threshold", type=float, default=0.8,
+                    help="Jaccard threshold (minhash mode)")
+
+    ps = sub.add_parser(
+        "shuffle", help="deterministic training-order shuffle of a parquet"
+    )
+    _add_common(ps)
+    ps.add_argument("--output", required=True)
+    ps.add_argument("--id-col", default="doc_id")
+    ps.add_argument("--seed", default="")
+    ps.add_argument("--out-partitions", type=int, default=None)
+
     args = parser.parse_args(argv)
     spark = get_spark(master=args.master)
 
@@ -86,6 +113,55 @@ def main(argv: list[str] | None = None) -> int:
         corpus.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
         print(json.dumps({"output": args.output, "rows": n}))
+        return 0
+
+    if args.cmd == "dedup":
+        docs = spark.read.parquet(args.input)
+        n_in = docs.count()
+        if args.mode == "exact":
+            from .operators.dedup import dedup_exact
+
+            kept = dedup_exact(docs, args.id_col, args.text_col)
+        else:
+            from pyspark.sql import functions as F
+
+            from .operators.dedup import dedup_exact, minhash_near_duplicates
+            from .operators.graph import connected_components
+
+            uniq = dedup_exact(docs, args.id_col, args.text_col)
+            pairs = minhash_near_duplicates(
+                uniq, args.id_col, args.text_col, threshold=args.threshold
+            )
+            comp = connected_components(pairs, "id_a", "id_b")
+            losers = comp.where(F.col("id") != F.col("component")).select(
+                F.col("id").alias(args.id_col)
+            )
+            kept = uniq.join(losers, args.id_col, "left_anti")
+        kept.write.mode("overwrite").parquet(args.output)
+        n_out = spark.read.parquet(args.output).count()
+        print(
+            json.dumps(
+                {
+                    "output": args.output,
+                    "mode": args.mode,
+                    "rows_in": n_in,
+                    "rows_out": n_out,
+                    "rows_removed": n_in - n_out,
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "shuffle":
+        from .operators.shuffle import deterministic_shuffle
+
+        docs = spark.read.parquet(args.input)
+        out = deterministic_shuffle(
+            docs, args.id_col, seed=args.seed, out_partitions=args.out_partitions
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(json.dumps({"output": args.output, "rows": n, "seed": args.seed}))
         return 0
 
     return 2
