@@ -468,3 +468,48 @@ def test_rank_state_snapshots_pruned(spark, tmp_path):
     assert "v4" in versions  # the latest always survives
     got = {r.turn_idx: r.turn_rank for r in spark.read.parquet(str(out)).collect()}
     assert got == {0: 1, 1: 2, 2: 3, 3: 4, 4: 5}  # continuity intact
+
+
+def test_stream_dedup_ingest_cross_batch(spark, tmp_path):
+    """Continuous dedup ingest: a doc re-delivered in a later batch is
+    dropped by the accepted-fingerprint index; in-batch dups keep the
+    min id; a full re-drain with the same checkpoint re-emits nothing."""
+    from web_mass_scraper_ocr_spark.streaming.ingest import stream_dedup_ingest
+
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+
+    def drain():
+        q = stream_dedup_ingest(
+            spark, src, out, ckpt, max_files_per_trigger=1
+        )
+        q.awaitTermination(120)
+
+    write_batch(
+        [
+            (1, "alpha doc", "en", "s0", 9),
+            (2, "beta doc", "en", "s0", 8),
+            (3, "alpha  doc", "en", "s0", 10),  # in-batch dup of 1 (ws-normalized)
+        ]
+    )
+    drain()
+    write_batch(
+        [
+            (4, "ALPHA DOC", "en", "s0", 9),  # cross-batch dup of 1 (casefolded)
+            (5, "gamma doc", "en", "s0", 9),
+        ]
+    )
+    drain()
+
+    got = sorted(r.doc_id for r in spark.read.parquet(str(out)).collect())
+    assert got == [1, 2, 5]
+
+    # replay: fresh drain over the same checkpoint emits nothing new
+    drain()
+    again = sorted(r.doc_id for r in spark.read.parquet(str(out)).collect())
+    assert again == [1, 2, 5]

@@ -27,6 +27,10 @@ Two operators:
 - ``windowed_status_metrics``: watermarked event-time rollup of
   extraction statuses (the streaming form of the reference's
   ScrapingSession counters, main.py:46-64) tolerating late rows.
+- ``stream_dedup_ingest``: continuous corpus ingest deduped against a
+  per-batch-versioned accepted-fingerprint index (the streaming form of
+  operators.incremental — exactly-once accepted docs from
+  at-least-once delivery).
 """
 
 from __future__ import annotations
@@ -42,6 +46,63 @@ TRANSCRIPT_DDL = (
     "conv_id string, turn_idx int, role string, text string, "
     "tool string, ts timestamp"
 )
+
+DOCUMENT_DDL = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+class _VersionedState:
+    """Per-batch-versioned parquet state under a checkpoint dir: batch N
+    reads the latest version < N and writes version N, so a REPLAYED
+    batch reads exactly the state it read the first time (idempotence),
+    and pruning keeps storage O(state), not O(batches x state).
+
+    Paths go through Hadoop FileSystem (not pathlib) so the checkpoint
+    can live on any scheme Spark supports (file://, hdfs://, s3a://) —
+    local-only listing would silently find no state on a remote
+    checkpoint."""
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.spark = spark
+        self.dir = state_dir
+        self._jvm = spark._jvm
+        self._hconf = spark._jsc.hadoopConfiguration()
+
+    def _hpath(self, p: str):
+        return self._jvm.org.apache.hadoop.fs.Path(p)
+
+    def versions(self) -> list[int]:
+        p = self._hpath(self.dir)
+        fs = p.getFileSystem(self._hconf)
+        if not fs.exists(p):
+            return []
+        out = []
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if name.startswith("v") and name[1:].isdigit():
+                out.append(int(name[1:]))
+        return sorted(out)
+
+    def before(self, batch_id: int) -> DataFrame | None:
+        """Latest committed state strictly before this batch id."""
+        versions = [v for v in self.versions() if v < batch_id]
+        if not versions:
+            return None
+        return self.spark.read.parquet(f"{self.dir}/v{max(versions)}")
+
+    def write(self, df: DataFrame, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(f"{self.dir}/v{batch_id}")
+
+    def prune(self, batch_id: int, keep: int = 3) -> None:
+        """Only the latest version is ever read (a replay re-reads
+        max(version) < batch_id, i.e. the previous one), so a few
+        retained versions suffice."""
+        stale = [v for v in self.versions() if v <= batch_id - keep]
+        if not stale:
+            return
+        p = self._hpath(self.dir)
+        fs = p.getFileSystem(self._hconf)
+        for v in stale:
+            fs.delete(self._hpath(f"{self.dir}/v{v}"), True)
 
 
 def read_transcript_stream(
@@ -76,54 +137,13 @@ def stream_extraction(
     """
     cfg = cfg or ExtractionConfig()
     stream = read_transcript_stream(spark, input_path, max_files_per_trigger)
-    state_dir = f"{checkpoint_location}/rank_state"
-    # Hadoop FileSystem (not pathlib) so the checkpoint can live on ANY
-    # scheme Spark supports (file://, hdfs://, s3a://) — local-only
-    # listing would silently find no state on a remote checkpoint and
-    # revert ranks to per-batch.
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-
-    def _hpath(p: str):
-        return jvm.org.apache.hadoop.fs.Path(p)
-
-    def _state_versions() -> list[int]:
-        p = _hpath(state_dir)
-        fs = p.getFileSystem(hconf)
-        if not fs.exists(p):
-            return []
-        out = []
-        for st in fs.listStatus(p):
-            name = st.getPath().getName()
-            if name.startswith("v") and name[1:].isdigit():
-                out.append(int(name[1:]))
-        return sorted(out)
-
-    def _state_before(batch_id: int) -> DataFrame | None:
-        """Latest committed (conv_id, max_rank) state strictly before
-        this batch — versioned per batch id so a replayed batch reads
-        the same state it read the first time (idempotence)."""
-        versions = [v for v in _state_versions() if v < batch_id]
-        if not versions:
-            return None
-        return spark.read.parquet(f"{state_dir}/v{max(versions)}")
-
-    def _prune_state(batch_id: int, keep: int = 3) -> None:
-        """Drop superseded snapshots: only the latest version is ever
-        read (a replay re-reads max(version) < batch_id, i.e. the
-        previous one), so keeping a few versions bounds state storage
-        at O(conversations) instead of O(batches x conversations)."""
-        stale = [v for v in _state_versions() if v <= batch_id - keep]
-        if not stale:
-            return
-        p = _hpath(state_dir)
-        fs = p.getFileSystem(hconf)
-        for v in stale:
-            fs.delete(_hpath(f"{state_dir}/v{v}"), True)
+    # per-conversation (conv_id, max_rank) state, versioned per batch id
+    # so a replayed batch reads the same state it read the first time
+    state = _VersionedState(spark, f"{checkpoint_location}/rank_state")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         out = build_extraction_df(batch_df, cfg)
-        prev = _state_before(batch_id)
+        prev = state.before(batch_id)
         if prev is not None:
             # shift in-batch ranks by the conversation's prior max; the
             # state frame has one row per conversation ever seen
@@ -159,8 +179,79 @@ def stream_extraction(
             if prev is not None
             else new_max
         )
-        new_state.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
-        _prune_state(batch_id)
+        state.write(new_state, batch_id)
+        state.prune(batch_id)
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", str(checkpoint_location)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_dedup_ingest(
+    spark: SparkSession,
+    input_path: str | Path,
+    output_path: str | Path,
+    checkpoint_location: str | Path,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    schema: str = DOCUMENT_DDL,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Continuous corpus ingest with exact dedup against everything
+    accepted so far — the streaming form of
+    ``operators.incremental.incremental_dedup_exact``.
+
+    Each micro-batch is deduped (a) within itself (min-id keeper per
+    fingerprint) and (b) against the accepted-fingerprint INDEX built
+    from all prior batches; survivors are appended to ``output_path``
+    (partitioned by batch id with dynamic overwrite, so a replayed
+    batch replaces its own partition instead of duplicating) and their
+    fingerprints are folded into the index.  The index is
+    per-batch-versioned under the checkpoint (see
+    :class:`_VersionedState`), so crash-replay of batch N reads the
+    same index it read the first time — at-least-once delivery in,
+    exactly-once accepted docs out.
+
+    Index size is O(accepted docs) x 32-char md5 — the persisted-index
+    steady state a 100-TB pipeline runs (never a corpus rescan);
+    ``maxFilesPerTrigger`` bounds per-batch work.  Returns the
+    StreamingQuery.
+    """
+    from ..functions.text import fingerprint
+    from ..operators.incremental import incremental_dedup_exact
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(str(input_path))
+    index = _VersionedState(spark, f"{checkpoint_location}/fp_index")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        prev = index.before(batch_id)
+        if prev is None:
+            prev = spark.createDataFrame([], "fp string")
+        accepted = incremental_dedup_exact(
+            batch_df, prev, id_col, text_col, corpus_is_index=True
+        ).withColumn("batch_id", F.lit(batch_id))
+        (
+            accepted.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(str(output_path))
+        )
+        # fold the fingerprints actually WRITTEN into the index (read
+        # back with the known schema: a zero-row batch leaves no
+        # footers to infer from)
+        written = spark.read.schema(accepted.schema).parquet(str(output_path)).where(
+            F.col("batch_id") == batch_id
+        )
+        new_fps = written.select(fingerprint(F.col(text_col)).alias("fp"))
+        index.write(prev.unionByName(new_fps).distinct(), batch_id)
+        index.prune(batch_id)
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", str(checkpoint_location)
