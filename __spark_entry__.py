@@ -1039,6 +1039,20 @@ def q_incremental_lsh(spark, sf_dir):
     )
 
 
+def q_line_dedup(spark, sf_dir):
+    """CCNet/RefinedWeb line-level boilerplate removal: a line occurring
+    in >= 10 distinct docs is dropped from ALL of them, docs reassembled
+    from surviving lines in order.  The corpus has no newlines, so the
+    query first re-delimits into 3-word lines with a regex both engines
+    reproduce — making cross-doc duplicate lines plentiful."""
+    from web_mass_scraper_ocr_spark.functions.text import line_dedup
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.regexp_replace("text", r"((\S+ ){3})", "$1\n")
+    )
+    return line_dedup(d, "doc_id", "text", min_df=10)
+
+
 def q_salted_join(spark, sf_dir):
     """Hot-key fact-dim join with deterministic salting (left side
     salted, right side replicated salt_factor x) — the fallback when
@@ -1441,6 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "incremental_lsh": q_incremental_lsh,
         "salted_join": q_salted_join,
+        "line_dedup": q_line_dedup,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
         "ngram_stats": q_ngram_stats,
@@ -2118,6 +2133,36 @@ WITH cuts AS (
 SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
 FROM documents d JOIN cuts USING (lang)
 WHERE d.n_chars >= cut""",
+        "line_dedup": """
+WITH relined AS (
+  SELECT doc_id, regexp_replace(text, '((\\S+ ){3})', '\\1' || chr(10), 'g') AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, u.pos AS pos, u.line AS line
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(string_split(text, chr(10)),
+                                 (x, i) -> struct_pack(pos := i, line := x))) AS u
+    FROM relined
+  )
+),
+hot AS (
+  SELECT md5(trim(line)) AS fp FROM lines WHERE trim(line) <> ''
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 10
+),
+kept AS (SELECT * FROM lines WHERE md5(trim(line)) NOT IN (SELECT fp FROM hot)),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_deduped,
+         count(*) AS n_lines_kept
+  FROM kept GROUP BY doc_id
+),
+totals AS (SELECT doc_id, count(*) AS n_total FROM lines GROUP BY doc_id)
+SELECT t.doc_id,
+       coalesce(r.text_deduped, '') AS text_deduped,
+       CAST(coalesce(r.n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
+       CAST(t.n_total - coalesce(r.n_lines_kept, 0) AS BIGINT) AS n_lines_dropped
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)""",
         "salted_join": """
 SELECT o_orderpriority,
        count(*) AS n_rows,

@@ -445,3 +445,29 @@ def test_salted_join_equals_plain_join(request):
     # plan shape: the right side is replicated via explode(sequence)
     plan = salted_join(left, right, "k")._jdf.queryExecution().executedPlan().toString()
     assert "Generate explode" in plan or "explode" in plan.lower()
+
+
+def test_line_dedup_semantics(request):
+    """CCNet line-dedup: a line in >= min_df distinct docs vanishes from
+    ALL docs; unique and blank lines survive; order preserved; a doc
+    losing every line reassembles to ''."""
+    from web_mass_scraper_ocr_spark.functions.text import line_dedup
+
+    spark = request.getfixturevalue("spark")
+    boiler = "accept our cookies"
+    rows = [
+        (1, f"{boiler}\nunique one\n\nunique two"),
+        (2, f"unique three\n{boiler}"),
+        (3, f"  {boiler}  \nunique four"),  # whitespace-variant still counted
+        (4, boiler),                        # only the boilerplate -> empty
+        (5, "repeated within\nrepeated within"),  # in-doc repeat, df=1 -> kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in line_dedup(df, "doc_id", "text", min_df=3).collect()}
+    assert got[1].text_deduped == "unique one\n\nunique two"
+    assert got[1].n_lines_dropped == 1
+    assert got[2].text_deduped == "unique three"
+    assert got[3].text_deduped == "unique four"
+    assert got[4].text_deduped == "" and got[4].n_lines_kept == 0
+    assert got[5].text_deduped == "repeated within\nrepeated within"
+    assert got[5].n_lines_dropped == 0

@@ -293,3 +293,60 @@ def chunk_text(df, id_col: str, text_col: str, chunk_chars: int = 200, overlap: 
             F.col("_t"), F.col("chunk_idx") * stride + 1, chunk_chars
         ).alias("chunk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# line-level dedup (CCNet/RefinedWeb-style boilerplate removal)
+# ---------------------------------------------------------------------------
+
+
+def line_dedup(df, id_col: str, text_col: str, min_df: int = 2):
+    """Drop every occurrence of a line that appears in >= ``min_df``
+    DISTINCT documents (the CCNet/RefinedWeb line-dedup rule: a line
+    repeated across documents is boilerplate — nav bars, cookie
+    banners, footers — regardless of which document "owns" it), then
+    reassemble each document from its surviving lines in order.
+
+    Returns (id, text_deduped, n_lines_kept, n_lines_dropped).
+
+    Plan shape, all built-ins: posexplode lines -> hash-agg the line
+    fingerprint's document frequency -> anti-join hot fingerprints ->
+    per-doc ordered reassembly (array_sort over (pos, line) structs —
+    bounded by document length, no window).  Blank lines are never
+    counted and never dropped.  At corpus scale the hot-line set
+    (df >= min_df) is tiny relative to the corpus, so AQE turns the
+    anti-join into a broadcast."""
+    lines = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
+    )
+    fp = F.md5(F.trim(F.col("line")))
+    hot = (
+        lines.where(F.trim(F.col("line")) != "")
+        .groupBy(fp.alias("fp"))
+        .agg(F.countDistinct(id_col).alias("line_df"))
+        .where(F.col("line_df") >= min_df)
+        .select("fp")
+    )
+    kept = lines.withColumn("fp", fp).join(hot, "fp", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.line,
+            ),
+        ).alias("text_deduped"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_total"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("text_deduped"), F.lit("")).alias("text_deduped"),
+            F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("long").alias("n_lines_kept"),
+            (F.col("_n_total") - F.coalesce(F.col("n_lines_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_lines_dropped"),
+        )
+    )
