@@ -1,5 +1,7 @@
 """Relational + analytics operators: stable ordering, skew salting,
-checkpoint anti-join resume, dedup family, similarity search."""
+checkpoint anti-join resume, dedup family (batch + incremental),
+similarity search, connected components, deterministic global
+ordering/sampling for training-data layout."""
 
 from .dedup import (
     dedup_exact,
@@ -14,11 +16,24 @@ from .dedup import (
     simhash_near_duplicates,
     token_shingles,
 )
+from .graph import (
+    component_representatives,
+    connected_components,
+    connected_components_propagation,
+)
+from .incremental import (
+    exact_fingerprint_index,
+    incremental_dedup_exact,
+    incremental_lsh_near_duplicates,
+    lsh_band_index,
+)
 from .ordering import with_turn_rank
 from .sampling import (
     deterministic_sample,
     hash_split,
+    mixture_by_tokens,
     pack_sequences,
+    quality_quantile_filter,
     stratified_sample,
 )
 from .sessionize import session_window_rollup, sessionize
@@ -28,30 +43,49 @@ from .resume import (
     remaining_work,
     with_conv_bucket,
 )
+from .shuffle import (
+    capped_take_tokens,
+    deterministic_shuffle,
+    global_order_index,
+    weighted_interleave,
+)
 from .similarity import brute_force_topk, cosine, dot, ivf_assign, ivf_topk, norm
-from .skew import salted_repartition
+from .skew import salted_join, salted_repartition
 
 __all__ = [
     "CHECKPOINT_SCHEMA",
     "brute_force_topk",
+    "capped_take_tokens",
     "completed_buckets",
+    "component_representatives",
+    "connected_components",
+    "connected_components_propagation",
     "cosine",
     "dedup_exact",
     "deterministic_sample",
+    "deterministic_shuffle",
     "dot",
     "embedding_near_duplicates",
     "embedding_near_duplicates_bucketed",
     "exact_duplicates",
+    "exact_fingerprint_index",
+    "global_order_index",
     "hash_split",
+    "incremental_dedup_exact",
+    "incremental_lsh_near_duplicates",
     "ivf_assign",
     "ivf_topk",
+    "lsh_band_index",
     "lsh_candidate_pairs",
     "minhash_near_duplicates",
     "minhash_signature",
+    "mixture_by_tokens",
     "ngram_jaccard_pairs",
     "norm",
     "pack_sequences",
+    "quality_quantile_filter",
     "remaining_work",
+    "salted_join",
     "salted_repartition",
     "session_window_rollup",
     "sessionize",
@@ -59,6 +93,7 @@ __all__ = [
     "simhash_near_duplicates",
     "stratified_sample",
     "token_shingles",
+    "weighted_interleave",
     "with_conv_bucket",
     "with_turn_rank",
 ]
