@@ -166,14 +166,18 @@ shuffle before the kernel.
 ## Notes
 
 - **Primary evidence: the production (clustered) 4 -> 16 pair.**  The
-  8 -> 32 pair saturates a whole-box ceiling (~53k turns/sec): at 32 of
-  32 cores the top level no longer has 4x the bottom level's resources
-  — it shares cores with the OS and the harness, and memory bandwidth
-  is box-wide, not per-level.  Raw multiprocessing of the identical
-  kernel code (zero Spark) flattens the same way at full-box width.
-  On a real cluster, 4N executors mean 4x of EVERY resource (cores,
-  memory bandwidth, NICs, disks) — the regime the 4 -> 16 pair
-  emulates.
+  8 -> 32 pair can saturate a whole-box ceiling: at 32 of 32 cores the
+  top level no longer has 4x the bottom level's resources — it shares
+  cores with the OS and the harness, and memory bandwidth is box-wide,
+  not per-level.  Raw multiprocessing of the identical kernel code
+  (zero Spark) flattens the same way at full-box width.  On a real
+  cluster, 4N executors mean 4x of EVERY resource (cores, memory
+  bandwidth, NICs, disks) — the regime the 4 -> 16 pair emulates.
+- **Measured history on this host** (clustered 4->16 / 8->32 per
+  ladder): r2 brackets 0.898/0.69, 0.99/0.661; r3 under concurrent
+  load 0.852/0.70; r3 quiet host **0.889/0.81 — both pairs pass** the
+  >=0.8 criterion, peak 72,054 turns/sec at local[32] (r2 best: 59.1k).
+  The production pair has never measured below 0.69 and centers ~0.89.
 - The stage barrier of the shuffle (map stage must finish before the
   kernel stage starts) plus reduce-side JVM work sharing the pinned
   cores with the Python workers is what separates the two modes; at
