@@ -67,6 +67,25 @@ def main() -> None:
             "search_wall_sec": round(time.monotonic() - t0, 2),
         }))
 
+    # k-means-refined centroids: same nprobe ladder (recall delta = what
+    # Lloyd iterations buy at identical search cost)
+    ref_cents = S.kmeans_refine(emb, cents, n_iter=2).cache()
+    ref_assigned = S.ivf_assign(emb, ref_cents).cache()
+    ref_assigned.count()
+    for nprobe in nprobes:
+        t0 = time.monotonic()
+        approx = S.ivf_topk(
+            emb, queries, k=K,
+            centroids=ref_cents, assigned=ref_assigned, nprobe=nprobe,
+        )
+        r = recall_at_k(truth, approx)
+        print(json.dumps({
+            "op": "ivf_topk_kmeans2", "n_vectors": n, "n_centroids": N_CENTROIDS,
+            "nprobe": nprobe, "k": K,
+            "recall_at_k": round(r, 4),
+            "search_wall_sec": round(time.monotonic() - t0, 2),
+        }))
+
     # bucketed near-dup pair recall vs the exact blocked-GEMM pairs
     exact = D.embedding_near_duplicates(
         emb, "vec_id", "embedding", threshold=COSINE_T

@@ -88,6 +88,45 @@ def main() -> None:
         ex = D.dedup_exact(docs, "doc_id", "text")
         timed(f"{r}x exact_dedup_kept", ex)
 
+        # incremental ingest: 20% "new batch" vs 80% "corpus" index —
+        # the steady-state per-ingest cost (index joins, no corpus scan)
+        from web_mass_scraper_ocr_spark.operators import incremental as I
+
+        b = (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % 10_000
+        )
+        new, corpus = docs.where(b < 2_000), docs.where(b >= 2_000)
+        fp_idx = I.exact_fingerprint_index(corpus, "text").cache()
+        fp_idx.count()  # index assumed prebuilt at steady state
+        inc_ex = I.incremental_dedup_exact(
+            new, fp_idx, "doc_id", "text", corpus_is_index=True
+        )
+        timed(f"{r}x incremental_exact_survivors", inc_ex)
+        band_idx = I.lsh_band_index(
+            corpus, "doc_id", "text", n=SHINGLE_N,
+            num_hashes=NUM_HASHES, band_size=BAND_SIZE,
+        ).cache()
+        band_idx.count()
+        inc_lsh = I.incremental_lsh_near_duplicates(
+            new, corpus, "doc_id", "text",
+            n=SHINGLE_N, num_hashes=NUM_HASHES, band_size=BAND_SIZE,
+            threshold=JACCARD, corpus_index=band_idx,
+        )
+        timed(f"{r}x incremental_lsh_pairs", inc_lsh)
+        fp_idx.unpersist()
+        band_idx.unpersist()
+
+        # line-level boilerplate dedup (3-word re-delimited lines)
+        from web_mass_scraper_ocr_spark.functions.text import line_dedup
+
+        relined = docs.withColumn(
+            "text", F.regexp_replace("text", r"((\S+ ){3})", "$1\n")
+        )
+        ld = line_dedup(relined, "doc_id", "text", min_df=10)
+        timed(f"{r}x line_dedup_docs", ld)
+
         docs.unpersist()
 
 

@@ -471,3 +471,40 @@ def test_line_dedup_semantics(request):
     assert got[4].text_deduped == "" and got[4].n_lines_kept == 0
     assert got[5].text_deduped == "repeated within\nrepeated within"
     assert got[5].n_lines_dropped == 0
+
+
+def test_kmeans_refine_moves_centroids_to_cluster_means(request):
+    """One Lloyd iteration on two crisp clusters: each centroid lands on
+    its cluster's mean (values chosen exact in float); centroid COUNT
+    never changes, even when a cell empties."""
+    from web_mass_scraper_ocr_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_refine,
+    )
+
+    spark = request.getfixturevalue("spark")
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]), (2, [3.0, 0.0]),      # cluster A along x
+            (3, [0.0, 1.0]), (4, [0.0, 3.0]),      # cluster B along y
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    seeds = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (3, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    refined = kmeans_refine(corpus, seeds, n_iter=1)
+    got = {r.vec_id: list(r.embedding) for r in refined.collect()}
+    assert got == {1: [2.0, 0.0], 3: [0.0, 2.0]}
+
+    # a seed that attracts nothing keeps its previous vector (fixed k)
+    seeds3 = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (3, [0.0, 1.0]), (9, [-5.0, -5.0])],
+        "vec_id long, embedding array<float>",
+    )
+    refined3 = kmeans_refine(corpus, seeds3, n_iter=2)
+    got3 = {r.vec_id: list(r.embedding) for r in refined3.collect()}
+    assert len(got3) == 3 and got3[9] == [-5.0, -5.0]
+
+    # refined centroids slot straight into ivf_assign (schema contract)
+    assert ivf_assign(corpus, refined).count() == 4

@@ -64,6 +64,21 @@ def test_global_order_index_grouped(spark, docs):
         assert r.lo == 0 and r.hi == r.n - 1
 
 
+def test_global_order_index_grouped_null_group(spark):
+    """A null group value is a legal group: its rows get their own
+    contiguous per-group index instead of being silently dropped (the
+    offsets join is null-safe)."""
+    rows = [(1, "a"), (2, None), (3, "a"), (4, None), (5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = global_order_index(
+        df, "doc_id", seed="n", index_col="idx", group_cols=["source"]
+    ).collect()
+    assert len(out) == 5
+    null_idx = sorted(r.idx for r in out if r.source is None)
+    a_idx = sorted(r.idx for r in out if r.source == "a")
+    assert null_idx == [0, 1, 2] and a_idx == [0, 1]
+
+
 def test_deterministic_shuffle_reproducible_and_seeded(spark, docs):
     a = deterministic_shuffle(docs, "doc_id", seed="e0").collect()
     b = deterministic_shuffle(docs, "doc_id", seed="e0").collect()

@@ -315,7 +315,11 @@ def line_dedup(df, id_col: str, text_col: str, min_df: int = 2):
     bounded by document length, no window).  Blank lines are never
     counted and never dropped.  At corpus scale the hot-line set
     (df >= min_df) is tiny relative to the corpus, so AQE turns the
-    anti-join into a broadcast."""
+    anti-join into a broadcast.
+
+    A null ``text_col`` explodes to zero lines, so null-text docs are
+    absent from the output (same contract as the dedup family: gate
+    nulls upstream with the payload validator)."""
     lines = df.select(
         F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
     )

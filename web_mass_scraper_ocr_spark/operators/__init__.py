@@ -49,7 +49,15 @@ from .shuffle import (
     global_order_index,
     weighted_interleave,
 )
-from .similarity import brute_force_topk, cosine, dot, ivf_assign, ivf_topk, norm
+from .similarity import (
+    brute_force_topk,
+    cosine,
+    dot,
+    ivf_assign,
+    ivf_topk,
+    kmeans_refine,
+    norm,
+)
 from .skew import salted_join, salted_repartition
 
 __all__ = [
@@ -75,6 +83,7 @@ __all__ = [
     "incremental_lsh_near_duplicates",
     "ivf_assign",
     "ivf_topk",
+    "kmeans_refine",
     "lsh_band_index",
     "lsh_candidate_pairs",
     "minhash_near_duplicates",

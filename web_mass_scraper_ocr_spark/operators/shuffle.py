@@ -53,7 +53,9 @@ def _with_offsets(
     """Attach `_ofs` = sum of `value_col` over all lower `_bkt` values
     (within group_cols): the pass-2 prefix sum.  The per-(group, bucket)
     aggregate is at most |groups| * 4096 rows, so the prefix-sum window
-    and the join back are broadcast-cheap."""
+    and the join back are broadcast-cheap.  The join back is NULL-SAFE
+    on the group columns — a null group value is a legal group and must
+    not silently drop its rows (plain equi-join semantics would)."""
     keys = group_cols + ["_bkt"]
     totals = df.groupBy(*keys).agg(F.sum(value_col).alias("_tot"))
     w = (
@@ -64,7 +66,11 @@ def _with_offsets(
     offsets = totals.withColumn(
         "_ofs", F.coalesce(F.sum("_tot").over(w), F.lit(0)).cast("long")
     ).select(*keys, "_ofs")
-    return df.join(F.broadcast(offsets), keys)
+    data, ofs = df.alias("_data"), F.broadcast(offsets.alias("_off"))
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & F.col(f"_data.{k}").eqNullSafe(F.col(f"_off.{k}"))
+    return data.join(ofs, cond).select("_data.*", F.col("_off._ofs").alias("_ofs"))
 
 
 def global_order_index(

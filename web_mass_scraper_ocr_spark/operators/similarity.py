@@ -130,6 +130,74 @@ def select_centroids(
     )
 
 
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 2,
+) -> DataFrame:
+    """Lloyd k-means iterations filling select_centroids' documented
+    "k-means-trained centroids" slot: assign every vector to its nearest
+    centroid, recompute each cell's mean vector, repeat.  Better-spread
+    centroids -> more balanced cells -> higher recall per probe
+    (measured in BENCH/ANN_SCALE.md).
+
+    Plan shape per iteration: the O(n * k) broadcast assign, then
+    posexplode to (cell, dim, val) -> hash-agg mean -> per-cell ordered
+    array rebuild (bounded by dim, no window over data).  The centroid
+    count NEVER changes: an emptied cell keeps its previous centroid
+    (left join + coalesce), preserving select_centroids' fixed-k
+    broadcast contract.  localCheckpoint truncates lineage per
+    iteration so the plan does not nest.
+
+    Determinism caveat: mean() over doubles sums in partition order, so
+    refined centroids are reproducible only up to floating-point
+    reassociation — fine for an index (it changes recall by epsilon,
+    never correctness of the verify stage), which is why refinement is
+    an offline index-build step and not part of a value-oracled query.
+    """
+    cent = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+    )
+    for _ in range(n_iter):
+        assigned = ivf_assign(
+            corpus,
+            cent.select(
+                F.col("centroid_id").alias(id_col), F.col("cent_vec").alias(vec_col)
+            ),
+            id_col,
+            vec_col,
+        )
+        dims = assigned.select(
+            "centroid_id", F.posexplode(F.col(vec_col)).alias("pos", "val")
+        )
+        means = (
+            dims.groupBy("centroid_id", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.m,
+                )
+                .cast("array<float>")
+                .alias("new_vec")
+            )
+        )
+        cent = (
+            cent.join(means, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce(F.col("new_vec"), F.col("cent_vec")).alias("cent_vec"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cent.select(
+        F.col("centroid_id").alias(id_col), F.col("cent_vec").alias(vec_col)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
