@@ -1039,6 +1039,16 @@ def q_incremental_lsh(spark, sf_dir):
     )
 
 
+def q_tfidf_terms(spark, sf_dir):
+    """Per-doc top-5 TF-IDF keywords (corpus statistics: token explode
+    -> tf hash-agg -> broadcast vocabulary df -> bounded per-doc top-k
+    window); deterministic tie-break on token asc."""
+    from web_mass_scraper_ocr_spark.functions.text import tfidf_top_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, "doc_id", "text", k=5)
+
+
 def q_line_dedup(spark, sf_dir):
     """CCNet/RefinedWeb line-level boilerplate removal: a line occurring
     in >= 10 distinct docs is dropped from ALL of them, docs reassembled
@@ -1456,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_lsh": q_incremental_lsh,
         "salted_join": q_salted_join,
         "line_dedup": q_line_dedup,
+        "tfidf_terms": q_tfidf_terms,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
         "ngram_stats": q_ngram_stats,
@@ -2133,6 +2144,27 @@ WITH cuts AS (
 SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
 FROM documents d JOIN cuts USING (lang)
 WHERE d.n_chars >= cut""",
+        "tfidf_terms": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(lower(trim(regexp_replace(text, '[ \\t\\r\\n]+', ' ', 'g'))), ' ')) AS token
+  FROM documents
+),
+ft AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks WHERE len(token) >= 2 GROUP BY 1, 2
+),
+dfreq AS (SELECT token, count(*) AS df FROM ft GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, token, tf, df,
+         tf::DOUBLE * ln(n_docs::DOUBLE / df::DOUBLE) AS tfidf
+  FROM ft JOIN dfreq USING (token) CROSS JOIN n
+)
+SELECT doc_id, rank, token, tf, df, tfidf FROM (
+  SELECT doc_id, token, tf, df, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rank
+  FROM scored
+) WHERE rank <= 5""",
         "line_dedup": """
 WITH relined AS (
   SELECT doc_id, regexp_replace(text, '((\\S+ ){3})', '\\1' || chr(10), 'g') AS text

@@ -508,3 +508,30 @@ def test_kmeans_refine_moves_centroids_to_cluster_means(request):
 
     # refined centroids slot straight into ivf_assign (schema contract)
     assert ivf_assign(corpus, refined).count() == 4
+
+
+def test_tfidf_top_terms_semantics(request):
+    """TF-IDF: a token in every doc has idf=ln(1)=0 (never a keyword);
+    a doc-unique token with high tf dominates; ranks dense 1..k."""
+    import math
+
+    from web_mass_scraper_ocr_spark.functions.text import tfidf_top_terms
+
+    spark = request.getfixturevalue("spark")
+    rows = [
+        (1, "common common zebra zebra zebra noise"),
+        (2, "common yak noise"),
+        (3, "common noise noise"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_top_terms(df, "doc_id", "text", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    top1 = {d: rs[0].token for d, rs in ((d, sorted(rs, key=lambda r: r.rank)) for d, rs in by_doc.items())}
+    assert top1[1] == "zebra" and top1[2] == "yak"
+    zebra = next(r for r in out if r.token == "zebra")
+    assert zebra.tf == 3 and zebra.df == 1
+    assert abs(zebra.tfidf - 3 * math.log(3 / 1)) < 1e-12
+    # 'common' is in all docs -> idf 0 -> never outranks a unique token
+    assert all(r.token != "common" or r.tfidf == 0.0 for r in out)

@@ -354,3 +354,58 @@ def line_dedup(df, id_col: str, text_col: str, min_df: int = 2):
             .alias("n_lines_dropped"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+
+def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 5, min_token_len: int = 2):
+    """Top-k characteristic terms per document by TF-IDF
+    (score = tf * ln(N / df)) — the classic corpus-statistics keyword
+    extractor (doc tagging, topic buckets for mixture sampling).
+
+    Returns (id, rank, token, tf, df, tfidf) with rank 1..k per doc;
+    ties break on token asc so the result is deterministic.
+
+    Plan shape: token explode -> per-(doc, token) count (tf) -> token
+    document-frequency hash-agg (df, broadcast back — the vocabulary is
+    tiny next to the corpus) -> per-doc top-k window (bounded groups).
+    N comes from one count() aggregate cross-joined as a broadcast
+    literal, not a driver round-trip inside the plan."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(clean_text_col(F.col(text_col))), " ")
+        ).alias("token"),
+    ).where(F.length("token") >= min_token_len)
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_total = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double")
+            * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            id_col,
+            F.col("rank").cast("long").alias("rank"),
+            "token",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "tfidf",
+        )
+    )
