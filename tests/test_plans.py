@@ -71,3 +71,17 @@ def test_no_cartesian_products_anywhere(spark):
             continue  # runs a stream, not a comparable batch plan
         plan = _plan(fn(spark, SF))
         assert "CartesianProduct" not in plan, name
+
+
+def test_global_order_index_plan_shape(spark):
+    """Two-pass global ordering: the DATA is shuffled once (the bucket
+    window); the offsets come back via broadcast (never a sort-merge
+    join), and no global single-partition sort of the data exists —
+    the only SinglePartition exchange is the <=4096-row offsets window."""
+    from web_mass_scraper_ocr_spark.operators.shuffle import global_order_index
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(global_order_index(d, "doc_id", seed="p"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange SinglePartition") == 1  # offsets only
