@@ -1039,6 +1039,25 @@ def q_incremental_lsh(spark, sf_dir):
     )
 
 
+def q_dup_spans(spark, sf_dir):
+    """Exact-substring duplication (Lee et al. 2022 semantics): 5-token
+    windows shared by >= 2 docs mark duplicated substrings, overlapping
+    windows merged per doc into maximal token spans via a bounded
+    gaps-and-islands window (operators/dedup.py duplicated_spans)."""
+    return D.duplicated_spans(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=5, min_docs=2
+    )
+
+
+def q_substring_dedup(spark, sf_dir):
+    """The removal policy on top of q_dup_spans: cut ALL copies of every
+    duplicated substring and reassemble each doc from surviving tokens
+    in order (remove_duplicated_spans)."""
+    return D.remove_duplicated_spans(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=5, min_docs=2
+    )
+
+
 def q_tfidf_terms(spark, sf_dir):
     """Per-doc top-5 TF-IDF keywords (corpus statistics: token explode
     -> tf hash-agg -> broadcast vocabulary df -> bounded per-doc top-k
@@ -1467,6 +1486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "line_dedup": q_line_dedup,
         "tfidf_terms": q_tfidf_terms,
+        "dup_spans": q_dup_spans,
+        "substring_dedup": q_substring_dedup,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
         "ngram_stats": q_ngram_stats,
@@ -2144,6 +2165,43 @@ WITH cuts AS (
 SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
 FROM documents d JOIN cuts USING (lang)
 WHERE d.n_chars >= cut""",
+        "dup_spans": _dup_spans_cte()
+        + """
+SELECT doc_id, CAST(min(start) AS BIGINT) AS span_start,
+       CAST(max("end") AS BIGINT) AS span_end,
+       CAST(max("end") - min(start) AS BIGINT) AS span_tokens
+FROM grp GROUP BY doc_id, island""",
+        "substring_dedup": _dup_spans_cte()
+        + """,
+spans AS (
+  SELECT doc_id, min(start) AS span_start, max("end") AS span_end
+  FROM grp GROUP BY doc_id, island
+),
+covered AS (
+  SELECT doc_id, unnest(generate_series(span_start, span_end - 1)) AS pos FROM spans
+),
+tok_pos AS (
+  SELECT doc_id, u.pos AS pos, u.token AS token FROM (
+    SELECT doc_id,
+           unnest(list_transform(t, (x, i) -> struct_pack(pos := i - 1, token := x))) AS u
+    FROM toks)
+),
+kept AS (
+  SELECT * FROM tok_pos
+  WHERE NOT EXISTS (SELECT 1 FROM covered c
+                    WHERE c.doc_id = tok_pos.doc_id AND c.pos = tok_pos.pos)
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS text_deduped,
+         count(*) AS n_tokens_kept
+  FROM kept GROUP BY doc_id
+),
+totals AS (SELECT doc_id, len(t) AS n FROM toks)
+SELECT t.doc_id,
+       coalesce(r.text_deduped, '') AS text_deduped,
+       CAST(coalesce(r.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+       CAST(t.n - coalesce(r.n_tokens_kept, 0) AS BIGINT) AS n_tokens_removed
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)""",
         "tfidf_terms": """
 WITH toks AS (
   SELECT doc_id,
@@ -2532,6 +2590,46 @@ FROM documents""",
     # different physical plan (zero-shuffle, in-kernel rank)
     sql["extract_clustered"] = sql["extract_pipeline"]
     return sql
+
+
+def _dup_spans_cte() -> str:
+    """Shared CTE chain for the exact-substring-dedup oracles: tokenize,
+    positioned 5-token window hashes, cross-doc hot windows, per-doc
+    gaps-and-islands merge into `grp` (doc_id, start, end, island)."""
+    return """
+WITH toks AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '[ \\t\\r\\n]+', ' ', 'g'))), ' ') AS t
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, u.start AS start, u.whash AS whash FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(t) - 4, 0)),
+                  i -> struct_pack(start := i - 1,
+                                   whash := md5(array_to_string(list_slice(t, i, i + 4), ' '))))) AS u
+    FROM toks)
+),
+hot AS (
+  SELECT whash FROM (SELECT whash, count(DISTINCT doc_id) AS d FROM wins GROUP BY 1)
+  WHERE d >= 2
+),
+marked AS (
+  SELECT doc_id, start, start + 5 AS "end" FROM wins
+  WHERE whash IN (SELECT whash FROM hot)
+),
+isl AS (
+  SELECT doc_id, start, "end",
+         CASE WHEN start > coalesce(max("end") OVER (PARTITION BY doc_id ORDER BY start
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS new_isl
+  FROM marked
+),
+grp AS (
+  SELECT doc_id, start, "end",
+         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+)"""
 
 
 def _band_select_sql() -> str:

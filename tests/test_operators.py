@@ -535,3 +535,37 @@ def test_tfidf_top_terms_semantics(request):
     assert abs(zebra.tfidf - 3 * math.log(3 / 1)) < 1e-12
     # 'common' is in all docs -> idf 0 -> never outranks a unique token
     assert all(r.token != "common" or r.tfidf == 0.0 for r in out)
+
+
+def test_duplicated_spans_and_removal(request):
+    """Lee et al. exact-substring dedup: a 6-token run shared by two
+    docs yields two overlapping 5-grams per doc that MERGE into one
+    [start, start+6) span; removal cuts ALL copies; a doc that is
+    entirely duplicated substring reassembles to ''."""
+    from web_mass_scraper_ocr_spark.operators.dedup import (
+        duplicated_spans,
+        remove_duplicated_spans,
+    )
+
+    spark = request.getfixturevalue("spark")
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+    rows = [
+        (1, f"intro {shared} outro one"),       # span [1, 7)
+        (2, f"{shared} completely different tail here"),  # span [0, 6)
+        (3, "nothing in common with anything else at all"),
+        (4, shared),                            # fully duplicated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        r.doc_id: (r.span_start, r.span_end)
+        for r in duplicated_spans(df, "doc_id", "text", n=5, min_docs=2).collect()
+    }
+    assert spans == {1: (1, 7), 2: (0, 6), 4: (0, 6)}
+
+    out = {r.doc_id: r for r in remove_duplicated_spans(
+        df, "doc_id", "text", n=5, min_docs=2).collect()}
+    assert out[1].text_deduped == "intro outro one"
+    assert out[1].n_tokens_removed == 6
+    assert out[2].text_deduped == "completely different tail here"
+    assert out[3].n_tokens_removed == 0
+    assert out[4].text_deduped == "" and out[4].n_tokens_kept == 0

@@ -545,3 +545,141 @@ def simhash_near_duplicates(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup (duplicated-span detection / removal)
+# ---------------------------------------------------------------------------
+
+
+def _positioned_windows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, start, whash): every n-token window with its 0-based start
+    token position and md5 window hash.  Unlike token_shingles this
+    keeps positions and does NOT dedup — span detection needs every
+    occurrence."""
+    df = _fan_out_small_input(df)
+    toks = F.split(F.lower(clean_text_col(F.col(text_col))), " ")
+    n_win = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    wins = F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda i: F.struct(
+            (i - 1).alias("start"),
+            F.md5(F.array_join(F.slice(toks, i, n), " ")).alias("whash"),
+        ),
+    )
+    return df.select(F.col(id_col), F.explode(wins).alias("w")).select(
+        id_col, F.col("w.start").alias("start"), F.col("w.whash").alias("whash")
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 50,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring duplication, the Lee et al. ("Deduplicating
+    Training Data Makes Language Models Better", 2022) semantics
+    re-expressed in DataFrame ops: any n-token window occurring in >=
+    ``min_docs`` DISTINCT documents marks a duplicated substring; per
+    document, overlapping marked windows merge into maximal spans.
+
+    Returns (id, span_start, span_end, span_tokens) with token-index
+    half-open spans [span_start, span_end).
+
+    Plan shape: positioned window explode -> window-hash document
+    frequency hash-agg (the "suffix array" equivalent, as an equi-join
+    instead of a sorted index) -> semi-join each doc's windows against
+    the hot set -> per-doc gaps-and-islands interval merge (running max
+    over a window PARTITIONED BY doc, bounded by doc length — no global
+    sort).  Every stage is linear in corpus tokens; the hot-window set
+    is corpus-duplication-sized, not corpus-sized.
+    """
+    from pyspark.sql.window import Window
+
+    wins = _positioned_windows(df, id_col, text_col, n)
+    hot = (
+        wins.groupBy("whash")
+        .agg(F.countDistinct(id_col).alias("ndocs"))
+        .where(F.col("ndocs") >= min_docs)
+        .select("whash")
+    )
+    marked = wins.join(hot, "whash", "left_semi").select(
+        id_col, "start", (F.col("start") + n).alias("end")
+    )
+    w_order = Window.partitionBy(id_col).orderBy("start")
+    prev_max_end = F.max("end").over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = marked.withColumn(
+        "_new", (F.col("start") > F.coalesce(prev_max_end, F.lit(-1))).cast("int")
+    ).withColumn(
+        "island",
+        F.sum("_new").over(w_order.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy(id_col, "island")
+        .agg(
+            F.min("start").cast("long").alias("span_start"),
+            F.max("end").cast("long").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 50,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cut every duplicated span out of every document (the removal
+    policy of Lee et al.: drop ALL copies of a duplicated substring)
+    and reassemble the survivors in token order.
+
+    Returns (id, text_deduped, n_tokens_kept, n_tokens_removed).
+
+    The span frame explodes back to covered token positions and
+    anti-joins the token stream — both sides are (id, position) keyed,
+    so the join shuffles on the doc key and every per-doc stage stays
+    bounded by document length."""
+    spans = duplicated_spans(df, id_col, text_col, n, min_docs)
+    covered = spans.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_end") - 1)
+        ).alias("pos"),
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.lower(clean_text_col(F.col(text_col))), " ")
+        ).alias("pos", "token"),
+    )
+    kept = toks.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                lambda s: s.token,
+            ),
+        ).alias("text_deduped"),
+        F.count(F.lit(1)).alias("n_tokens_kept"),
+    )
+    totals = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    return totals.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("text_deduped"), F.lit("")).alias("text_deduped"),
+        F.coalesce(F.col("n_tokens_kept"), F.lit(0)).cast("long").alias("n_tokens_kept"),
+        (F.col("_n") - F.coalesce(F.col("n_tokens_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_tokens_removed"),
+    )
