@@ -51,3 +51,22 @@ def test_doc_keys_unique_and_parseable(corpus):
     assert keys.count() == keys.distinct().count()
     bad = corpus.where(F.size(F.split(DOC_KEY, "#")) != 3)
     assert bad.count() == 0
+
+
+def test_corpus_fine_grained_dedup_stages(spark):
+    """Opt-in line/substring dedup stages: the pipeline still returns
+    every surviving doc with the same schema, texts only ever shrink,
+    and the default (both off) output is unchanged."""
+    from web_mass_scraper_ocr_spark.plans.corpus import build_training_corpus
+    from web_mass_scraper_ocr_spark.sources.transcripts import generate_transcripts
+
+    transcripts = spark.createDataFrame(generate_transcripts(n_convs=20))
+    base = build_training_corpus(transcripts, min_quality=0.2)
+    fine = build_training_corpus(
+        transcripts, min_quality=0.2, line_dedup_min_df=3, substring_dedup_n=5
+    )
+    b = {r.doc_key: r.clean_text for r in base.collect()}
+    f = {r.doc_key: r.clean_text for r in fine.collect()}
+    assert set(b) == set(f)  # same surviving docs, texts possibly trimmed
+    assert all(len(f[k]) <= len(b[k]) for k in b)
+    assert fine.columns == base.columns

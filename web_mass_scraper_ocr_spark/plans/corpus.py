@@ -34,6 +34,8 @@ def build_training_corpus(
     shingle_n: int = 3,
     materialize: bool = True,
     neardup_policy: str = "greedy",
+    line_dedup_min_df: int | None = None,
+    substring_dedup_n: int | None = None,
 ) -> DataFrame:
     """Returns the kept corpus rows:
     (doc_key, conv_id, turn_idx, turn_rank, clean_text, quality_score).
@@ -116,6 +118,36 @@ def build_training_corpus(
         )
     kept = uniq.join(losers, DOC_KEY, "left_anti")
 
-    return kept.select(
+    out = kept.select(
+        DOC_KEY, "conv_id", "turn_idx", "turn_rank", "clean_text", "quality_score"
+    )
+
+    # optional fine-grained dedup stages (the full published-recipe
+    # pipeline — RefinedWeb-style — runs these after doc-level dedup;
+    # off by default so the base pipeline's SQL oracle stays exact):
+    # line_dedup_min_df drops cross-doc boilerplate LINES, then
+    # substring_dedup_n cuts exact duplicated token SPANS (each stage
+    # individually value-oracled as line_dedup / substring_dedup).
+    if line_dedup_min_df is not None:
+        from ..functions.text import line_dedup
+
+        ld = line_dedup(out, DOC_KEY, "clean_text", min_df=line_dedup_min_df)
+        out = (
+            out.drop("clean_text")
+            .join(ld.select(DOC_KEY, "text_deduped"), DOC_KEY)
+            .withColumnRenamed("text_deduped", "clean_text")
+        )
+    if substring_dedup_n is not None:
+        from ..operators.dedup import remove_duplicated_spans
+
+        sd = remove_duplicated_spans(
+            out, DOC_KEY, "clean_text", n=substring_dedup_n, min_docs=2
+        )
+        out = (
+            out.drop("clean_text")
+            .join(sd.select(DOC_KEY, "text_deduped"), DOC_KEY)
+            .withColumnRenamed("text_deduped", "clean_text")
+        )
+    return out.select(
         DOC_KEY, "conv_id", "turn_idx", "turn_rank", "clean_text", "quality_score"
     )
