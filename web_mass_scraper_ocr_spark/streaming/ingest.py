@@ -89,6 +89,21 @@ class _VersionedState:
             return None
         return self.spark.read.parquet(f"{self.dir}/v{max(versions)}")
 
+    def union_before(self, batch_id: int) -> DataFrame | None:
+        """Union of ALL versions strictly before this batch id — the
+        read side of an APPEND-ONLY state (each version holds only its
+        batch's delta).  A replayed batch N unions exactly versions
+        < N, the same set it read the first time, so append-only state
+        keeps the replay-idempotence contract while the per-batch WRITE
+        stays O(delta) instead of O(total state).  Never prune an
+        append-only state: every version is part of the current value."""
+        versions = [v for v in self.versions() if v < batch_id]
+        if not versions:
+            return None
+        return self.spark.read.parquet(
+            *[f"{self.dir}/v{v}" for v in versions]
+        )
+
     def write(self, df: DataFrame, batch_id: int) -> None:
         df.write.mode("overwrite").parquet(f"{self.dir}/v{batch_id}")
 
@@ -210,16 +225,21 @@ def stream_dedup_ingest(
     from all prior batches; survivors are appended to ``output_path``
     (partitioned by batch id with dynamic overwrite, so a replayed
     batch replaces its own partition instead of duplicating) and their
-    fingerprints are folded into the index.  The index is
-    per-batch-versioned under the checkpoint (see
-    :class:`_VersionedState`), so crash-replay of batch N reads the
-    same index it read the first time — at-least-once delivery in,
-    exactly-once accepted docs out.
+    fingerprints are appended to the index.
 
-    Index size is O(accepted docs) x 32-char md5 — the persisted-index
-    steady state a 100-TB pipeline runs (never a corpus rescan);
-    ``maxFilesPerTrigger`` bounds per-batch work.  Returns the
-    StreamingQuery.
+    The index is APPEND-ONLY and per-batch-versioned under the
+    checkpoint: batch N writes only ITS newly-accepted fingerprints as
+    version N and reads the union of versions < N
+    (:meth:`_VersionedState.union_before`), so crash-replay of batch N
+    sees exactly the index it saw the first time (at-least-once
+    delivery in, exactly-once accepted docs out) AND the per-batch
+    index write costs O(batch), never O(total corpus) — the property
+    that keeps a 10^12-doc continuous ingest running.  Total index
+    size is O(accepted docs) x 32-char md5, the persisted-index steady
+    state (never a corpus rescan); if version-dir file counts grow,
+    compact offline (union the dirs into one parquet table and restart
+    the checkpoint).  ``maxFilesPerTrigger`` bounds per-batch work.
+    Returns the StreamingQuery.
     """
     from ..functions.text import fingerprint
     from ..operators.incremental import incremental_dedup_exact
@@ -231,7 +251,7 @@ def stream_dedup_ingest(
     index = _VersionedState(spark, f"{checkpoint_location}/fp_index")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        prev = index.before(batch_id)
+        prev = index.union_before(batch_id)
         if prev is None:
             prev = spark.createDataFrame([], "fp string")
         accepted = incremental_dedup_exact(
@@ -243,15 +263,15 @@ def stream_dedup_ingest(
             .partitionBy("batch_id")
             .parquet(str(output_path))
         )
-        # fold the fingerprints actually WRITTEN into the index (read
-        # back with the known schema: a zero-row batch leaves no
-        # footers to infer from)
+        # append ONLY this batch's fingerprints, derived from the rows
+        # actually WRITTEN (read back with the known schema: a zero-row
+        # batch leaves no footers to infer from); never prune an
+        # append-only state
         written = spark.read.schema(accepted.schema).parquet(str(output_path)).where(
             F.col("batch_id") == batch_id
         )
-        new_fps = written.select(fingerprint(F.col(text_col)).alias("fp"))
-        index.write(prev.unionByName(new_fps).distinct(), batch_id)
-        index.prune(batch_id)
+        new_fps = written.select(fingerprint(F.col(text_col)).alias("fp")).distinct()
+        index.write(new_fps, batch_id)
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", str(checkpoint_location)
