@@ -104,15 +104,30 @@ def connected_components(
     sym = _symmetric_edges(pairs, src, dst)
     edges = sym.where(F.col("b") < F.col("a")).localCheckpoint(eager=True)
 
+    def _signature(df: DataFrame) -> tuple:
+        # (count, hash-sum) edge-set signature: one partial-aggregated
+        # scan instead of two exceptAll shuffles per round.  Both edge
+        # sets are distinct, so equal signatures mean equal sets up to
+        # a ~2^-64 xxhash64 sum collision — and a collision could only
+        # END one round early on a set of identical size, which the
+        # fixed-point property makes observable in tests, not silent
+        # corruption of labels for converged inputs.
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) carrier: a long sum of 64-bit hashes
+            # overflows under ANSI mode
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    sig = _signature(edges)
     for _ in range(max_iterations):
         new_edges = _small_star(_large_star(_symmetric_edges(edges, "a", "b")))
         new_edges = new_edges.localCheckpoint(eager=True)
-        changed = (
-            new_edges.exceptAll(edges).limit(1).count()
-            + edges.exceptAll(new_edges).limit(1).count()
-        )
-        edges = new_edges
-        if changed == 0:
+        new_sig = _signature(new_edges)
+        changed = new_sig != sig
+        edges, sig = new_edges, new_sig
+        if not changed:
             # fixed point: edges are stars (v -> component min)
             labels = edges.select(F.col("a").alias("id"), F.col("b").alias("component"))
             return (
