@@ -250,3 +250,37 @@ def test_quality_quantile_filter(spark, docs):
     rows = out.collect()
     assert all(r.n_tokens >= cuts[r.source] for r in rows)
     assert 200 <= len(rows) <= 300
+
+
+def test_global_order_index_fuzz_parity(spark):
+    """Seeded fuzz: 30 universes of heterogeneous size (1..200) and id
+    shape (unicode strings, hash-colliding prefixes) indexed in ONE job
+    via group_cols — every universe must match the single-window
+    row_number form exactly (the two-pass machinery has no size or
+    charset assumptions)."""
+    import random
+
+    random.seed(11)
+    alphabet = "abc0129 _-ü€/:#"
+    rows = []
+    for u in range(30):
+        n = random.choice([1, 2, 3, 7, 50, 200])
+        ids = set()
+        while len(ids) < n:
+            ids.add("".join(random.choice(alphabet) for _ in range(random.randint(1, 12))))
+        rows += [(f"u{u}", i) for i in ids]
+    df = spark.createDataFrame(rows, "universe string, id string")
+    got = {
+        (r.universe, r.id): r.idx
+        for r in global_order_index(
+            df, "id", seed="fz", index_col="idx", group_cols=["universe"]
+        ).collect()
+    }
+    w = Window.partitionBy("universe").orderBy(order_key(F.col("id"), "fz"), "id")
+    want = {
+        (r.universe, r.id): r.idx
+        for r in df.select(
+            "universe", "id", (F.row_number().over(w) - 1).alias("idx")
+        ).collect()
+    }
+    assert got == want
