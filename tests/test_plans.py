@@ -85,3 +85,37 @@ def test_global_order_index_plan_shape(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange SinglePartition") == 1  # offsets only
+
+
+def test_runtime_bloom_filter_join_injection(spark):
+    """Runtime row-level filtering: on a selective dim -> big fact
+    shuffled join, Spark injects a bloom filter built from the dim side
+    into the FACT SCAN (might_contain pre-filter) — at 100-TB scale
+    this prunes most fact rows before the shuffle.  The tiny-sf size
+    thresholds are lowered to let the optimizer fire here; on a real
+    corpus the defaults (10MB creation side / 10GB application side)
+    trigger on exactly this shape."""
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_app = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF}/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).groupBy(
+            "o_orderpriority"
+        ).count()
+        assert "might_contain" in _plan(j)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_app,
+        )
