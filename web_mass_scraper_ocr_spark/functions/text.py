@@ -370,10 +370,13 @@ def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 5, min_token_len: i
     ties break on token asc so the result is deterministic.
 
     Plan shape: token explode -> per-(doc, token) count (tf) -> token
-    document-frequency hash-agg (df, broadcast back — the vocabulary is
-    tiny next to the corpus) -> per-doc top-k window (bounded groups).
-    N comes from one count() aggregate cross-joined as a broadcast
-    literal, not a driver round-trip inside the plan."""
+    document-frequency hash-agg joined back ON TOKEN, deliberately
+    without a broadcast hint: the df side is vocabulary-sized, which on
+    a 100-TB corpus is itself billions of rows — AQE picks broadcast
+    when the vocabulary actually fits and a shuffled hash join when it
+    doesn't -> per-doc top-k window (bounded groups).  N comes from one
+    count() aggregate cross-joined as a broadcast literal, not a driver
+    round-trip inside the plan."""
     toks = df.select(
         F.col(id_col),
         F.explode(
@@ -384,7 +387,7 @@ def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 5, min_token_len: i
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_total = df.select(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), "token")
+        tf.join(dfreq, "token")
         .crossJoin(F.broadcast(n_total))
         .withColumn(
             "tfidf",
