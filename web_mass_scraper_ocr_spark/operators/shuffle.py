@@ -84,7 +84,13 @@ def global_order_index(
     deterministic md5(id||seed) shuffle order (per group when
     ``group_cols`` is given, global otherwise).  Equals
     ``row_number() OVER ([PARTITION BY groups] ORDER BY key, id) - 1``
-    without the single-partition window."""
+    without the single-partition window.
+
+    ``group_cols`` must be LOW-CARDINALITY (sources, splits, shards —
+    not per-document keys): the offsets table is |groups| x 4096 rows
+    and is broadcast; for per-entity ranks use an ordinary partitioned
+    window, which is already parallel when the partition key has many
+    values."""
     groups = list(group_cols or [])
     key = order_key(F.col(id_col), seed)
     out = df.withColumn("_key", key).withColumn("_bkt", _bucket(F.col("_key")))
