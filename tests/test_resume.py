@@ -200,3 +200,32 @@ def test_rejected_rows_diagnosis(spark):
     )
     got = {r.turn_idx: r.reject_reason for r in rejected_rows(df).collect()}
     assert got == {0: "null_payload", 1: "empty_payload"}
+
+
+def test_table_compact_append_commits(spark, tmp_path):
+    """Table.compact(): N append commits collapse to ONE commit dir
+    with identical rows, the manifest records the compaction, a second
+    compact is a no-op-equivalent rewrite, and an interrupted swap
+    (staging dir left behind) is completed by simply calling compact()
+    again with no data loss."""
+    from web_mass_scraper_ocr_spark.sources.tableio import Table
+
+    t = Table(tmp_path, "events")
+    for i in range(5):
+        t.append(spark.range(i * 10, i * 10 + 10).toDF("v"))
+    assert sum(1 for p in t.data_dir.iterdir() if p.name.startswith("commit-")) == 5
+
+    t.compact(spark, target_file_mb=128)
+    assert sum(1 for p in t.data_dir.iterdir() if p.name.startswith("commit-")) == 1
+    assert sorted(r.v for r in t.read(spark).collect()) == list(range(50))
+    import json
+    manifest = json.loads(t.manifest_path.read_text())
+    assert manifest["snapshots"][-1]["operation"] == "compact"
+
+    # crash-recovery: simulate dying after the staging rewrite but
+    # before the swap — compact() must adopt the staging dir untouched
+    staging = t.dir / "tmp-compact"
+    t.read(spark).write.parquet(str(staging))
+    t.compact(spark)
+    assert not staging.exists()
+    assert sorted(r.v for r in t.read(spark).collect()) == list(range(50))

