@@ -229,3 +229,13 @@ def test_table_compact_append_commits(spark, tmp_path):
     t.compact(spark)
     assert not staging.exists()
     assert sorted(r.v for r in t.read(spark).collect()) == list(range(50))
+
+    # guards: empty table and hive-partitioned layout both refuse
+    with pytest.raises(ValueError, match="no data"):
+        Table(tmp_path, "nothing").compact(spark)
+    hive = Table(tmp_path, "hive")
+    hive.overwrite_partitions(
+        spark.range(10).toDF("v").withColumn("p", F.pmod(F.col("v"), F.lit(2))), ["p"]
+    )
+    with pytest.raises(ValueError, match="append-layout"):
+        hive.compact(spark)

@@ -106,14 +106,22 @@ class Table:
         import math
         import shutil
 
-        if self.data_dir.exists() and not any(
-            p.name.startswith("commit-") for p in self.data_dir.iterdir() if p.is_dir()
-        ):
-            raise ValueError(
-                f"table {self.name!r} is not append-layout; compact() rewrites "
-                "commit-* dirs only"
-            )
         staging = self.dir / "tmp-compact"
+        # with a staging dir present we are RECOVERING an interrupted
+        # swap — the old commits may already be partially deleted, so
+        # no layout/emptiness validation applies, only the swap itself
+        if not staging.exists():
+            if not self.exists():
+                raise ValueError(f"table {self.name!r} has no data to compact")
+            if not any(
+                p.name.startswith("commit-")
+                for p in self.data_dir.iterdir()
+                if p.is_dir()
+            ):
+                raise ValueError(
+                    f"table {self.name!r} is not append-layout; compact() "
+                    "rewrites commit-* dirs only"
+                )
         if not staging.exists():
             total = sum(size for _, size in self._listing())
             n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
