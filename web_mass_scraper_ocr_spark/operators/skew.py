@@ -50,7 +50,12 @@ def salted_join(
     (oracle-verified).
 
     ``how``: 'inner' or 'left' (right/outer would multiply unmatched
-    right rows by salt_factor — rejected)."""
+    right rows by salt_factor — rejected).
+
+    Caveat: the default whole-row salt maps EXACT-DUPLICATE left rows
+    to one salt value, so a hot key consisting of identical rows would
+    keep its skew — pass ``salt_src`` naming a unique id column when
+    the left side may contain full-row duplicates."""
     if how not in ("inner", "left"):
         raise ValueError(
             f"salted_join supports inner/left (got {how!r}): an unmatched "
