@@ -58,10 +58,13 @@ from .similarity import (
     kmeans_refine,
     norm,
 )
+from .decontaminate import benchmark_contamination
+from .sketch import heavy_hitters
 from .skew import salted_join, salted_repartition
 
 __all__ = [
     "CHECKPOINT_SCHEMA",
+    "benchmark_contamination",
     "brute_force_topk",
     "capped_take_tokens",
     "completed_buckets",
@@ -79,6 +82,7 @@ __all__ = [
     "exact_fingerprint_index",
     "global_order_index",
     "hash_split",
+    "heavy_hitters",
     "incremental_dedup_exact",
     "incremental_lsh_near_duplicates",
     "ivf_assign",

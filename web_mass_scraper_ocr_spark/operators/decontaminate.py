@@ -1,0 +1,83 @@
+"""Benchmark decontamination — flag training documents that contain
+evaluation data.
+
+A training corpus assembled at 100-TB scale must be screened against
+the benchmarks it will be evaluated on (the GPT-3 appendix-C /
+"Documenting the C4 corpus" procedure): a document is contaminated when
+it contains a large fraction of some benchmark item's n-token shingles.
+We use CONTAINMENT (|doc ∩ bench| / |bench|) rather than Jaccard —
+benchmark items are short, documents are long, and a full benchmark
+question quoted inside a 10k-token page is exactly the case Jaccard's
+symmetric denominator would hide.
+
+Plan shape (Spark-first): shingle both sides with the same
+``token_shingles`` used by the dedup family, equi-join on shingle —
+the benchmark side is small (10^3..10^6 rows vs 10^9+ docs), so the
+join broadcasts the bench shingles and the corpus is scanned ONCE with
+no corpus-side shuffle; per-(doc, bench) match counts then join the
+per-bench shingle-set sizes (again broadcast) for the containment
+ratio.  Cost is linear in corpus tokens; no pairwise corpus join ever
+occurs.
+
+Reference scope: beyond the reference (it has no corpus hygiene), part
+of the LLM-pipeline operator set this engine adds; same shingle
+semantics as operators/dedup.py so oracle SQL is shared.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import token_shingles
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(doc_id, bench_id, bench_shingles, common_shingles, containment)
+    for every (document, benchmark item) pair whose containment
+    |shingles(doc) ∩ shingles(bench)| / |shingles(bench)| reaches
+    ``threshold``.  Benchmark items with fewer than one n-token shingle
+    (shorter than n tokens) cannot be meaningfully matched and are
+    absent from the output.
+
+    Join the result back anti-style to drop contaminated docs:
+
+        flagged = benchmark_contamination(docs, bench).select("doc_id").distinct()
+        clean = docs.join(flagged, "doc_id", "left_anti")
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    d_sh = token_shingles(docs, id_col, text_col, n).select(
+        F.col(id_col).alias("doc_id"), "shingle"
+    )
+    b_sh = token_shingles(bench, bench_id_col, bench_text_col, n).select(
+        F.col(bench_id_col).alias("bench_id"), "shingle"
+    )
+    sizes = b_sh.groupBy("bench_id").agg(
+        F.count(F.lit(1)).alias("bench_shingles")
+    )
+    common = (
+        d_sh.join(F.broadcast(b_sh), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("common_shingles"))
+    )
+    return (
+        common.join(F.broadcast(sizes), "bench_id")
+        .withColumn(
+            "containment",
+            F.col("common_shingles").cast("double")
+            / F.col("bench_shingles").cast("double"),
+        )
+        .where(F.col("containment") >= threshold)
+        .select(
+            "doc_id", "bench_id", "bench_shingles", "common_shingles", "containment"
+        )
+    )

@@ -1,0 +1,97 @@
+"""Frequency sketches over unbounded columns — heavy hitters first.
+
+The 100-TB corpus question "which tokens / hosts / fingerprints dominate
+this table?" cannot be answered with a plain ``groupBy(col).count()``
+ORDER BY at scale without shuffling the full cardinality of the column
+(billions of distinct tokens).  Misra-Gries (1982) is the classic
+bounded-memory answer, and it maps onto Spark cleanly because its
+summaries MERGE: run one summary per partition (mapInPandas, O(k)
+memory), union the per-partition candidates, then make the result EXACT
+with one candidate-restricted count pass.
+
+Guarantee used: if an item's global count exceeds n/k, then in at least
+one partition its local count exceeds n_p/k (sum argument), so it
+survives that partition's Misra-Gries summary — the union of partition
+candidates is a superset of every true heavy hitter.  The second pass
+therefore returns exactly the items with count > n/k, with exact
+counts: sketch candidates, exact answer (which is what makes the result
+DuckDB-oracle-able, unlike a raw sketch).
+
+Cost shape at scale: one linear scan emitting <= (k-1) rows per
+partition, one broadcast of the candidate set (<= (k-1) x partitions
+rows), one filtered hash-agg scan.  No full-cardinality shuffle ever
+happens — the groupBy in the exact pass sees only candidate rows.
+
+Reference scope: the reference tracks per-run frequency tallies in
+Python dicts (/root/reference/src/scraper_app/main.py:46-64 session
+counters); this is the same need made corpus-scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _mg_partition_candidates(col: str, k: int):
+    """Arrow-batched Misra-Gries: merge each batch's value_counts into
+    the running summary, then apply the generalized decrement (subtract
+    the m-th smallest count so <= k-1 positive counters remain).  Never
+    holds more than (batch_distinct + k) counters."""
+
+    def fn(it):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in it:
+            vc = pdf[col].dropna().value_counts()
+            for item, cnt in vc.items():
+                counters[item] = counters.get(item, 0) + int(cnt)
+            if len(counters) > k - 1:
+                vals = sorted(counters.values())
+                # subtract the smallest value that leaves <= k-1 positive
+                d = vals[len(vals) - k + 1 - 1] if len(vals) >= k else 0
+                counters = {
+                    item: c - d for item, c in counters.items() if c - d > 0
+                }
+        yield pd.DataFrame({col: list(counters.keys())})
+
+    return fn
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int = 100,
+    item_alias: str = "item",
+) -> DataFrame:
+    """Items of ``col`` whose count strictly exceeds n/k, with EXACT
+    counts — returned as (``item_alias``, cnt), ordered nowhere (sort
+    downstream if needed).
+
+    Two phases: per-partition Misra-Gries candidate summaries
+    (mapInPandas, <= k-1 candidates per partition — the superset
+    guarantee is in the module docstring), then one exact count over
+    candidate-only rows.  The candidate frame is tiny (<= (k-1) x
+    partitions) so Spark broadcasts the semi-join; the total row count
+    comes from a 1-row aggregate joined in, not a driver round-trip, so
+    the whole thing is one lazy plan."""
+    if k < 2:
+        raise ValueError("heavy_hitters needs k >= 2 (threshold n/k)")
+    vals = df.select(F.col(col).cast("string").alias(col)).where(
+        F.col(col).isNotNull()
+    )
+    cands = (
+        vals.mapInPandas(_mg_partition_candidates(col, k), schema=f"{col} string")
+        .distinct()
+    )
+    total = vals.agg(F.count(F.lit(1)).alias("_n"))
+    exact = (
+        vals.join(F.broadcast(cands), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") * k > F.col("_n"))
+        .select(F.col(col).alias(item_alias), F.col("cnt").cast("long").alias("cnt"))
+    )
