@@ -239,3 +239,127 @@ def test_table_compact_append_commits(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="append-layout"):
         hive.compact(spark)
+
+
+def test_table_compact_rejects_partial_staging(spark, tmp_path):
+    """ADVICE r03 (high): a staging dir WITHOUT _SUCCESS is a crash
+    mid-rewrite — adopting it would install a partial copy after
+    deleting the commits.  compact() must discard it and redo the
+    rewrite from the (still intact) commit dirs."""
+    from web_mass_scraper_ocr_spark.sources.tableio import Table
+
+    t = Table(tmp_path, "events")
+    for i in range(3):
+        t.append(spark.range(i * 10, i * 10 + 10).toDF("v"))
+
+    # simulate a crash partway through the staging write: parquet data
+    # present but no _SUCCESS marker
+    staging = t.dir / "tmp-compact"
+    t.read(spark).limit(5).write.parquet(str(staging))
+    (staging / "_SUCCESS").unlink()
+
+    t.compact(spark)
+    assert not (t.dir / "tmp-compact").exists()
+    assert sorted(r.v for r in t.read(spark).collect()) == list(range(30))
+
+
+def test_table_snapshot_read_back(spark, tmp_path):
+    """Time travel (VERDICT r03 #3): a lineage row's snapshot_id must be
+    re-materializable — read(snapshot_id=A) returns exactly the
+    pre-second-append rows; unknown ids and compacted-away snapshots
+    raise instead of returning wrong data."""
+    import pytest
+
+    from web_mass_scraper_ocr_spark.sources.tableio import Table
+
+    t = Table(tmp_path, "events")
+    snap_a = t.append(spark.range(0, 10).toDF("v"))
+    snap_b = t.append(spark.range(10, 25).toDF("v"))
+
+    assert sorted(r.v for r in t.read(spark, snapshot_id=snap_a).collect()) == list(
+        range(10)
+    )
+    assert sorted(r.v for r in t.read(spark, snapshot_id=snap_b).collect()) == list(
+        range(25)
+    )
+    assert sorted(r.v for r in t.read(spark).collect()) == list(range(25))
+
+    with pytest.raises(ValueError, match="not in table"):
+        t.read(spark, snapshot_id="deadbeef00000000")
+
+    # compact rewrites the files; older snapshots are gone and must say so
+    t.compact(spark)
+    with pytest.raises(ValueError, match="no longer re-materializable"):
+        t.read(spark, snapshot_id=snap_a)
+    # the post-compact snapshot itself reads fine
+    assert sorted(
+        r.v for r in t.read(spark, snapshot_id=t.snapshot_id()).collect()
+    ) == list(range(25))
+
+
+def test_table_snapshot_read_back_hive_layout(spark, tmp_path):
+    """Snapshot reads list files explicitly; basePath keeps hive
+    partition-column inference working."""
+    from web_mass_scraper_ocr_spark.sources.tableio import Table
+
+    t = Table(tmp_path, "hive")
+    df = spark.range(10).toDF("v").withColumn("p", F.pmod(F.col("v"), F.lit(2)))
+    t.overwrite_partitions(df, ["p"])
+    snap = t.snapshot_id()
+    got = t.read(spark, snapshot_id=snap)
+    assert set(got.columns) == {"v", "p"}
+    assert sorted((r.v, r.p) for r in got.collect()) == [(i, i % 2) for i in range(10)]
+
+
+def test_cli_interleave_mixture_compact_smoke(spark, tmp_path):
+    """python -m web_mass_scraper_ocr_spark interleave|mixture|compact —
+    the r4 CLI surface: each prints one JSON line and does what the
+    operator contract says."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from web_mass_scraper_ocr_spark.__main__ import main
+    from web_mass_scraper_ocr_spark.sources.tableio import Table
+
+    src = tmp_path / "docs"
+    rows = [
+        (i, f"doc {i}", "web" if i % 2 == 0 else "code", 10 + i) for i in range(40)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_tokens long"
+    ).write.parquet(str(src))
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main([
+            "interleave", "--input", str(src), "--output", str(tmp_path / "il"),
+            "--weight", "web=1.0", "--weight", "code=0.5", "--seed", "e0",
+            "--out-partitions", "2",
+        ])
+    assert rc == 0
+    rep = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rep["rows"] == 40 and rep["weights"] == {"web": 1.0, "code": 0.5}
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main([
+            "mixture", "--input", str(src), "--output", str(tmp_path / "mx"),
+            "--budget", "200", "--share", "web=0.5", "--share", "code=0.5",
+        ])
+    assert rc == 0
+    rep = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert 0 < rep["rows"] < 40 and rep["budget"] == 200
+
+    t = Table(tmp_path / "wh", "events")
+    for i in range(3):
+        t.append(spark.range(i * 5, i * 5 + 5).toDF("v"))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main([
+            "compact", "--warehouse", str(tmp_path / "wh"), "--table", "events",
+        ])
+    assert rc == 0
+    rep = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rep["table"] == "events" and rep["files"] >= 1
+    assert sorted(r.v for r in t.read(spark).collect()) == list(range(15))

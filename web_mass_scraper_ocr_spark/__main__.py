@@ -21,6 +21,20 @@
     python -m web_mass_scraper_ocr_spark shuffle \
         --input docs.parquet --output shuffled.parquet [--seed epoch0]
 
+    # weighted source interleave, training order materialised on disk
+    python -m web_mass_scraper_ocr_spark interleave \
+        --input docs.parquet --output interleaved.parquet \
+        --weight web=1.0 --weight code=0.5 [--seed epoch0]
+
+    # token-budgeted mixture composition (share per source)
+    python -m web_mass_scraper_ocr_spark mixture \
+        --input docs.parquet --output mix.parquet --budget 1000000 \
+        --share web=0.6 --share code=0.4
+
+    # table maintenance: fold append commits into bin-packed files
+    python -m web_mass_scraper_ocr_spark compact \
+        --warehouse /path/wh --table extraction_output [--target-file-mb 128]
+
 Ships via ``spark-submit --py-files app.zip`` with a 3-line driver, or
 runs directly (it builds its own session).
 """
@@ -77,6 +91,48 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--id-col", default="doc_id")
     ps.add_argument("--seed", default="")
     ps.add_argument("--out-partitions", type=int, default=None)
+
+    def _kv_pairs(pairs: list[str], flag: str) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for item in pairs:
+            if "=" not in item:
+                raise SystemExit(f"{flag} expects SOURCE=NUMBER, got {item!r}")
+            k, _, v = item.partition("=")
+            out[k] = float(v)
+        return out
+
+    pi = sub.add_parser(
+        "interleave", help="weighted source interleave into one training order"
+    )
+    _add_common(pi)
+    pi.add_argument("--output", required=True)
+    pi.add_argument("--id-col", default="doc_id")
+    pi.add_argument("--source-col", default="source")
+    pi.add_argument("--weight", action="append", default=[], metavar="SRC=W",
+                    help="repeatable; sources not listed are dropped")
+    pi.add_argument("--seed", default="")
+    pi.add_argument("--out-partitions", type=int, default=None)
+
+    pm = sub.add_parser(
+        "mixture", help="token-budgeted mixture composition across sources"
+    )
+    _add_common(pm)
+    pm.add_argument("--output", required=True)
+    pm.add_argument("--id-col", default="doc_id")
+    pm.add_argument("--source-col", default="source")
+    pm.add_argument("--n-tokens-col", default="n_tokens")
+    pm.add_argument("--budget", type=int, required=True)
+    pm.add_argument("--share", action="append", default=[], metavar="SRC=SHARE",
+                    help="repeatable; sources not listed are dropped")
+    pm.add_argument("--salt", default="")
+
+    pk = sub.add_parser(
+        "compact", help="fold a table's append commits into bin-packed files"
+    )
+    pk.add_argument("--warehouse", required=True)
+    pk.add_argument("--table", required=True)
+    pk.add_argument("--target-file-mb", type=int, default=128)
+    pk.add_argument("--master", default=None)
 
     args = parser.parse_args(argv)
     spark = get_spark(master=args.master)
@@ -162,6 +218,74 @@ def main(argv: list[str] | None = None) -> int:
         out.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
         print(json.dumps({"output": args.output, "rows": n, "seed": args.seed}))
+        return 0
+
+    if args.cmd == "interleave":
+        from .operators.shuffle import weighted_interleave
+
+        weights = _kv_pairs(args.weight, "--weight")
+        docs = spark.read.parquet(args.input)
+        out = weighted_interleave(
+            docs,
+            args.id_col,
+            args.source_col,
+            weights,
+            seed=args.seed,
+            out_partitions=args.out_partitions
+            or spark.sparkContext.defaultParallelism,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(
+            json.dumps(
+                {"output": args.output, "rows": n, "weights": weights,
+                 "seed": args.seed}
+            )
+        )
+        return 0
+
+    if args.cmd == "mixture":
+        from .operators.sampling import mixture_by_tokens
+
+        shares = _kv_pairs(args.share, "--share")
+        docs = spark.read.parquet(args.input)
+        out = mixture_by_tokens(
+            docs,
+            args.id_col,
+            args.source_col,
+            args.n_tokens_col,
+            shares,
+            args.budget,
+            salt=args.salt,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        picked = spark.read.parquet(args.output)
+        from pyspark.sql import functions as F
+
+        stats = picked.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.coalesce(F.sum(args.n_tokens_col), F.lit(0)).alias("tokens"),
+        ).first()
+        print(
+            json.dumps(
+                {"output": args.output, "rows": stats["rows"],
+                 "tokens": stats["tokens"], "budget": args.budget,
+                 "shares": shares}
+            )
+        )
+        return 0
+
+    if args.cmd == "compact":
+        from .sources.tableio import table
+
+        t = table(args.warehouse, args.table)
+        snap = t.compact(spark, target_file_mb=args.target_file_mb)
+        print(
+            json.dumps(
+                {"table": args.table, "snapshot_id": snap,
+                 "files": len(t._listing())}
+            )
+        )
         return 0
 
     return 2

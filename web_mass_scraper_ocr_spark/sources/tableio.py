@@ -55,24 +55,77 @@ class Table:
         manifest = {"snapshots": []}
         if self.manifest_path.exists():
             manifest = json.loads(self.manifest_path.read_text())
+        listing = self._listing()
         manifest["snapshots"].append(
             {
                 "snapshot_id": self.snapshot_id(),
                 "sequence": len(manifest["snapshots"]),
                 "operation": op,
-                "files": len(self._listing()),
+                # relative file paths, not just a count: this is what
+                # makes a snapshot re-materializable (time travel) —
+                # the Iceberg manifest-list analogue
+                "files": [rel for rel, _ in listing],
+                "n_files": len(listing),
             }
         )
         self.manifest_path.write_text(json.dumps(manifest, indent=1))
 
     # -- IO ----------------------------------------------------------------
-    def read(self, spark: SparkSession) -> DataFrame:
+    def read(self, spark: SparkSession, snapshot_id: str | None = None) -> DataFrame:
+        """Current table state, or — with ``snapshot_id`` — the exact
+        file set the manifest recorded for that snapshot (time travel:
+        a lineage row's ``snapshot_id`` re-materializes the input that
+        produced it).  Snapshot reads raise if the snapshot is unknown
+        or its files were since removed by ``compact()`` /
+        ``overwrite_partitions()`` (the shim deletes rewritten files
+        immediately; real Iceberg keeps them until snapshot expiry, so
+        there this window is the expiry policy)."""
+        if snapshot_id is not None:
+            return self._read_snapshot(spark, snapshot_id)
         # append-mode tables nest files under commit-* dirs (glob them in);
         # partition-overwrite tables use hive-style key=value dirs (plain
         # read so partition-column inference works)
         if any(p.name.startswith("commit-") for p in self.data_dir.iterdir() if p.is_dir()):
             return spark.read.parquet(str(self.data_dir / "commit-*"))
         return spark.read.parquet(str(self.data_dir))
+
+    def _read_snapshot(self, spark: SparkSession, snapshot_id: str) -> DataFrame:
+        if not self.manifest_path.exists():
+            raise ValueError(f"table {self.name!r} has no manifest")
+        manifest = json.loads(self.manifest_path.read_text())
+        entry = next(
+            (
+                s
+                for s in reversed(manifest["snapshots"])
+                if s["snapshot_id"] == snapshot_id
+            ),
+            None,
+        )
+        if entry is None:
+            raise ValueError(
+                f"snapshot {snapshot_id!r} not in table {self.name!r} manifest"
+            )
+        if not isinstance(entry.get("files"), list):
+            raise ValueError(
+                f"snapshot {snapshot_id!r} predates file-level manifests "
+                "(count-only entry); not re-materializable"
+            )
+        paths = [self.data_dir / rel for rel in entry["files"]]
+        missing = [str(p) for p in paths if not p.exists()]
+        if missing:
+            raise ValueError(
+                f"snapshot {snapshot_id!r} is no longer re-materializable: "
+                f"{len(missing)} file(s) were removed by a later compact/"
+                f"overwrite (first: {missing[0]})"
+            )
+        if not paths:
+            raise ValueError(f"snapshot {snapshot_id!r} recorded zero files")
+        # basePath keeps hive-style partition-column inference working
+        # when individual files are listed explicitly
+        return (
+            spark.read.option("basePath", str(self.data_dir))
+            .parquet(*[str(p) for p in paths])
+        )
 
     def append(self, df: DataFrame) -> str:
         self.data_dir.mkdir(parents=True, exist_ok=True)
@@ -107,9 +160,19 @@ class Table:
         import shutil
 
         staging = self.dir / "tmp-compact"
-        # with a staging dir present we are RECOVERING an interrupted
-        # swap — the old commits may already be partially deleted, so
-        # no layout/emptiness validation applies, only the swap itself
+        # A staging dir is adoptable ONLY if its write completed (_SUCCESS
+        # marker from the parquet job committer).  A crash MID-rewrite
+        # leaves a partial staging dir; adopting it would install a
+        # partial copy after deleting the commits — data loss.  Discarding
+        # it is safe because commit-dir deletion is strictly ordered
+        # AFTER a completed staging write, so incomplete staging implies
+        # the original commits are intact.
+        if staging.exists() and not (staging / "_SUCCESS").exists():
+            shutil.rmtree(staging)
+        # with a COMPLETE staging dir present we are RECOVERING an
+        # interrupted swap — the old commits may already be partially
+        # deleted, so no layout/emptiness validation applies, only the
+        # swap itself
         if not staging.exists():
             if not self.exists():
                 raise ValueError(f"table {self.name!r} has no data to compact")
@@ -122,7 +185,6 @@ class Table:
                     f"table {self.name!r} is not append-layout; compact() "
                     "rewrites commit-* dirs only"
                 )
-        if not staging.exists():
             total = sum(size for _, size in self._listing())
             n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
             self.read(spark).repartition(n_files).write.mode("overwrite").parquet(
