@@ -569,3 +569,82 @@ def test_duplicated_spans_and_removal(request):
     assert out[2].text_deduped == "completely different tail here"
     assert out[3].n_tokens_removed == 0
     assert out[4].text_deduped == "" and out[4].n_tokens_kept == 0
+
+
+def test_embedding_near_duplicates_max_rows_guard(vecs):
+    """VERDICT r03 #5: the exact O(n^2) path fails fast above max_rows
+    with a pointer to the bucketed scale path; None forces the sweep."""
+    import pytest as _pytest
+
+    n = vecs.count()
+    with _pytest.raises(ValueError, match="bucketed"):
+        D.embedding_near_duplicates(vecs, threshold=0.9, max_rows=n - 1)
+    forced = D.embedding_near_duplicates(vecs, threshold=0.95, max_rows=None)
+    assert (0, 1) in {(r.id_a, r.id_b) for r in forced.collect()}
+
+
+def test_heavy_hitters_exact_over_mg_candidates(request):
+    """Misra-Gries + exact verify (operators/sketch.py): result == the
+    exact 'count > n/k' set with exact counts, regardless of partition
+    layout (the candidate-superset guarantee), and small k still never
+    misses a true heavy hitter."""
+    import pytest as _pytest
+
+    from web_mass_scraper_ocr_spark.operators.sketch import heavy_hitters
+
+    spark = request.getfixturevalue("spark")
+    # 300 'a', 150 'b', 40 'c', singletons x110 -> n=600; n/4=150:
+    # only 'a' (300) strictly exceeds; 'b' ties at exactly n/4 -> out
+    rows = (
+        [("a",)] * 300 + [("b",)] * 150 + [("c",)] * 40
+        + [(f"u{i}",) for i in range(110)]
+    )
+    df = spark.createDataFrame(rows, "token string").repartition(8)
+    got = {(r.token, r.cnt) for r in heavy_hitters(df, "token", k=4, item_alias="token").collect()}
+    assert got == {("a", 300)}
+    # looser threshold pulls in b and c exactly
+    got8 = {(r.token, r.cnt) for r in heavy_hitters(df, "token", k=12, item_alias="token").collect()}
+    assert got8 == {("a", 300), ("b", 150)}  # n/12=50: c(40) still out
+    with _pytest.raises(ValueError, match="k >= 2"):
+        heavy_hitters(df, "token", k=1)
+
+
+def test_benchmark_contamination_containment(request):
+    """Containment semantics (operators/decontaminate.py): a doc
+    embedding a full benchmark item flags at 1.0; partial overlap
+    scores |doc ∩ bench| / |bench|; under-threshold pairs are absent;
+    the anti-join drop pattern leaves only clean docs."""
+    import pytest as _pytest
+
+    from web_mass_scraper_ocr_spark.operators.decontaminate import (
+        benchmark_contamination,
+    )
+
+    spark = request.getfixturevalue("spark")
+    bench = spark.createDataFrame(
+        [(1, "what is the capital of france")],  # 4 trigram shingles
+        "bench_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (10, "intro text what is the capital of france closing remark"),
+            (11, "what is the answer here"),  # shares 'what is the' only (1/4)
+            (12, "completely unrelated content about spark plans"),
+        ],
+        "doc_id long, text string",
+    )
+    out = benchmark_contamination(docs, bench, n=3, threshold=0.5)
+    got = {(r.doc_id, r.bench_id): r.containment for r in out.collect()}
+    assert got == {(10, 1): 1.0}
+    # lower threshold exposes the partial overlap at exactly 1/4
+    low = benchmark_contamination(docs, bench, n=3, threshold=0.25)
+    got_low = {(r.doc_id, r.bench_id): r.containment for r in low.collect()}
+    assert got_low[(11, 1)] == 0.25 and got_low[(10, 1)] == 1.0
+    assert (12, 1) not in got_low
+
+    flagged = out.select("doc_id").distinct()
+    clean = docs.join(flagged, "doc_id", "left_anti")
+    assert sorted(r.doc_id for r in clean.collect()) == [11, 12]
+
+    with _pytest.raises(ValueError, match="threshold"):
+        benchmark_contamination(docs, bench, threshold=0.0)

@@ -284,3 +284,57 @@ def test_global_order_index_fuzz_parity(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_weighted_interleave_out_partitions_on_disk_order(spark, docs, tmp_path):
+    """out_partitions (VERDICT r03 #7): the written files, read
+    SEQUENTIALLY in partition order, yield monotonically non-decreasing
+    interleave_key — the on-disk layout IS the training order for
+    interleaved mixtures, same contract as deterministic_shuffle."""
+    out = weighted_interleave(
+        docs, "doc_id", "source", {"src0": 1.0, "src1": 0.5}, seed="m",
+        out_partitions=4,
+    )
+    dest = tmp_path / "il"
+    out.write.parquet(str(dest))
+    parts = sorted(dest.glob("part-*.parquet"))
+    assert len(parts) >= 2  # range partitioning actually split the data
+    seq = []
+    for p in parts:
+        seq.extend(
+            (r.interleave_key, r.source)
+            for r in spark.read.parquet(str(p)).collect()
+        )
+    assert seq == sorted(seq)
+    # layout did not change membership: same rows as the unlaid-out form
+    flat = weighted_interleave(
+        docs, "doc_id", "source", {"src0": 1.0, "src1": 0.5}, seed="m"
+    )
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in flat.collect()
+    )
+
+
+def test_salted_join_reserved_column_and_map_salt(spark):
+    """ADVICE r03: the internal salt column is namespaced and asserted
+    absent (no silent clobber of user data), and the default whole-row
+    salt skips map-typed columns instead of crashing xxhash64."""
+    import pytest as _pytest
+
+    from web_mass_scraper_ocr_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame([(1, "a")], "k int, v string")
+    right = spark.createDataFrame([(1, "x")], "k int, w string")
+
+    clash = left.withColumn("__sj_salt__", F.lit(0))
+    with _pytest.raises(ValueError, match="__sj_salt__.*left"):
+        salted_join(clash, right, "k")
+    with _pytest.raises(ValueError, match="__sj_salt__.*right"):
+        salted_join(left, right.withColumn("__sj_salt__", F.lit(0)), "k")
+    with _pytest.raises(ValueError, match="salt_src"):
+        salted_join(left, right, "k", salt_src="nope")
+
+    # a map column on the left must not break the default salt
+    mapped = left.withColumn("m", F.create_map(F.lit("a"), F.lit(1)))
+    got = salted_join(mapped, right, "k").collect()
+    assert len(got) == 1 and got[0].w == "x"

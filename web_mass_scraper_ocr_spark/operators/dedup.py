@@ -136,7 +136,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
-    max_shingle_df: int | None = 10_000,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Doc pairs with shingle-set Jaccard >= threshold.
 
@@ -152,9 +152,11 @@ def ngram_jaccard_pairs(
     carry no near-dup signal (they fail to discriminate) and are
     dropped BEFORE the self-join; Jaccard is then computed over the
     informative-shingle universe (set sizes counted after the cap, so
-    the ratio stays a true Jaccard on that universe).  ``None``
-    disables the cap — only sane for bounded corpora; the 100-TB route
-    is :func:`lsh_candidate_pairs`.
+    the ratio stays a true Jaccard on that universe).  The default is
+    ``None`` (exact semantics — the original contract; capping changes
+    which pairs emerge on corpora with hot shingles), so callers OPT IN
+    to the scale guard; pass e.g. ``max_shingle_df=10_000`` on any
+    unbounded corpus.  The 100-TB route is :func:`lsh_candidate_pairs`.
     """
     sh = token_shingles(df, id_col, text_col, n)
     if max_shingle_df is not None:
@@ -418,6 +420,7 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     threshold: float = 0.45,
     n_blocks: int = 16,
+    max_rows: int | None = 250_000,
 ) -> DataFrame:
     """Exact embedding near-dup pairs: cosine >= threshold, emitted as
     (id_a, id_b) with id_a < id_b (ids only, no floats).
@@ -426,9 +429,26 @@ def embedding_near_duplicates(
     triangle of block pairs (a small nb^2/2-row frame), and run one
     numpy GEMM per block pair inside mapInPandas.  Exact but O(n^2)
     work by nature — size ``n_blocks`` ~ n/target_block_rows so each
-    collect_list row stays bounded.  At corpus scale use
-    ``embedding_near_duplicates_bucketed`` (same GEMM kernel per IVF
-    cell, ~1/n_cells the candidate volume)."""
+    collect_list row stays bounded.
+
+    ``max_rows`` is the scale guard (the courtesy the Jaccard path got
+    with ``max_shingle_df``): above it the O(n^2) GEMM volume is no
+    longer a sane exact baseline — 250k 768-dim float64 vectors is
+    already ~3.1e10 multiply-adds per block-pair sweep — so the call
+    fails fast (one cheap count() before any O(n^2) work) with a
+    pointer to :func:`embedding_near_duplicates_bucketed`, the IVF
+    scale path with the same GEMM kernel and an ``nprobe`` recall knob
+    (measured pair-recall ladder in BENCH/ANN_SCALE.md).  ``None``
+    disables the guard for deliberate exact sweeps."""
+    if max_rows is not None:
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"embedding_near_duplicates is an exact O(n^2) sweep and got "
+                f"{n} rows (> max_rows={max_rows}); use "
+                "embedding_near_duplicates_bucketed (IVF cells + nprobe) at "
+                "this scale, or pass max_rows=None to force the exact sweep"
+            )
     return _gemm_pair_frame(df, id_col, vec_col, threshold, n_blocks)
 
 

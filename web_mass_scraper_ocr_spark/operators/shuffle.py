@@ -159,6 +159,7 @@ def weighted_interleave(
     source_col: str,
     weights: dict[str, float],
     seed: str = "",
+    out_partitions: int | None = None,
 ) -> DataFrame:
     """Deterministic weighted interleaving of sources into one training
     order: each source's rows are shuffled (per-source global index),
@@ -166,10 +167,14 @@ def weighted_interleave(
     standard stride-scheduling merge, so a weight-0.5 source
     contributes one row for every two rows of a weight-1.0 source,
     deterministically.  Sources absent from ``weights`` are dropped
-    (weight 0).  Sorting the result by (interleave_key, source) gives
-    the training order; at scale, feed that sort to
-    ``repartitionByRange`` exactly like :func:`deterministic_shuffle`.
-    """
+    (weight 0).  (interleave_key, source) is the training order.
+
+    ``out_partitions`` materialises that order as the PHYSICAL layout —
+    range-partitioned + sorted on (interleave_key, source), exactly
+    like :func:`deterministic_shuffle` — so a training loader walking
+    the output files sequentially reads the interleaved mixture in
+    order, no caller-side sort needed.  ``None`` returns the keyed
+    frame unlaid-out (cheaper when the caller composes further)."""
     if not weights:
         raise ValueError("weighted_interleave needs at least one source weight")
     if any(w <= 0 for w in weights.values()):
@@ -181,6 +186,11 @@ def weighted_interleave(
     w_expr: Column = F.lit(None).cast("double")
     for src, w in sorted(weights.items()):
         w_expr = F.when(F.col(source_col) == src, F.lit(float(w))).otherwise(w_expr)
-    return out.withColumn(
+    out = out.withColumn(
         "interleave_key", (F.col("src_idx") + F.lit(1)).cast("double") / w_expr
     )
+    if out_partitions is not None:
+        out = out.repartitionByRange(
+            out_partitions, "interleave_key", source_col
+        ).sortWithinPartitions("interleave_key", source_col)
+    return out

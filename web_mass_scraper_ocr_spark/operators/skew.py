@@ -55,17 +55,41 @@ def salted_join(
     Caveat: the default whole-row salt maps EXACT-DUPLICATE left rows
     to one salt value, so a hot key consisting of identical rows would
     keep its skew — pass ``salt_src`` naming a unique id column when
-    the left side may contain full-row duplicates."""
+    the left side may contain full-row duplicates.  The default salt
+    hashes every left column EXCEPT map-typed ones (xxhash64 cannot
+    hash maps); if all columns are maps, pass ``salt_src`` explicitly."""
+    from pyspark.sql.types import MapType
+
     if how not in ("inner", "left"):
         raise ValueError(
             f"salted_join supports inner/left (got {how!r}): an unmatched "
             "right row would otherwise appear once per salt replica"
         )
-    salt_cols = [salt_src] if salt_src else [c for c in left.columns]
+    # internal column: collision-unlikely name, asserted absent so user
+    # data is never silently clobbered-then-dropped
+    _SALT = "__sj_salt__"
+    for side, sdf in (("left", left), ("right", right)):
+        if _SALT in sdf.columns:
+            raise ValueError(
+                f"salted_join reserves column {_SALT!r}, present on {side} input"
+            )
+    if salt_src is not None:
+        if salt_src not in left.columns:
+            raise ValueError(f"salt_src {salt_src!r} not in left columns")
+        salt_cols = [salt_src]
+    else:
+        salt_cols = [
+            f.name for f in left.schema.fields if not isinstance(f.dataType, MapType)
+        ]
+        if not salt_cols:
+            raise ValueError(
+                "all left columns are map-typed (xxhash64-unhashable); "
+                "pass salt_src explicitly"
+            )
     lsalt = left.withColumn(
-        "_salt", F.pmod(F.xxhash64(*salt_cols), F.lit(salt_factor)).cast("int")
+        _SALT, F.pmod(F.xxhash64(*salt_cols), F.lit(salt_factor)).cast("int")
     )
     rsalt = right.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1)))
-    ).withColumn("_salt", F.col("_salt").cast("int"))
-    return lsalt.join(rsalt, [on, "_salt"], how).drop("_salt")
+        _SALT, F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1)))
+    ).withColumn(_SALT, F.col(_SALT).cast("int"))
+    return lsalt.join(rsalt, [on, _SALT], how).drop(_SALT)
