@@ -78,23 +78,34 @@ def main() -> None:
     extract_wall = timings["extraction_e2e"]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cpus": int(cpus),
-                "reps": reps,
-                "extraction_turns": n_turns,
-                "extraction_turns_per_sec": round(n_turns / extract_wall, 1)
-                if extract_wall > 0
-                else 0.0,
-            }
-        )
-    )
+    payload = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": int(cpus),
+        "reps": reps,
+        "extraction_turns": n_turns,
+        "extraction_turns_per_sec": round(n_turns / extract_wall, 1)
+        if extract_wall > 0
+        else 0.0,
+    }
+    # full-precision copy on disk: the driver records only a bounded
+    # stdout tail, which truncated r03's line (VERDICT r03 #9) — the
+    # file is the always-complete artifact
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json"),
+            "w",
+        ) as fh:
+            json.dump({**payload, "samples": samples}, fh, indent=1)
+    except OSError:
+        pass  # read-only deployment: stdout line still carries everything
+    # stdout line must FIT the driver's 2000-char tail window to parse:
+    # compact separators + 2-decimal timings keep ~90 chars of headroom
+    payload["queries"] = {k: round(v, 2) for k, v in timings.items()}
+    print(json.dumps(payload, separators=(",", ":")))
     spark.stop()
 
 

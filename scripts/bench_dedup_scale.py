@@ -119,13 +119,26 @@ def main() -> None:
         band_idx.unpersist()
 
         # line-level boilerplate dedup (3-word re-delimited lines)
-        from web_mass_scraper_ocr_spark.functions.text import line_dedup
+        from web_mass_scraper_ocr_spark.functions.text import line_dedup, tfidf_top_terms
 
         relined = docs.withColumn(
             "text", F.regexp_replace("text", r"((\S+ ){3})", "$1\n")
         )
         ld = line_dedup(relined, "doc_id", "text", min_df=10)
         timed(f"{r}x line_dedup_docs", ld)
+
+        # exact substring dedup (Lee et al. spans), r4: the two stages to
+        # watch are the positioned-window df hash-agg and the per-doc
+        # gaps-and-islands merge — both claimed linear in corpus tokens
+        spans = D.duplicated_spans(docs, "doc_id", "text", n=8, min_docs=2)
+        timed(f"{r}x duplicated_spans", spans)
+        cut = D.remove_duplicated_spans(docs, "doc_id", "text", n=8, min_docs=2)
+        timed(f"{r}x remove_duplicated_spans_docs", cut)
+
+        # TF-IDF keywords, r4: vocabulary join with no broadcast hint —
+        # wall should track token volume, not vocabulary^2
+        tt = tfidf_top_terms(docs, "doc_id", "text", k=5)
+        timed(f"{r}x tfidf_top_terms_rows", tt)
 
         docs.unpersist()
 
