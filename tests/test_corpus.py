@@ -70,3 +70,39 @@ def test_corpus_fine_grained_dedup_stages(spark):
     assert set(b) == set(f)  # same surviving docs, texts possibly trimmed
     assert all(len(f[k]) <= len(b[k]) for k in b)
     assert fine.columns == base.columns
+
+
+def test_corpus_decontaminate_stage(spark):
+    """Opt-in benchmark decontamination: a benchmark item built from a
+    surviving corpus doc's own text removes exactly the docs containing
+    it; everything else is untouched."""
+    transcripts = spark.createDataFrame(generate_transcripts(n_convs=20))
+    base = build_training_corpus(transcripts, min_quality=0.2).cache()
+    victim = base.orderBy(DOC_KEY).first()
+    bench = spark.createDataFrame(
+        [(1, victim.clean_text)], "bench_id long, text string"
+    )
+    cleaned = build_training_corpus(
+        transcripts,
+        min_quality=0.2,
+        decontaminate_bench=bench,
+        decontaminate_threshold=0.99,
+    )
+    kept = {r[DOC_KEY] for r in cleaned.select(DOC_KEY).collect()}
+    assert victim[DOC_KEY] not in kept
+    # dropped set is exactly the docs the operator itself flags at the
+    # same threshold — the stage wires through without altering rows
+    from web_mass_scraper_ocr_spark.operators.decontaminate import (
+        benchmark_contamination,
+    )
+
+    flagged = {
+        r.doc_id
+        for r in benchmark_contamination(
+            base, bench, id_col=DOC_KEY, text_col="clean_text",
+            n=3, threshold=0.99,
+        ).collect()
+    }
+    dropped = {r[DOC_KEY] for r in base.select(DOC_KEY).collect()} - kept
+    assert dropped == flagged and len(dropped) >= 1
+    base.unpersist()

@@ -36,6 +36,9 @@ def build_training_corpus(
     neardup_policy: str = "greedy",
     line_dedup_min_df: int | None = None,
     substring_dedup_n: int | None = None,
+    decontaminate_bench: DataFrame | None = None,
+    decontaminate_n: int = 3,
+    decontaminate_threshold: float = 0.5,
 ) -> DataFrame:
     """Returns the kept corpus rows:
     (doc_key, conv_id, turn_idx, turn_rank, clean_text, quality_score).
@@ -121,6 +124,28 @@ def build_training_corpus(
     out = kept.select(
         DOC_KEY, "conv_id", "turn_idx", "turn_rank", "clean_text", "quality_score"
     )
+
+    # optional benchmark decontamination (opt-in like the fine-grained
+    # stages): drop any doc containing >= threshold of some benchmark
+    # item's n-token shingles.  Runs BEFORE the text-mutating stages so
+    # contamination is judged on the full document text.  ``bench``
+    # needs (bench_id, text) columns.
+    if decontaminate_bench is not None:
+        from ..operators.decontaminate import benchmark_contamination
+
+        flagged = (
+            benchmark_contamination(
+                out,
+                decontaminate_bench,
+                id_col=DOC_KEY,
+                text_col="clean_text",
+                n=decontaminate_n,
+                threshold=decontaminate_threshold,
+            )
+            .select(F.col("doc_id").alias(DOC_KEY))
+            .distinct()
+        )
+        out = out.join(flagged, DOC_KEY, "left_anti")
 
     # optional fine-grained dedup stages (the full published-recipe
     # pipeline — RefinedWeb-style — runs these after doc-level dedup;
