@@ -606,3 +606,61 @@ def test_stream_dedup_ingest_compacts_index(spark, tmp_path):
     drain()
     final = sorted(r.doc_id for r in spark.read.parquet(str(out)).collect())
     assert final == expected + [901]
+
+
+def test_stream_neardup_ingest_cross_batch(spark, tmp_path):
+    """Streaming NEAR-dup ingest (r4): a later batch's near-duplicate of
+    an accepted doc is rejected via the versioned band index +
+    candidate-restricted Jaccard verify; within-batch near-dups keep
+    the min id; replay over the same checkpoint emits nothing new."""
+    from web_mass_scraper_ocr_spark.streaming.ingest import stream_neardup_ingest
+
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+
+    def drain():
+        q = stream_neardup_ingest(
+            spark, src, out, ckpt,
+            threshold=0.5, max_files_per_trigger=1, compact_every=2,
+        )
+        q.awaitTermination(180)
+
+    write_batch(
+        [
+            (1, base, "en", "s0", len(base)),
+            (2, "totally different words entirely here now okay fine", "en", "s0", 50),
+            (3, base + " omega", "en", "s0", len(base) + 6),  # in-batch near-dup of 1
+        ]
+    )
+    write_batch(
+        [
+            (4, base.replace("upsilon", "psi"), "en", "s0", len(base)),  # near-dup of 1
+            (5, "fresh unrelated content about spark catalyst plans again", "en", "s0", 56),
+        ]
+    )
+    drain()
+
+    got = sorted(r.doc_id for r in spark.read.parquet(str(out)).collect())
+    assert got == [1, 2, 5]
+
+    # replay: nothing new
+    drain()
+    assert sorted(r.doc_id for r in spark.read.parquet(str(out)).collect()) == [1, 2, 5]
+
+    # the band index holds only surviving docs' bands
+    ids = {
+        r.doc_id
+        for r in spark.read.parquet(
+            *[str(p) for p in (ckpt / "band_index").iterdir()]
+        ).collect()
+    }
+    assert ids == {1, 2, 5}

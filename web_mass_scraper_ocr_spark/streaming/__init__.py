@@ -6,6 +6,7 @@ joins (SURVEY.md §2.9)."""
 from .ingest import (
     read_transcript_stream,
     stream_dedup_ingest,
+    stream_neardup_ingest,
     stream_extraction,
     streaming_dedup,
     windowed_status_metrics,
@@ -16,6 +17,7 @@ from .stateful import streaming_turn_rank, streaming_turn_rank_tws
 __all__ = [
     "read_transcript_stream",
     "stream_dedup_ingest",
+    "stream_neardup_ingest",
     "stream_extraction",
     "stream_stream_range_join",
     "streaming_dedup",

@@ -375,6 +375,120 @@ def stream_dedup_ingest(
     return writer.start()
 
 
+def stream_neardup_ingest(
+    spark: SparkSession,
+    input_path: str | Path,
+    output_path: str | Path,
+    checkpoint_location: str | Path,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    schema: str = DOCUMENT_DDL,
+    n: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.8,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    compact_every: int | None = 32,
+):
+    """Continuous corpus ingest with NEAR-duplicate rejection against
+    everything accepted so far — the streaming form of
+    ``operators.incremental.incremental_lsh_near_duplicates``, and the
+    MinHash sibling of :func:`stream_dedup_ingest`.
+
+    Per micro-batch: (a) within-batch near-dups resolved greedily (the
+    greater id of each verified pair drops — exact dups are jaccard-1.0
+    pairs, so this subsumes exact dedup); (b) survivors' LSH band keys
+    equi-join the corpus BAND INDEX (per-batch-versioned under the
+    checkpoint, compacted every ``compact_every`` batches like the
+    fingerprint index) to get candidates; (c) candidates alone are
+    Jaccard-verified against corpus texts read back from the output
+    table restricted to ``batch_id < current`` — so a crash-replay of
+    batch N verifies against exactly the corpus it saw the first time,
+    even if a partial batch-N partition exists on disk.
+
+    Cost shape: the corpus participates as ~40-byte band-index rows
+    (O(batch) equi-join) plus a candidate-restricted text read; the
+    batch is never joined against corpus texts wholesale.  At 10^12-doc
+    scale the output table read-back becomes an Iceberg point-lookup by
+    candidate id; the shim reads the parquet table with the candidate
+    semi-join pushed into the same plan.  Returns the StreamingQuery.
+    """
+    from ..operators.dedup import minhash_near_duplicates
+    from ..operators.incremental import (
+        incremental_lsh_near_duplicates,
+        lsh_band_index,
+    )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(str(input_path))
+    bands = _VersionedState(spark, f"{checkpoint_location}/band_index")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            bands.compact(batch_id)
+        pairs = minhash_near_duplicates(
+            batch_df, id_col, text_col,
+            n=n, num_hashes=num_hashes, band_size=band_size, threshold=threshold,
+        )
+        losers = pairs.select(F.greatest("id_a", "id_b").alias(id_col)).distinct()
+        surv = batch_df.join(losers, id_col, "left_anti")
+
+        prev_idx = bands.union_before(batch_id)
+        out_schema = batch_df.schema.add("batch_id", "integer")
+        hp = bands._hpath(str(output_path))
+        have_corpus = hp.getFileSystem(bands._hconf).exists(hp)
+        if prev_idx is not None and have_corpus:
+            corpus = (
+                spark.read.schema(out_schema)
+                .parquet(str(output_path))
+                .where(F.col("batch_id") < batch_id)
+                .drop("batch_id")
+            )
+            hits = incremental_lsh_near_duplicates(
+                surv, corpus, id_col, text_col,
+                n=n, num_hashes=num_hashes, band_size=band_size,
+                threshold=threshold, corpus_index=prev_idx,
+            )
+            drop = hits.select(F.col("new_id").alias(id_col)).distinct()
+            accepted = surv.join(drop, id_col, "left_anti")
+        else:
+            accepted = surv
+        accepted = accepted.withColumn("batch_id", F.lit(batch_id))
+        (
+            accepted.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(str(output_path))
+        )
+        # band-index delta from the rows actually written (batch subdir
+        # only — see stream_dedup_ingest for why)
+        part_dir = f"{output_path}/batch_id={batch_id}"
+        php = bands._hpath(part_dir)
+        if php.getFileSystem(bands._hconf).exists(php):
+            written = spark.read.schema(batch_df.schema).parquet(part_dir)
+            delta = lsh_band_index(
+                written, id_col, text_col,
+                n=n, num_hashes=num_hashes, band_size=band_size,
+            )
+        else:
+            # schema-correct empty delta regardless of id type
+            delta = lsh_band_index(
+                batch_df.limit(0), id_col, text_col,
+                n=n, num_hashes=num_hashes, band_size=band_size,
+            )
+        bands.write(delta, batch_id)
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", str(checkpoint_location)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_dedup(
     stream: DataFrame,
     keys: list[str],
