@@ -363,3 +363,39 @@ def test_cli_interleave_mixture_compact_smoke(spark, tmp_path):
     rep = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert rep["table"] == "events" and rep["files"] >= 1
     assert sorted(r.v for r in t.read(spark).collect()) == list(range(15))
+
+
+def test_table_append_crash_safety_and_expire(spark, tmp_path):
+    """Crash-safe append (r4): a crashed append's partial staging dir is
+    invisible to read() and swept by the next append; expire_snapshots
+    bounds the manifest and expired ids raise instead of mis-reading."""
+    import json as _json
+
+    from web_mass_scraper_ocr_spark.sources.tableio import Table
+
+    t = Table(tmp_path, "events")
+    t.append(spark.range(0, 10).toDF("v"))
+
+    # simulate a crash mid-append: partial staging outside data/
+    staging = t.dir / "tmp-append-deadbeef"
+    staging.mkdir()
+    (staging / "part-00000.parquet").write_bytes(b"partial garbage")
+    assert sorted(r.v for r in t.read(spark).collect()) == list(range(10))
+
+    # next append sweeps the stale staging and lands atomically
+    t.append(spark.range(10, 20).toDF("v"))
+    assert not staging.exists()
+    assert sorted(r.v for r in t.read(spark).collect()) == list(range(20))
+
+    # expire: keep only the newest entry; old snapshot id now raises
+    snaps = _json.loads(t.manifest_path.read_text())["snapshots"]
+    old_id = snaps[0]["snapshot_id"]
+    assert t.expire_snapshots(keep_last=1) == 1
+    assert len(_json.loads(t.manifest_path.read_text())["snapshots"]) == 1
+    with pytest.raises(ValueError, match="not in table"):
+        t.read(spark, snapshot_id=old_id)
+    # current snapshot still reads
+    assert t.read(spark, snapshot_id=t.snapshot_id()).count() == 20
+    assert t.expire_snapshots(keep_last=5) == 0
+    with pytest.raises(ValueError, match="keep_last"):
+        t.expire_snapshots(keep_last=0)

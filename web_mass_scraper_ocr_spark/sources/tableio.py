@@ -128,13 +128,45 @@ class Table:
         )
 
     def append(self, df: DataFrame) -> str:
+        import shutil
+
         self.data_dir.mkdir(parents=True, exist_ok=True)
-        # append = write into a fresh uuid subdir (atomic-ish: the manifest
-        # is bumped only after the files land, like an Iceberg commit)
-        part = self.data_dir / f"commit-{uuid.uuid4().hex[:12]}"
-        df.write.mode("overwrite").parquet(str(part))
+        # crash-safe append: write into a staging dir OUTSIDE data/ and
+        # rename it in only after the write completed — a crash
+        # mid-write leaves only staging, which read() never globs, so
+        # partial files can never leak into query results.  Stale
+        # staging dirs from crashed appends are swept here (single
+        # writer assumed, like compact()).
+        for stale in self.dir.glob("tmp-append-*"):
+            shutil.rmtree(stale, ignore_errors=True)
+        token = uuid.uuid4().hex[:12]
+        staging = self.dir / f"tmp-append-{token}"
+        df.write.mode("overwrite").parquet(str(staging))
+        staging.rename(self.data_dir / f"commit-{token}")
         self._write_manifest("append")
         return self.snapshot_id()
+
+    def expire_snapshots(self, keep_last: int = 10) -> int:
+        """Drop all but the newest ``keep_last`` manifest entries — the
+        Iceberg expire_snapshots analogue bounding manifest growth on
+        append-heavy tables (one entry per commit; a streaming ingest
+        writes one per micro-batch).  Expired snapshot ids stop being
+        re-materializable via ``read(snapshot_id=...)`` and raise the
+        'not in manifest' error instead.  Data files are untouched:
+        in this shim every live file belongs to the current snapshot
+        (compact/overwrite already delete rewritten files eagerly).
+        Returns the number of entries removed."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        if not self.manifest_path.exists():
+            return 0
+        manifest = json.loads(self.manifest_path.read_text())
+        snaps = manifest["snapshots"]
+        n_drop = max(0, len(snaps) - keep_last)
+        if n_drop:
+            manifest["snapshots"] = snaps[n_drop:]
+            self.manifest_path.write_text(json.dumps(manifest, indent=1))
+        return n_drop
 
     def compact(self, spark: SparkSession, target_file_mb: int = 128) -> str:
         """Rewrite all append commits into ONE bin-packed commit — the
