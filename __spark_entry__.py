@@ -1222,6 +1222,15 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_surprisal(spark, sf_dir):
+    """Per-doc mean unigram surprisal under the corpus's own token
+    distribution (functions/text.py unigram_surprisal) — the
+    deterministic stand-in for the CCNet/Gopher LM-perplexity quality
+    gate; both distribution tails are filter targets."""
+    d = _t(spark, sf_dir, "documents")
+    return T.unigram_surprisal(d, "doc_id", "text")
+
+
 def q_quantiles(spark, sf_dir):
     """Exact interpolated percentiles per group (latency-style SLO
     reporting; Spark `percentile` and DuckDB `quantile_cont` share the
@@ -1499,6 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r4 additions (also inside the driver window)
         "heavy_hitters": q_heavy_hitters,
         "decontaminate": q_decontaminate,
+        "surprisal": q_surprisal,
         "pricing_rollup": q_pricing_rollup,
         "scan_order_limit": q_scan_order_limit,
         "revenue_topk": q_revenue_topk,
@@ -1909,6 +1919,18 @@ SELECT id_a, id_b, common_shingles,
        common_shingles::DOUBLE / (sa.set_size + sb.set_size - common_shingles)::DOUBLE AS jaccard
 FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 WHERE common_shingles::DOUBLE / (sa.set_size + sb.set_size - common_shingles)::DOUBLE >= {JACCARD_THRESHOLD}""",
+        "surprisal": f"""
+WITH tok AS (
+  SELECT doc_id, t.token
+  FROM documents, unnest({_TOKENS}) AS t(token)
+  WHERE len(t.token) > 0
+),
+freq AS (SELECT token, count(*) AS f FROM tok GROUP BY token),
+tot AS (SELECT count(*) AS n FROM tok)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       avg(-ln(f::DOUBLE / n::DOUBLE)) AS mean_surprisal
+FROM tok JOIN freq USING (token), tot
+GROUP BY doc_id""",
         "heavy_hitters": f"""
 WITH tok AS (
   SELECT unnest({_TOKENS}) AS token FROM documents WHERE text IS NOT NULL

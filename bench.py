@@ -79,7 +79,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     payload = {
-        "metric": "total_query_seconds",
+        "metric": "total_qsec",
         "value": total,
         "unit": "sec",
         "queries": timings,

@@ -106,3 +106,38 @@ def test_corpus_decontaminate_stage(spark):
     dropped = {r[DOC_KEY] for r in base.select(DOC_KEY).collect()} - kept
     assert dropped == flagged and len(dropped) >= 1
     base.unpersist()
+
+
+def test_cli_corpus_bench_decontaminate(spark, tmp_path):
+    """corpus --bench: the CLI wires the decontamination stage; a bench
+    item copied from the input drops the containing doc."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from web_mass_scraper_ocr_spark.__main__ import main
+
+    transcripts = spark.createDataFrame(generate_transcripts(n_convs=15))
+    src = tmp_path / "in"
+    transcripts.write.parquet(str(src))
+
+    base = build_training_corpus(transcripts, min_quality=0.2)
+    victim = base.orderBy(DOC_KEY).first()
+    bench_path = tmp_path / "bench"
+    spark.createDataFrame(
+        [(1, victim.clean_text)], "bench_id long, text string"
+    ).write.parquet(str(bench_path))
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main([
+            "corpus", "--input", str(src), "--output", str(tmp_path / "out"),
+            "--min-quality", "0.2",
+            "--bench", str(bench_path), "--bench-threshold", "0.99",
+        ])
+    assert rc == 0
+    rep = json.loads(buf.getvalue().strip().splitlines()[-1])
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert rep["rows"] == out.count()
+    kept = {r[DOC_KEY] for r in out.select(DOC_KEY).collect()}
+    assert victim[DOC_KEY] not in kept and len(kept) > 0

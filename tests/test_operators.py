@@ -648,3 +648,30 @@ def test_benchmark_contamination_containment(request):
 
     with _pytest.raises(ValueError, match="threshold"):
         benchmark_contamination(docs, bench, threshold=0.0)
+
+
+def test_unigram_surprisal_semantics(request):
+    """Corpus-statistics surprisal: a doc of corpus-common tokens scores
+    LOWER than a doc of corpus-unique tokens; token-free docs are
+    absent; values equal hand-computed -ln(p) means."""
+    import math
+
+    spark = request.getfixturevalue("spark")
+    df = spark.createDataFrame(
+        [
+            (1, "the the the"),       # 3x 'the' (freq 4 of 10 total)
+            (2, "the rare uniquely"),  # mixes common + two singletons
+            (3, "zebra quartz vortex mystic"),  # all singletons
+            (4, "   "),               # no tokens after cleaning
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in T.unigram_surprisal(df, "doc_id", "text").collect()}
+    assert set(rows) == {1, 2, 3}
+    n = 10  # total tokens: 3 + 3 + 4
+    exp1 = -math.log(4 / n)
+    exp3 = -math.log(1 / n)
+    assert abs(rows[1].mean_surprisal - exp1) < 1e-12
+    assert abs(rows[3].mean_surprisal - exp3) < 1e-12
+    assert rows[1].mean_surprisal < rows[2].mean_surprisal < rows[3].mean_surprisal
+    assert (rows[1].n_tokens, rows[3].n_tokens) == (3, 4)

@@ -73,6 +73,10 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("--output", required=True)
     pc.add_argument("--min-quality", type=float, default=0.3)
     pc.add_argument("--neardup-threshold", type=float, default=0.8)
+    pc.add_argument("--bench", default=None,
+                    help="parquet of (bench_id, text) benchmark items; docs "
+                         "containing them are dropped (decontamination)")
+    pc.add_argument("--bench-threshold", type=float, default=0.5)
 
     pd = sub.add_parser("dedup", help="dedup a document parquet")
     _add_common(pd)
@@ -165,6 +169,10 @@ def main(argv: list[str] | None = None) -> int:
             transcripts,
             min_quality=args.min_quality,
             neardup_threshold=args.neardup_threshold,
+            decontaminate_bench=(
+                spark.read.parquet(args.bench) if args.bench else None
+            ),
+            decontaminate_threshold=args.bench_threshold,
         )
         corpus.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()

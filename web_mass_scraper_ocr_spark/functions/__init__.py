@@ -27,9 +27,11 @@ from .text import (
     quality_features,
     quality_frame,
     quality_score,
+    unigram_surprisal,
 )
 
 __all__ = [
+    "unigram_surprisal",
     "EXTRACT_ARROW_SCHEMA",
     "EXTRACT_RESULT_SCHEMA",
     "clean_text_col",

@@ -412,3 +412,52 @@ def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 5, min_token_len: i
             "tfidf",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-statistics surprisal (perplexity-style quality signal)
+# ---------------------------------------------------------------------------
+
+
+def unigram_surprisal(df, id_col: str, text_col: str):
+    """Per-document mean unigram surprisal -ln(p(token)) under the
+    corpus's own token distribution — the deterministic stand-in for
+    the CCNet/Gopher LM-perplexity quality gate (no external LM in
+    this sandbox; the plan shape is identical with a broadcast LM
+    table).  LOW surprisal = the doc is made of corpus-common tokens
+    (boilerplate, repeated chrome); HIGH surprisal = rare-token soup
+    (garbled OCR, noise); quality filters drop both tails.
+
+    Returns (id, n_tokens, mean_surprisal).  Docs with no tokens after
+    cleaning are absent (no 0/0 row).
+
+    Plan shape: one token explode -> corpus frequency hash-agg ->
+    join back ON TOKEN (vocabulary-sized side, NO broadcast hint for
+    the same reason as tfidf_top_terms — AQE decides) -> per-doc mean.
+    Total token count enters as a broadcast 1-row aggregate, never a
+    driver round-trip, so the whole thing is one lazy plan scanning
+    the corpus twice (freq pass + score pass)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(clean_text_col(F.col(text_col))), " ")
+        ).alias("token"),
+    ).where(F.length("token") > 0)
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("token_freq"))
+    total = toks.select(F.count(F.lit(1)).alias("corpus_tokens"))
+    return (
+        toks.join(freq, "token")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "surprisal",
+            -F.log(
+                F.col("token_freq").cast("double")
+                / F.col("corpus_tokens").cast("double")
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.avg("surprisal").alias("mean_surprisal"),
+        )
+    )
