@@ -119,3 +119,36 @@ def test_runtime_bloom_filter_join_injection(spark):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             old_app,
         )
+
+
+def test_decontaminate_broadcasts_bench_side(spark):
+    """The benchmark side (tiny vs a 10^9-doc corpus) must broadcast on
+    BOTH joins (shingle match and sizes) — the corpus is never shuffled
+    for the join itself."""
+    plan = _plan(entrymod.queries()["decontaminate"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_heavy_hitters_candidate_semi_join_broadcasts(spark):
+    """The exact pass scans candidate-only rows via a broadcast LEFT
+    SEMI join (candidates <= (k-1) x partitions rows); the 1-row total
+    enters as a broadcast, never a driver round-trip."""
+    plan = _plan(entrymod.queries()["heavy_hitters"](spark, SF))
+    assert "LeftSemi, BuildRight" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row total crossJoin
+    assert "SortMergeJoin" not in plan
+
+
+def test_surprisal_no_forced_broadcast_on_vocabulary(spark):
+    """The token-frequency join carries NO broadcast hint (vocabulary is
+    corpus-scale at 100 TB; AQE decides) and the corpus total is a
+    broadcast 1-row aggregate."""
+    from web_mass_scraper_ocr_spark.functions.text import unigram_surprisal
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    opt = unigram_surprisal(d, "doc_id", "text")._jdf.queryExecution().optimizedPlan().toString()
+    # exactly one ResolvedHint in the optimized plan: the 1-row total
+    assert opt.count("hints=(strategy=broadcast)") <= 1
+    plan = _plan(unigram_surprisal(d, "doc_id", "text"))
+    assert "BroadcastNestedLoopJoin" in plan
