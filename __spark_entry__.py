@@ -1231,6 +1231,54 @@ def q_surprisal(spark, sf_dir):
     return T.unigram_surprisal(d, "doc_id", "text")
 
 
+PER_HOST_CAP = 15  # bites at sf0.01 (25 docs/source) and above
+
+
+def q_per_host_cap(spark, sf_dir):
+    """Domain balancing (operators/sampling.py per_host_cap): keep at
+    most PER_HOST_CAP docs per source in deterministic md5(id||seed)
+    order — the C4/RefinedWeb max-per-domain rule, two-stage windowed
+    so one viral host never lands on one task."""
+    from web_mass_scraper_ocr_spark.operators.sampling import per_host_cap
+
+    d = _t(spark, sf_dir, "documents")
+    return per_host_cap(d, "doc_id", "source", cap=PER_HOST_CAP, seed="e0").select(
+        "doc_id", "source", "host_rank"
+    )
+
+
+def q_split_leakage(spark, sf_dir):
+    """Split-leakage audit: near-duplicate pairs (3-gram Jaccard >=
+    JACCARD_THRESHOLD, same df-cap as ngram_jaccard) whose members fall
+    in DIFFERENT train/val/test hash splits — the contamination a naive
+    random split leaks between training and evaluation data.  Pure
+    composition of gated operators (ngram_jaccard_pairs x hash_split)."""
+    from web_mass_scraper_ocr_spark.operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=SHINGLE_N, threshold=JACCARD_THRESHOLD,
+        max_shingle_df=JACCARD_DF_CAP,
+    )
+    splits = hash_split(d, "doc_id").select("doc_id", "split")
+    return (
+        pairs.join(
+            splits.select(
+                F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+            ),
+            "id_a",
+        )
+        .join(
+            splits.select(
+                F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+            ),
+            "id_b",
+        )
+        .where(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "jaccard", "split_a", "split_b")
+    )
+
+
 def q_quantiles(spark, sf_dir):
     """Exact interpolated percentiles per group (latency-style SLO
     reporting; Spark `percentile` and DuckDB `quantile_cont` share the
@@ -1509,6 +1557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "decontaminate": q_decontaminate,
         "surprisal": q_surprisal,
+        "per_host_cap": q_per_host_cap,
+        "split_leakage": q_split_leakage,
         "pricing_rollup": q_pricing_rollup,
         "scan_order_limit": q_scan_order_limit,
         "revenue_topk": q_revenue_topk,
@@ -1919,6 +1969,51 @@ SELECT id_a, id_b, common_shingles,
        common_shingles::DOUBLE / (sa.set_size + sb.set_size - common_shingles)::DOUBLE AS jaccard
 FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 WHERE common_shingles::DOUBLE / (sa.set_size + sb.set_size - common_shingles)::DOUBLE >= {JACCARD_THRESHOLD}""",
+        "per_host_cap": f"""
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(concat(CAST(doc_id AS VARCHAR), 'e0')), doc_id
+         ) AS host_rank
+  FROM documents
+)
+SELECT doc_id, source, CAST(host_rank AS BIGINT) AS host_rank
+FROM r WHERE host_rank <= {PER_HOST_CAP}""",
+        "split_leakage": f"""
+WITH {_shingle_cte()},
+informative AS (
+  SELECT shingle FROM (SELECT shingle, count(*) AS df FROM shingles GROUP BY shingle)
+  WHERE df <= {JACCARD_DF_CAP}
+),
+kept AS (SELECT s.doc_id, s.shingle FROM shingles s JOIN informative USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM kept GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common_shingles
+  FROM kept a JOIN kept b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b,
+         common_shingles::DOUBLE / (sa.set_size + sb.set_size - common_shingles)::DOUBLE AS jaccard
+  FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE common_shingles::DOUBLE / (sa.set_size + sb.set_size - common_shingles)::DOUBLE >= {JACCARD_THRESHOLD}
+),
+b AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS bucket
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CASE WHEN bucket < 9000 THEN 'train'
+              WHEN bucket < 9500 THEN 'val'
+              ELSE 'test' END AS split
+  FROM b
+)
+SELECT id_a, id_b, jaccard, sa.split AS split_a, sb.split AS split_b
+FROM pairs JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b
+WHERE sa.split <> sb.split""",
         "surprisal": f"""
 WITH tok AS (
   SELECT doc_id, t.token

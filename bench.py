@@ -103,8 +103,10 @@ def main() -> None:
     except OSError:
         pass  # read-only deployment: stdout line still carries everything
     # stdout line must FIT the driver's 2000-char tail window to parse:
-    # compact separators + 2-decimal timings keep ~90 chars of headroom
+    # compact separators + 2-decimal timings; extraction_turns lives in
+    # the sidecar only (every stdout byte is window headroom)
     payload["queries"] = {k: round(v, 2) for k, v in timings.items()}
+    payload.pop("extraction_turns")
     print(json.dumps(payload, separators=(",", ":")))
     spark.stop()
 

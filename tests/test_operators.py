@@ -675,3 +675,34 @@ def test_unigram_surprisal_semantics(request):
     assert abs(rows[3].mean_surprisal - exp3) < 1e-12
     assert rows[1].mean_surprisal < rows[2].mean_surprisal < rows[3].mean_surprisal
     assert (rows[1].n_tokens, rows[3].n_tokens) == (3, 4)
+
+
+def test_per_host_cap_matches_single_window(request):
+    """Two-stage skew-safe top-cap == the naive single-window result
+    (the per-(host,salt) pre-prune provably keeps every true top-cap
+    row), caps bind per host, and ranks are 1..cap in md5 order."""
+    import pytest as _pytest
+
+    from web_mass_scraper_ocr_spark.operators.sampling import per_host_cap
+
+    spark = request.getfixturevalue("spark")
+    rows = [(i, f"h{i % 3}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, host string").repartition(8)
+
+    got = per_host_cap(df, "doc_id", "host", cap=10, seed="s1")
+    out = {(r.doc_id, r.host, r.host_rank) for r in got.collect()}
+    assert len(out) == 30  # 3 hosts x cap 10
+
+    from pyspark.sql.window import Window
+
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("s1")))
+    w = Window.partitionBy("host").orderBy(key, "doc_id")
+    naive = {
+        (r.doc_id, r.host, r.host_rank)
+        for r in df.withColumn(
+            "host_rank", F.row_number().over(w).cast("long")
+        ).where(F.col("host_rank") <= 10).collect()
+    }
+    assert out == naive
+    with _pytest.raises(ValueError, match="cap"):
+        per_host_cap(df, "doc_id", "host", cap=0)

@@ -30,6 +30,7 @@ from .incremental import (
 from .ordering import with_turn_rank
 from .sampling import (
     deterministic_sample,
+    per_host_cap,
     hash_split,
     mixture_by_tokens,
     pack_sequences,
@@ -96,6 +97,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "norm",
     "pack_sequences",
+    "per_host_cap",
     "quality_quantile_filter",
     "remaining_work",
     "salted_join",

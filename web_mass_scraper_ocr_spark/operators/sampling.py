@@ -175,3 +175,46 @@ def pack_sequences(
     return out.withColumn(
         "bin", F.floor(start / F.lit(budget)).cast("long")
     ).withColumn("bin_offset", (start % F.lit(budget)).cast("long"))
+
+
+def per_host_cap(
+    df: DataFrame,
+    id_col: str,
+    host_col: str,
+    cap: int,
+    seed: str = "",
+    salt_factor: int = 16,
+    rank_col: str = "host_rank",
+) -> DataFrame:
+    """Domain balancing (the C4/RefinedWeb "max N documents per
+    registered domain" rule): keep at most ``cap`` rows per host,
+    chosen as the top-``cap`` in deterministic md5(id||seed) order (so
+    reruns, resumes, and the SQL oracle pick identical survivors).
+    Adds ``rank_col`` (1..cap within host).
+
+    Skew-safe two-stage top-k: a viral host can hold 10^7+ rows, and a
+    single ``row_number() OVER (PARTITION BY host)`` window would put
+    them all in one task.  Stage 1 ranks within (host, salt) — a
+    ``salt_factor``-way shard of every host — and keeps <= cap rows per
+    shard; the true per-host top-cap always survives (each survivor is
+    top-cap in its own shard).  Stage 2 ranks the <= salt_factor x cap
+    survivors per host exactly.  Every window task is bounded:
+    |host|/salt_factor rows in stage 1, salt_factor x cap in stage 2.
+    """
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    from pyspark.sql.window import Window
+
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed)))
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_factor))
+    staged = df.withColumn("_phc_key", key).withColumn("_phc_salt", salt)
+    w1 = Window.partitionBy(host_col, "_phc_salt").orderBy("_phc_key", id_col)
+    stage1 = staged.withColumn("_phc_r1", F.row_number().over(w1)).where(
+        F.col("_phc_r1") <= cap
+    )
+    w2 = Window.partitionBy(host_col).orderBy("_phc_key", id_col)
+    return (
+        stage1.withColumn(rank_col, F.row_number().over(w2).cast("long"))
+        .where(F.col(rank_col) <= cap)
+        .drop("_phc_key", "_phc_salt", "_phc_r1")
+    )
