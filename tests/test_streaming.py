@@ -664,3 +664,34 @@ def test_stream_neardup_ingest_cross_batch(spark, tmp_path):
         ).collect()
     }
     assert ids == {1, 2, 5}
+
+
+def test_cli_ingest_smoke(spark, tmp_path):
+    """python -m web_mass_scraper_ocr_spark ingest — the streaming
+    dedup-ingest CLI: drains the source, dedups, prints one JSON line."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from web_mass_scraper_ocr_spark.__main__ import main
+
+    src = tmp_path / "src"
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(
+        [
+            (1, "alpha doc", "en", "s0", 9),
+            (2, "beta doc", "en", "s0", 8),
+            (3, "ALPHA  DOC", "en", "s0", 10),  # exact dup of 1 (normalized)
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(src))
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main([
+            "ingest", "--input", str(src), "--output", str(tmp_path / "out"),
+            "--checkpoint", str(tmp_path / "ckpt"),
+        ])
+    assert rc == 0
+    rep = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rep["rows_accepted"] == 2 and rep["mode"] == "exact"

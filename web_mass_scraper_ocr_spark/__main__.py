@@ -31,6 +31,11 @@
         --input docs.parquet --output mix.parquet --budget 1000000 \
         --share web=0.6 --share code=0.4
 
+    # streaming corpus ingest, deduped against everything accepted so far
+    python -m web_mass_scraper_ocr_spark ingest \
+        --input docs_stream/ --output corpus/ --checkpoint ckpt/ \
+        [--mode exact|neardup] [--threshold 0.8] [--compact-every 32]
+
     # table maintenance: fold append commits into bin-packed files
     python -m web_mass_scraper_ocr_spark compact \
         --warehouse /path/wh --table extraction_output [--target-file-mb 128]
@@ -129,6 +134,19 @@ def main(argv: list[str] | None = None) -> int:
     pm.add_argument("--share", action="append", default=[], metavar="SRC=SHARE",
                     help="repeatable; sources not listed are dropped")
     pm.add_argument("--salt", default="")
+
+    pg = sub.add_parser(
+        "ingest",
+        help="streaming corpus ingest with dedup against everything accepted",
+    )
+    _add_common(pg)
+    pg.add_argument("--output", required=True)
+    pg.add_argument("--checkpoint", required=True)
+    pg.add_argument("--mode", default="exact", choices=["exact", "neardup"])
+    pg.add_argument("--threshold", type=float, default=0.8,
+                    help="Jaccard threshold (neardup mode)")
+    pg.add_argument("--compact-every", type=int, default=32)
+    pg.add_argument("--max-files-per-trigger", type=int, default=None)
 
     pk = sub.add_parser(
         "compact", help="fold a table's append commits into bin-packed files"
@@ -279,6 +297,34 @@ def main(argv: list[str] | None = None) -> int:
                 {"output": args.output, "rows": stats["rows"],
                  "tokens": stats["tokens"], "budget": args.budget,
                  "shares": shares}
+            )
+        )
+        return 0
+
+    if args.cmd == "ingest":
+        from .streaming.ingest import stream_dedup_ingest, stream_neardup_ingest
+
+        if args.mode == "exact":
+            q = stream_dedup_ingest(
+                spark, args.input, args.output, args.checkpoint,
+                max_files_per_trigger=args.max_files_per_trigger,
+                compact_every=args.compact_every,
+            )
+        else:
+            q = stream_neardup_ingest(
+                spark, args.input, args.output, args.checkpoint,
+                threshold=args.threshold,
+                max_files_per_trigger=args.max_files_per_trigger,
+                compact_every=args.compact_every,
+            )
+        q.awaitTermination()
+        from pathlib import Path as _P
+
+        # an all-duplicate (or empty) stream accepts nothing and writes no dir
+        n = spark.read.parquet(args.output).count() if _P(args.output).exists() else 0
+        print(
+            json.dumps(
+                {"output": args.output, "mode": args.mode, "rows_accepted": n}
             )
         )
         return 0
