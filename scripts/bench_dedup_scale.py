@@ -140,6 +140,37 @@ def main() -> None:
         tt = tfidf_top_terms(docs, "doc_id", "text", k=5)
         timed(f"{r}x tfidf_top_terms_rows", tt)
 
+        # r4 text ops: heavy hitters (MG candidates + exact verify),
+        # corpus surprisal (two token scans), decontamination (broadcast
+        # bench side, corpus scanned once)
+        from pyspark.sql import functions as _F
+
+        from web_mass_scraper_ocr_spark.functions.text import (
+            clean_text_col,
+            unigram_surprisal,
+        )
+        from web_mass_scraper_ocr_spark.operators.decontaminate import (
+            benchmark_contamination,
+        )
+        from web_mass_scraper_ocr_spark.operators.sketch import heavy_hitters
+
+        toks = docs.select(
+            _F.explode(
+                _F.split(_F.lower(clean_text_col(_F.col("text"))), " ")
+            ).alias("token")
+        )
+        hh = heavy_hitters(toks, "token", k=200, item_alias="token")
+        timed(f"{r}x heavy_hitters_tokens", hh)
+
+        sp = unigram_surprisal(docs, "doc_id", "text")
+        timed(f"{r}x unigram_surprisal_docs", sp)
+
+        bench = docs.where(_F.col("doc_id") % 101 == 0).select(
+            _F.col("doc_id").alias("bench_id"), "text"
+        )
+        dc = benchmark_contamination(docs, bench, n=SHINGLE_N, threshold=0.5)
+        timed(f"{r}x decontaminate_pairs", dc)
+
         docs.unpersist()
 
 
