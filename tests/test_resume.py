@@ -399,3 +399,41 @@ def test_table_append_crash_safety_and_expire(spark, tmp_path):
     assert t.expire_snapshots(keep_last=5) == 0
     with pytest.raises(ValueError, match="keep_last"):
         t.expire_snapshots(keep_last=0)
+
+
+def test_cli_export_jsonl_training_order(spark, tmp_path):
+    """export --order-col: JSONL shards read sequentially follow the
+    training order; rows and projection survive the format hop."""
+    import io
+    import json as _json
+    from contextlib import redirect_stdout
+
+    from web_mass_scraper_ocr_spark.__main__ import main
+    from web_mass_scraper_ocr_spark.operators.shuffle import deterministic_shuffle
+
+    src = tmp_path / "docs"
+    rows = [(i, f"text number {i}", f"s{i % 3}") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    deterministic_shuffle(df, "doc_id", seed="e0").write.parquet(str(src))
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main([
+            "export", "--input", str(src), "--output", str(tmp_path / "sh"),
+            "--columns", "doc_id,text,shuffle_pos",
+            "--order-col", "shuffle_pos", "--shards", "4",
+        ])
+    assert rc == 0
+    rep = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rep["rows"] == 50 and rep["format"] == "jsonl"
+
+    parts = sorted((tmp_path / "sh").glob("part-*"))
+    assert len(parts) >= 2
+    seq = []
+    for p in parts:
+        with open(p) as fh:
+            for line in fh:
+                obj = _json.loads(line)
+                assert set(obj) == {"doc_id", "text", "shuffle_pos"}
+                seq.append(obj["shuffle_pos"])
+    assert seq == sorted(seq) and len(seq) == 50

@@ -36,6 +36,10 @@
         --input docs_stream/ --output corpus/ --checkpoint ckpt/ \
         [--mode exact|neardup] [--threshold 0.8] [--compact-every 32]
 
+    # JSONL export in training order (sequential shard reads = the order)
+    python -m web_mass_scraper_ocr_spark export \
+        --input shuffled.parquet --output shards/ --order-col shuffle_pos
+
     # table maintenance: fold append commits into bin-packed files
     python -m web_mass_scraper_ocr_spark compact \
         --warehouse /path/wh --table extraction_output [--target-file-mb 128]
@@ -147,6 +151,18 @@ def main(argv: list[str] | None = None) -> int:
                     help="Jaccard threshold (neardup mode)")
     pg.add_argument("--compact-every", type=int, default=32)
     pg.add_argument("--max-files-per-trigger", type=int, default=None)
+
+    px = sub.add_parser(
+        "export", help="export a parquet table as JSONL training shards"
+    )
+    _add_common(px)
+    px.add_argument("--output", required=True)
+    px.add_argument("--columns", default=None,
+                    help="comma-separated projection (default: all)")
+    px.add_argument("--order-col", default=None,
+                    help="range-partition + sort shards on this column so "
+                         "sequential shard reads follow the training order")
+    px.add_argument("--shards", type=int, default=None)
 
     pk = sub.add_parser(
         "compact", help="fold a table's append commits into bin-packed files"
@@ -299,6 +315,25 @@ def main(argv: list[str] | None = None) -> int:
                  "shares": shares}
             )
         )
+        return 0
+
+    if args.cmd == "export":
+        df = spark.read.parquet(args.input)
+        if args.columns:
+            df = df.select(*[c.strip() for c in args.columns.split(",")])
+        if args.order_col:
+            n = args.shards or spark.sparkContext.defaultParallelism
+            df = df.repartitionByRange(n, args.order_col).sortWithinPartitions(
+                args.order_col
+            )
+        elif args.shards:
+            df = df.repartition(args.shards)
+        # Spark's json writer emits one JSON object per line (JSONL),
+        # the standard training-data consumption format
+        df.write.mode("overwrite").json(args.output)
+        n_rows = spark.read.json(args.output).count()
+        print(json.dumps({"output": args.output, "rows": n_rows,
+                          "format": "jsonl"}))
         return 0
 
     if args.cmd == "ingest":
