@@ -437,3 +437,32 @@ def test_cli_export_jsonl_training_order(spark, tmp_path):
                 assert set(obj) == {"doc_id", "text", "shuffle_pos"}
                 seq.append(obj["shuffle_pos"])
     assert seq == sorted(seq) and len(seq) == 50
+
+
+def test_table_read_delta_incremental(spark, tmp_path):
+    """Incremental read (r4): read_delta(A) returns exactly the rows
+    appended after snapshot A — the process-only-what's-new primitive;
+    empty deltas and compacted-away file sets raise instead of
+    returning wrong data."""
+    from web_mass_scraper_ocr_spark.sources.tableio import Table
+
+    t = Table(tmp_path, "events")
+    snap_a = t.append(spark.range(0, 10).toDF("v"))
+    snap_b = t.append(spark.range(10, 25).toDF("v"))
+    t.append(spark.range(25, 30).toDF("v"))
+
+    # A -> B: exactly the second append
+    got = sorted(r.v for r in t.read_delta(spark, snap_a, snap_b).collect())
+    assert got == list(range(10, 25))
+    # A -> current: both later appends
+    got = sorted(r.v for r in t.read_delta(spark, snap_a).collect())
+    assert got == list(range(10, 30))
+
+    with pytest.raises(ValueError, match="empty delta"):
+        t.read_delta(spark, snap_b, snap_b)
+    with pytest.raises(ValueError, match="not in table"):
+        t.read_delta(spark, "feedfacecafebeef")
+
+    t.compact(spark)
+    with pytest.raises(ValueError, match="not re-materializable"):
+        t.read_delta(spark, snap_a, snap_b)
