@@ -434,9 +434,11 @@ def unigram_surprisal(df, id_col: str, text_col: str):
     Plan shape: one token explode -> corpus frequency hash-agg ->
     join back ON TOKEN (vocabulary-sized side, NO broadcast hint for
     the same reason as tfidf_top_terms — AQE decides) -> per-doc mean.
-    Total token count enters as a broadcast 1-row aggregate, never a
-    driver round-trip, so the whole thing is one lazy plan scanning
-    the corpus twice (freq pass + score pass)."""
+    Total token count is derived FROM the frequency aggregate
+    (sum of token_freq — a vocabulary-sized re-agg, not a third corpus
+    scan) and enters as a broadcast 1-row aggregate, never a driver
+    round-trip, so the whole thing is one lazy plan scanning the
+    corpus twice (freq pass + score pass)."""
     toks = df.select(
         F.col(id_col),
         F.explode(
@@ -444,7 +446,7 @@ def unigram_surprisal(df, id_col: str, text_col: str):
         ).alias("token"),
     ).where(F.length("token") > 0)
     freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("token_freq"))
-    total = toks.select(F.count(F.lit(1)).alias("corpus_tokens"))
+    total = freq.select(F.sum("token_freq").alias("corpus_tokens"))
     return (
         toks.join(freq, "token")
         .crossJoin(F.broadcast(total))

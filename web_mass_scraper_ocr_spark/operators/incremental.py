@@ -108,12 +108,16 @@ def incremental_lsh_near_duplicates(
     threshold.
 
     At production scale pass ``corpus_index`` (the persisted band
-    index) and ``corpus_shingles`` (or recompute shingles for just the
-    candidate corpus docs from their stored text): the corpus is then
-    touched only via index lookups, never rescanned.  The inline
-    default computes both from ``corpus`` — fine at test scale,
-    and the plan shape (band equi-join, candidate-restricted verify)
-    is identical either way.
+    index) and optionally ``corpus_shingles``: the corpus is then
+    touched only via index lookups plus a CANDIDATE-RESTRICTED text
+    read.  The verify stage always semi-joins the corpus side (text or
+    prebuilt shingles) on the candidate corpus ids BEFORE shingling /
+    size aggregation, so per-batch verify cost is O(candidate docs),
+    never O(total corpus tokens) — the property that keeps a steady-
+    state ingest O(|batch|).  (A doc's shingle-set size depends only on
+    that doc, so restricting by id before the size agg is exact.)  The
+    inline default computes the band index from ``corpus`` — fine at
+    test scale; the plan shape is identical either way.
     """
     new_bands = lsh_band_index(new_df, id_col, text_col, n, num_hashes, band_size)
     corp_bands = (
@@ -132,12 +136,15 @@ def incremental_lsh_near_duplicates(
         .select("new_id", "corpus_id")
         .distinct()
     )
+    cand_corpus_ids = cands.select(F.col("corpus_id").alias(id_col)).distinct()
     new_sh = token_shingles(new_df, id_col, text_col, n)
-    corp_sh = (
-        corpus_shingles
-        if corpus_shingles is not None
-        else token_shingles(corpus, id_col, text_col, n)
-    )
+    if corpus_shingles is not None:
+        corp_sh = corpus_shingles.join(cand_corpus_ids, id_col, "left_semi")
+    else:
+        corp_sh = token_shingles(
+            corpus.join(cand_corpus_ids, id_col, "left_semi"),
+            id_col, text_col, n,
+        )
     new_sizes = new_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("size_new"))
     corp_sizes = corp_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("size_corpus"))
     common = (

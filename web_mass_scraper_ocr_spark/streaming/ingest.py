@@ -89,18 +89,22 @@ class _VersionedState:
             return None
         return self.spark.read.parquet(f"{self.dir}/v{max(versions)}")
 
-    def base_version(self) -> int | None:
-        """Cutoff N of the newest ``base-v<N>`` compaction dir (holds the
-        folded content of all delta versions < N), or None."""
+    def _base_versions(self) -> list[int]:
         p = self._hpath(self.dir)
         fs = p.getFileSystem(self._hconf)
         if not fs.exists(p):
-            return None
+            return []
         bases = []
         for st in fs.listStatus(p):
             name = st.getPath().getName()
             if name.startswith("base-v") and name[6:].isdigit():
                 bases.append(int(name[6:]))
+        return sorted(bases)
+
+    def base_version(self) -> int | None:
+        """Cutoff N of the newest ``base-v<N>`` compaction dir (holds the
+        folded content of all delta versions < N), or None."""
+        bases = self._base_versions()
         return max(bases) if bases else None
 
     def union_before(self, batch_id: int) -> DataFrame | None:
@@ -165,7 +169,11 @@ class _VersionedState:
         old_base = self.base_version()
         if old_base == batch_id:
             # fold already committed (crash landed after the rename);
-            # only the cleanup remains
+            # only the cleanup remains — folded deltas AND any older
+            # base-v dir superseded by the committed fold
+            for b in self._base_versions():
+                if b < batch_id:
+                    fs.delete(self._hpath(f"{self.dir}/base-v{b}"), True)
             for v in self.versions():
                 if v < batch_id:
                     fs.delete(self._hpath(f"{self.dir}/v{v}"), True)
@@ -177,7 +185,17 @@ class _VersionedState:
         if fs.exists(self._hpath(tmp)):
             fs.delete(self._hpath(tmp), True)
         content.write.mode("overwrite").parquet(tmp)
-        fs.rename(self._hpath(tmp), self._hpath(f"{self.dir}/base-v{batch_id}"))
+        # FileSystem.rename signals failure via its boolean return, NOT
+        # an exception — deleting anything after a failed rename would
+        # destroy the only copy of the state, so check and raise first
+        if not fs.rename(
+            self._hpath(tmp), self._hpath(f"{self.dir}/base-v{batch_id}")
+        ):
+            raise RuntimeError(
+                f"compaction commit failed: rename {tmp} -> "
+                f"{self.dir}/base-v{batch_id} returned false; "
+                "state left untouched"
+            )
         if old_base is not None and old_base != batch_id:
             fs.delete(self._hpath(f"{self.dir}/base-v{old_base}"), True)
         for v in self.versions():
@@ -396,9 +414,14 @@ def stream_neardup_ingest(
     ``operators.incremental.incremental_lsh_near_duplicates``, and the
     MinHash sibling of :func:`stream_dedup_ingest`.
 
-    Per micro-batch: (a) within-batch near-dups resolved greedily (the
-    greater id of each verified pair drops — exact dups are jaccard-1.0
-    pairs, so this subsumes exact dedup); (b) survivors' LSH band keys
+    Per micro-batch: (a) within-batch near-dups resolved by the SAME
+    drop-greater-of-every-verified-pair policy as the batch pipeline's
+    ``neardup_policy="greedy"`` (plans/corpus.py — one expression,
+    ``greatest(id_a, id_b)`` per pair, no iteration; on a chain
+    A~B, B~C with A!~C both B and C drop and the global minimum
+    survives, identically in both code paths — equivalence is
+    test-asserted on a chain case; exact dups are jaccard-1.0 pairs,
+    so this subsumes exact dedup); (b) survivors' LSH band keys
     equi-join the corpus BAND INDEX (per-batch-versioned under the
     checkpoint, compacted every ``compact_every`` batches like the
     fingerprint index) to get candidates; (c) candidates alone are
@@ -437,7 +460,15 @@ def stream_neardup_ingest(
         surv = batch_df.join(losers, id_col, "left_anti")
 
         prev_idx = bands.union_before(batch_id)
-        out_schema = batch_df.schema.add("batch_id", "integer")
+        # explicit copy: StructType.add MUTATES in place and returns
+        # self, which would poison batch_df.schema for the row-schema
+        # reads below
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        row_schema = StructType(list(batch_df.schema.fields))
+        out_schema = StructType(
+            list(batch_df.schema.fields) + [StructField("batch_id", IntegerType())]
+        )
         hp = bands._hpath(str(output_path))
         have_corpus = hp.getFileSystem(bands._hconf).exists(hp)
         if prev_idx is not None and have_corpus:
@@ -468,7 +499,7 @@ def stream_neardup_ingest(
         part_dir = f"{output_path}/batch_id={batch_id}"
         php = bands._hpath(part_dir)
         if php.getFileSystem(bands._hconf).exists(php):
-            written = spark.read.schema(batch_df.schema).parquet(part_dir)
+            written = spark.read.schema(row_schema).parquet(part_dir)
             delta = lsh_band_index(
                 written, id_col, text_col,
                 n=n, num_hashes=num_hashes, band_size=band_size,
