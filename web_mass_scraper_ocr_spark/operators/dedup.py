@@ -125,6 +125,55 @@ def token_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Dat
     )
 
 
+def shingle_set_sizes(sh: DataFrame, id_col: str) -> DataFrame:
+    """(id, set_size): per-doc distinct-shingle count from a
+    token_shingles frame."""
+    return sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+
+
+def jaccard_verified_pairs(
+    common: DataFrame,
+    sizes_a: DataFrame,
+    sizes_b: DataFrame,
+    threshold: float,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """THE shared Jaccard-verify tail (VERDICT r4 #9): every near-dup
+    path — all-pairs n-gram, MinHash+LSH, and incremental-vs-corpus —
+    funnels its (a, b, common_shingles) counts through this ONE
+    implementation of the ratio and threshold, so the verify semantics
+    (union-size denominator over the post-cap shingle universe,
+    inclusive >= threshold) can never diverge between paths.
+
+    ``common``: (a_col, b_col, common_shingles).  ``sizes_a`` /
+    ``sizes_b``: two-column (id, set_size) frames (the id column name is
+    positional — first column) giving each side's FULL per-doc shingle-
+    set size; pass the same frame twice for symmetric self-join paths.
+    Returns (a_col, b_col, common_shingles, jaccard) filtered to
+    jaccard >= threshold.
+    """
+    sa = sizes_a.select(
+        F.col(sizes_a.columns[0]).alias(a_col), F.col(sizes_a.columns[1]).alias("size_a")
+    )
+    sb = sizes_b.select(
+        F.col(sizes_b.columns[0]).alias(b_col), F.col(sizes_b.columns[1]).alias("size_b")
+    )
+    return (
+        common.join(sa, a_col)
+        .join(sb, b_col)
+        .withColumn(
+            "jaccard",
+            F.col("common_shingles").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("common_shingles")).cast(
+                "double"
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select(a_col, b_col, "common_shingles", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup
 # ---------------------------------------------------------------------------
@@ -167,7 +216,7 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(informative, "shingle", "left_semi")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    sizes = shingle_set_sizes(sh, id_col)
 
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -177,18 +226,7 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("common_shingles"))
     )
-    out = (
-        common.join(sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b")), "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("common_shingles").cast("double")
-            / (F.col("size_a") + F.col("size_b") - F.col("common_shingles")).cast("double"),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "common_shingles", "jaccard")
-    )
-    return out
+    return jaccard_verified_pairs(common, sizes, sizes, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -292,30 +330,14 @@ def minhash_near_duplicates(
     10^9-doc scale."""
     cands = lsh_candidate_pairs(df, id_col, text_col, n, num_hashes, band_size)
     sh = token_shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    sizes = shingle_set_sizes(sh, id_col)
     common = (
         cands.join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
         .join(sh.select(F.col(id_col).alias("id_b"), "shingle"), ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("common_shingles"))
     )
-    return (
-        common.join(
-            sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a")),
-            "id_a",
-        )
-        .join(
-            sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b")),
-            "id_b",
-        )
-        .withColumn(
-            "jaccard",
-            F.col("common_shingles").cast("double")
-            / (F.col("size_a") + F.col("size_b") - F.col("common_shingles")).cast("double"),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "common_shingles", "jaccard")
-    )
+    return jaccard_verified_pairs(common, sizes, sizes, threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -22,7 +22,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.text import fingerprint
-from .dedup import minhash_signature, token_shingles
+from .dedup import (
+    jaccard_verified_pairs,
+    minhash_signature,
+    shingle_set_sizes,
+    token_shingles,
+)
 
 
 def exact_fingerprint_index(df: DataFrame, text_col: str) -> DataFrame:
@@ -145,8 +150,8 @@ def incremental_lsh_near_duplicates(
             corpus.join(cand_corpus_ids, id_col, "left_semi"),
             id_col, text_col, n,
         )
-    new_sizes = new_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("size_new"))
-    corp_sizes = corp_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("size_corpus"))
+    new_sizes = shingle_set_sizes(new_sh, id_col)
+    corp_sizes = shingle_set_sizes(corp_sh, id_col)
     common = (
         cands.join(
             new_sh.select(F.col(id_col).alias("new_id"), "shingle"), "new_id"
@@ -158,21 +163,6 @@ def incremental_lsh_near_duplicates(
         .groupBy("new_id", "corpus_id")
         .agg(F.count(F.lit(1)).alias("common_shingles"))
     )
-    return (
-        common.join(
-            new_sizes.select(F.col(id_col).alias("new_id"), "size_new"), "new_id"
-        )
-        .join(
-            corp_sizes.select(F.col(id_col).alias("corpus_id"), "size_corpus"),
-            "corpus_id",
-        )
-        .withColumn(
-            "jaccard",
-            F.col("common_shingles").cast("double")
-            / (
-                F.col("size_new") + F.col("size_corpus") - F.col("common_shingles")
-            ).cast("double"),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("new_id", "corpus_id", "common_shingles", "jaccard")
+    return jaccard_verified_pairs(
+        common, new_sizes, corp_sizes, threshold, a_col="new_id", b_col="corpus_id"
     )
