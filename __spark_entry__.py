@@ -1279,6 +1279,86 @@ def q_split_leakage(spark, sf_dir):
     )
 
 
+# deterministic BPE-style demo vocabulary (mirrored verbatim into the
+# recursive-CTE oracles): greedy longest-prefix segmentation turns the
+# corpus vocabulary into real merges (window -> wind|ow, query ->
+# que|ry, customer -> custom|er, stream -> str|eam, join -> jo|in);
+# uncovered spans fall back to single characters.
+BPE_VOCAB = [
+    "scan", "sort", "merge", "jo", "in", "filter", "batch", "str", "eam",
+    "spark", "table", "wind", "ow", "que", "ry", "er", "ch", "agg", "data",
+    "part", "order", "key", "row", "group", "custom", "line", "value",
+    "small", "slow", "fast", "big", "the", "dup", "hash",
+]
+BPE_PACK_BUDGET = 256
+BPE_CAP_BUDGET = 5000
+CHUNK_TOKENS = 40
+CHUNK_TOKENS_OVERLAP = 10
+
+
+def _bpe_tokenizer():
+    from web_mass_scraper_ocr_spark.functions.tokenize import SubwordTokenizer
+
+    return SubwordTokenizer(BPE_VOCAB)
+
+
+def q_tokenize(spark, sf_dir):
+    """Pluggable tokenization as an operator (functions/tokenize.py):
+    greedy longest-prefix BPE-style segmentation against a broadcast
+    piece vocabulary, single-char fallback — so every token budget in
+    the engine can be measured in model tokens instead of whitespace
+    words.  Arrow-batched pandas UDF with per-batch word memoization;
+    the DuckDB twin is a recursive CTE over the same vocab."""
+    from web_mass_scraper_ocr_spark.functions.tokenize import tokenize
+
+    d = _t(spark, sf_dir, "documents")
+    return tokenize(d, "doc_id", "text", _bpe_tokenizer()).select(
+        "doc_id",
+        "n_tokens",
+        F.concat_ws("|", "tokens").alias("tokens_str"),
+    )
+
+
+def q_pack_bpe(spark, sf_dir):
+    """pack_sequences under the NON-default tokenizer: bins are
+    BPE_PACK_BUDGET model tokens (what a context window actually
+    holds), counts derived in-plan via tokenizer.count — the packing
+    layout itself is unchanged (per-shard running offsets, no global
+    sort)."""
+    from web_mass_scraper_ocr_spark.operators.sampling import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(
+        d, "doc_id", "n_tok_bpe", budget=BPE_PACK_BUDGET, n_shards=8,
+        text_col="text", tokenizer=_bpe_tokenizer(),
+    ).select("doc_id", "shard", "bin", "bin_offset")
+
+
+def q_token_budget_bpe(spark, sf_dir):
+    """capped_take_tokens under the NON-default tokenizer: 'first
+    BPE_CAP_BUDGET model tokens of the shuffled corpus' — the running
+    prefix sum is over subword counts derived in-plan."""
+    from web_mass_scraper_ocr_spark.operators.shuffle import capped_take_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    return capped_take_tokens(
+        d, "doc_id", "n_tok_bpe", budget=BPE_CAP_BUDGET, seed="bpe",
+        text_col="text", tokenizer=_bpe_tokenizer(),
+    ).select("doc_id", "tokens_before")
+
+
+def q_chunk_tokens(spark, sf_dir):
+    """Token-mode chunking (chunk_text(chunk_tokens=...)): overlapping
+    CHUNK_TOKENS-token windows over the whitespace token array — the
+    unit a context window is measured in; each chunk is a valid
+    sub-document rejoined with single spaces."""
+    d = _t(spark, sf_dir, "documents")
+    return T.chunk_text(
+        d, "doc_id", "text",
+        chunk_tokens=CHUNK_TOKENS, overlap_tokens=CHUNK_TOKENS_OVERLAP,
+    ).select("doc_id", F.col("chunk_idx").cast("int").alias("chunk_idx"), "chunk")
+
+
 def q_quantiles(spark, sf_dir):
     """Exact interpolated percentiles per group (latency-style SLO
     reporting; Spark `percentile` and DuckDB `quantile_cont` share the
@@ -1518,60 +1598,13 @@ def q_multimodal_meta(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Never-driver-verified entries first: the driver's CORRECTNESS
-        # artifact windows the first ~50 entries, so r2/r3 additions must
-        # lead to earn hard driver rows (VERDICT r03 next-round #1).
-        "sessionize": q_sessionize,
-        "windowed_metrics": q_windowed_metrics,
-        "quantiles": q_quantiles,
-        "approx_quantiles": q_approx_quantiles,
-        "connected_components": q_connected_components,
-        "corpus_pipeline": q_corpus_pipeline,
-        "scrub_pii": q_scrub_pii,
-        "chat_render": q_chat_render,
-        "text_chunks": q_text_chunks,
-        "stratified_sample": q_stratified_sample,
-        "hash_split": q_hash_split,
-        "pack_sequences": q_pack_sequences,
-        "deterministic_shuffle": q_deterministic_shuffle,
-        "token_budget_cap": q_token_budget_cap,
-        "weighted_interleave": q_weighted_interleave,
-        "mixture_sample": q_mixture_sample,
-        "quality_filter": q_quality_filter,
-        "incremental_dedup": q_incremental_dedup,
-        "incremental_lsh": q_incremental_lsh,
-        "salted_join": q_salted_join,
-        "line_dedup": q_line_dedup,
-        "tfidf_terms": q_tfidf_terms,
-        "dup_spans": q_dup_spans,
-        "substring_dedup": q_substring_dedup,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_frames": q_multimodal_frames,
-        "ngram_stats": q_ngram_stats,
-        "repetition": q_repetition,
-        "url_dirname": q_url_dirname,
-        "session_window": q_session_window,
-        "approx_distinct": q_approx_distinct,
-        "streaming_extract": q_streaming_extract,
-        # r4 additions (also inside the driver window)
-        "heavy_hitters": q_heavy_hitters,
-        "decontaminate": q_decontaminate,
-        "surprisal": q_surprisal,
-        "per_host_cap": q_per_host_cap,
-        "split_leakage": q_split_leakage,
-        "pricing_rollup": q_pricing_rollup,
-        "scan_order_limit": q_scan_order_limit,
-        "revenue_topk": q_revenue_topk,
-        "brand_supplier_counts": q_brand_supplier_counts,
-        "anti_join": q_anti_join,
-        "semi_join": q_semi_join,
-        "dim_lookup": q_dim_lookup,
-        "stable_order": q_stable_order,
-        "status_pivot": q_status_pivot,
-        "distinct_sorted": q_distinct_sorted,
-        "ordered_concat": q_ordered_concat,
-        "topk_per_group": q_topk_per_group,
-        "lag_lead": q_lag_lead,
+        # Driver-window rotation (VERDICT r4 #5): the driver's
+        # CORRECTNESS artifact windows the first ~50 entries, so lead
+        # with (a) the 37 queries absent from CORRECTNESS_r04 — last
+        # driver-verified in r03 — then (b) this round's new and
+        # implementation-changed queries; the r04-green remainder
+        # follows.  Union of r04+r05 artifacts again covers everything,
+        # with every query driver-verified within the last two rounds.
         "multilevel_rollup": q_multilevel_rollup,
         "rollup_agg": q_rollup_agg,
         "set_difference": q_set_difference,
@@ -1609,6 +1642,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "hypertable_rollup": q_hypertable_rollup,
+        # r5 additions + r5 implementation changes (also in-window)
+        "tokenize": q_tokenize,
+        "pack_bpe": q_pack_bpe,
+        "token_budget_bpe": q_token_budget_bpe,
+        "chunk_tokens": q_chunk_tokens,
+        "decontaminate": q_decontaminate,
+        "per_host_cap": q_per_host_cap,
+        # r04-green, unchanged
+        "sessionize": q_sessionize,
+        "windowed_metrics": q_windowed_metrics,
+        "quantiles": q_quantiles,
+        "approx_quantiles": q_approx_quantiles,
+        "connected_components": q_connected_components,
+        "corpus_pipeline": q_corpus_pipeline,
+        "scrub_pii": q_scrub_pii,
+        "chat_render": q_chat_render,
+        "text_chunks": q_text_chunks,
+        "stratified_sample": q_stratified_sample,
+        "hash_split": q_hash_split,
+        "pack_sequences": q_pack_sequences,
+        "deterministic_shuffle": q_deterministic_shuffle,
+        "token_budget_cap": q_token_budget_cap,
+        "weighted_interleave": q_weighted_interleave,
+        "mixture_sample": q_mixture_sample,
+        "quality_filter": q_quality_filter,
+        "incremental_dedup": q_incremental_dedup,
+        "incremental_lsh": q_incremental_lsh,
+        "salted_join": q_salted_join,
+        "line_dedup": q_line_dedup,
+        "tfidf_terms": q_tfidf_terms,
+        "dup_spans": q_dup_spans,
+        "substring_dedup": q_substring_dedup,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
+        "ngram_stats": q_ngram_stats,
+        "repetition": q_repetition,
+        "url_dirname": q_url_dirname,
+        "session_window": q_session_window,
+        "approx_distinct": q_approx_distinct,
+        "streaming_extract": q_streaming_extract,
+        "heavy_hitters": q_heavy_hitters,
+        "surprisal": q_surprisal,
+        "split_leakage": q_split_leakage,
+        "pricing_rollup": q_pricing_rollup,
+        "scan_order_limit": q_scan_order_limit,
+        "revenue_topk": q_revenue_topk,
+        "brand_supplier_counts": q_brand_supplier_counts,
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "dim_lookup": q_dim_lookup,
+        "stable_order": q_stable_order,
+        "status_pivot": q_status_pivot,
+        "distinct_sorted": q_distinct_sorted,
+        "ordered_concat": q_ordered_concat,
+        "topk_per_group": q_topk_per_group,
+        "lag_lead": q_lag_lead,
     }
 
 
@@ -1652,6 +1741,41 @@ def _minhash_cte() -> str:
         f"hashed AS (SELECT doc_id, {base} AS h FROM shingles), "
         f"sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id)"
     )
+
+
+def _bpe_seg_cte() -> str:
+    """Recursive-CTE twin of SubwordTokenizer's greedy longest-prefix
+    segmentation: per (doc, word) walk positions left->right, each step
+    consuming the longest vocab piece that prefixes the remainder (max
+    matching piece length; 1-char fallback when none matches).  Yields
+    ``term`` = one terminal row per word with its piece count ``n`` and
+    '|'-joined pieces ``toks_s``."""
+    vlist = ", ".join(f"('{p}')" for p in BPE_VOCAB)
+    return f"""
+vocab(piece) AS (VALUES {vlist}),
+w0 AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+words AS (
+  SELECT doc_id, unnest(generate_series(1, len(toks))) AS wi, toks FROM w0
+),
+words2 AS (SELECT doc_id, wi, toks[wi] AS word FROM words WHERE toks[wi] <> ''),
+seg AS (
+  SELECT doc_id, wi, word, 1 AS pos, CAST('' AS VARCHAR) AS toks_s, 0 AS n
+  FROM words2
+  UNION ALL
+  SELECT doc_id, wi, word, pos + glen,
+         toks_s || CASE WHEN toks_s = '' THEN '' ELSE '|' END
+                || substr(word, pos, glen),
+         n + 1
+  FROM (
+    SELECT *, coalesce((SELECT max(length(piece)) FROM vocab
+                        WHERE substr(word, pos, length(piece)) = piece), 1) AS glen
+    FROM seg WHERE pos <= length(word)
+  )
+),
+term AS (SELECT doc_id, wi, n, toks_s FROM seg WHERE pos > length(word)),
+bpe_counts AS (
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tok_bpe FROM term GROUP BY doc_id
+)"""
 
 
 def _simhash_sql() -> str:
@@ -2305,6 +2429,58 @@ SELECT doc_id, shard,
        CAST(start // 512 AS BIGINT) AS bin,
        CAST(start % 512 AS BIGINT) AS bin_offset
 FROM o""",
+        "tokenize": f"""
+WITH RECURSIVE {_bpe_seg_cte()}
+SELECT doc_id,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       string_agg(toks_s, '|' ORDER BY wi) AS tokens_str
+FROM term GROUP BY doc_id""",
+        "pack_bpe": f"""
+WITH RECURSIVE {_bpe_seg_cte()},
+t AS (
+  SELECT doc_id, n_tok_bpe,
+         CAST((CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'shard')), 1, 8)) AS BIGINT) % 10000) % 8 AS INT) AS shard
+  FROM bpe_counts
+),
+o AS (
+  SELECT doc_id, shard,
+         coalesce(CAST(sum(n_tok_bpe) OVER (PARTITION BY shard ORDER BY doc_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS start
+  FROM t
+)
+SELECT doc_id, shard,
+       CAST(start // {BPE_PACK_BUDGET} AS BIGINT) AS bin,
+       CAST(start % {BPE_PACK_BUDGET} AS BIGINT) AS bin_offset
+FROM o""",
+        "token_budget_bpe": f"""
+WITH RECURSIVE {_bpe_seg_cte()},
+k AS (
+  SELECT doc_id, n_tok_bpe, md5(concat(CAST(doc_id AS VARCHAR), 'bpe')) AS key
+  FROM bpe_counts
+)
+SELECT doc_id, tokens_before FROM (
+  SELECT doc_id,
+         CAST(coalesce(sum(n_tok_bpe) OVER (ORDER BY key, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+  FROM k
+) WHERE tokens_before < {BPE_CAP_BUDGET}""",
+        "chunk_tokens": f"""
+WITH t AS (
+  SELECT doc_id, list_filter({_TOKENS}, x -> x <> '') AS toks FROM documents
+),
+c AS (
+  SELECT doc_id,
+         unnest(generate_series(0,
+           CAST(floor((greatest(len(toks) - {CHUNK_TOKENS_OVERLAP}, 1) - 1)
+                / {CHUNK_TOKENS - CHUNK_TOKENS_OVERLAP}) AS INT))) AS chunk_idx,
+         toks
+  FROM t
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       array_to_string(list_slice(toks,
+         chunk_idx * {CHUNK_TOKENS - CHUNK_TOKENS_OVERLAP} + 1,
+         chunk_idx * {CHUNK_TOKENS - CHUNK_TOKENS_OVERLAP} + {CHUNK_TOKENS}), ' ') AS chunk
+FROM c""",
         "deterministic_shuffle": """
 SELECT doc_id,
        ROW_NUMBER() OVER (ORDER BY md5(concat(CAST(doc_id AS VARCHAR), 'epoch0')), doc_id) - 1 AS shuffle_pos

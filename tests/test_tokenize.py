@@ -1,0 +1,172 @@
+"""Pluggable tokenizer (functions/tokenize.py, VERDICT r4 #1): greedy
+subword segmentation semantics, interface parity across the three
+implementations, and the thread-through into token-budgeted operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_mass_scraper_ocr_spark.functions import text as T
+from web_mass_scraper_ocr_spark.functions.tokenize import (
+    RegexTokenizer,
+    SubwordTokenizer,
+    WhitespaceTokenizer,
+    tokenize,
+)
+
+VOCAB = ["the", "token", "ize", "izers", "quick", "est", "en", "s"]
+
+
+def test_subword_greedy_longest_prefix(request):
+    spark = request.getfixturevalue("spark")
+    df = spark.createDataFrame(
+        [(1, "The quickest tokenizers tokenize tokens"), (2, "zzz"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.tokens)
+        for r in tokenize(df, "doc_id", "text", SubwordTokenizer(VOCAB)).collect()
+    }
+    # greedy: longest matching prefix each step, char fallback
+    assert got[1] == (
+        9,
+        ["the", "quick", "est", "token", "izers", "token", "ize", "token", "s"],
+    )
+    assert got[2] == (3, ["z", "z", "z"])  # full char fallback
+    assert got[3] == (0, [])
+
+
+def test_subword_roundtrip_and_char_coverage(request):
+    """''.join(pieces of word) == word for every word: segmentation is
+    total and lossless (modulo the lowercase+whitespace normalization)."""
+    spark = request.getfixturevalue("spark")
+    sf = request.getfixturevalue("sf_dir")
+    d = spark.read.parquet(f"{sf}/documents.parquet").limit(50)
+    tk = SubwordTokenizer(["wind", "ow", "jo", "in", "str", "eam", "er"])
+    out = tokenize(d, "doc_id", "text", tk)
+    joined = out.select(
+        "doc_id", F.array_join("tokens", "").alias("glued")
+    )
+    ref = d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.lower(T.clean_text_col(F.col("text"))), " ", ""
+        ).alias("glued"),
+    )
+    assert joined.exceptAll(ref).count() == 0
+    assert ref.exceptAll(joined).count() == 0
+
+
+def test_whitespace_count_equals_n_words(request):
+    spark = request.getfixturevalue("spark")
+    sf = request.getfixturevalue("sf_dir")
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    mismatch = d.where(
+        WhitespaceTokenizer().count(F.col("text"))
+        != T.n_words(F.col("text")).cast("long")
+    ).count()
+    assert mismatch == 0
+
+
+def test_regex_count_equals_n_tokens(request):
+    spark = request.getfixturevalue("spark")
+    df = spark.createDataFrame(
+        [(1, "foo bar-baz 123 qux!"), (2, "a1b2")], "doc_id long, text string"
+    )
+    mismatch = df.where(
+        RegexTokenizer().count(F.col("text")) != T.n_tokens(F.col("text")).cast("long")
+    ).count()
+    assert mismatch == 0
+
+
+def test_token_count_default_is_whitespace(request):
+    spark = request.getfixturevalue("spark")
+    df = spark.createDataFrame([(1, " a  b\tc ")], "doc_id long, text string")
+    r = df.select(
+        T.token_count(F.col("text")).alias("d"),
+        T.token_count(F.col("text"), RegexTokenizer()).alias("r"),
+    ).first()
+    assert r.d == 3 and r.r == 3
+
+
+def test_vocab_dataframe_and_guard(request):
+    spark = request.getfixturevalue("spark")
+    vdf = spark.createDataFrame([(p,) for p in VOCAB], "piece string")
+    tk = SubwordTokenizer(vdf)
+    assert tk.pieces == frozenset(VOCAB)
+    with pytest.raises(ValueError, match="max_vocab"):
+        SubwordTokenizer(spark.range(100).selectExpr("cast(id as string)"), max_vocab=10)
+    with pytest.raises(ValueError, match="one column"):
+        SubwordTokenizer(spark.createDataFrame([(1, "a")], "x long, y string"))
+
+
+def test_pack_sequences_threads_tokenizer(request):
+    """pack_sequences(text_col=, tokenizer=) == pack_sequences over a
+    precomputed count column from the same tokenizer."""
+    from web_mass_scraper_ocr_spark.operators.sampling import pack_sequences
+
+    spark = request.getfixturevalue("spark")
+    sf = request.getfixturevalue("sf_dir")
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    tk = SubwordTokenizer(["wind", "ow", "jo", "in"])
+    via_text = pack_sequences(
+        d, "doc_id", "n_tok", budget=128, n_shards=4, text_col="text", tokenizer=tk
+    ).select("doc_id", "shard", "bin", "bin_offset")
+    pre = d.withColumn("n_tok", tk.count(F.col("text")))
+    via_col = pack_sequences(pre, "doc_id", "n_tok", budget=128, n_shards=4).select(
+        "doc_id", "shard", "bin", "bin_offset"
+    )
+    assert via_text.exceptAll(via_col).count() == 0
+    assert via_col.exceptAll(via_text).count() == 0
+
+
+def test_capped_take_tokens_threads_tokenizer(request):
+    from web_mass_scraper_ocr_spark.operators.shuffle import capped_take_tokens
+
+    spark = request.getfixturevalue("spark")
+    sf = request.getfixturevalue("sf_dir")
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    got = capped_take_tokens(
+        d, "doc_id", "n_tok", budget=500, seed="t",
+        text_col="text", tokenizer=WhitespaceTokenizer(),
+    )
+    pre = d.withColumn("n_tok", T.n_words(F.col("text")).cast("long"))
+    ref = capped_take_tokens(pre, "doc_id", "n_tok", budget=500, seed="t")
+    assert sorted(r.doc_id for r in got.collect()) == sorted(
+        r.doc_id for r in ref.collect()
+    )
+
+
+def test_chunk_tokens_mode(request):
+    spark = request.getfixturevalue("spark")
+    words = " ".join(f"w{i}" for i in range(25))
+    df = spark.createDataFrame(
+        [(1, words), (2, "a b"), (3, "")], "doc_id long, text string"
+    )
+    got = {}
+    for r in T.chunk_text(
+        df, "doc_id", "text", chunk_tokens=10, overlap_tokens=4
+    ).collect():
+        got.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk))
+    # doc 1: 25 tokens, stride 6 -> starts 0,6,12,18 (start 24 would be
+    # pure overlap of the last window's tail)
+    idxs = sorted(i for i, _ in got[1])
+    assert idxs == [0, 1, 2, 3]
+    chunks = dict(got[1])
+    assert chunks[0].split(" ") == [f"w{i}" for i in range(10)]
+    assert chunks[3].split(" ") == [f"w{i}" for i in range(18, 25)]  # short tail
+    assert got[2] == [(0, "a b")]
+    assert got[3] == [(0, "")]
+    with pytest.raises(ValueError):
+        T.chunk_text(df, "doc_id", "text", chunk_tokens=5, overlap_tokens=5)
+
+
+def test_surprisal_tokenizer_param_default_unchanged(request):
+    spark = request.getfixturevalue("spark")
+    sf = request.getfixturevalue("sf_dir")
+    d = spark.read.parquet(f"{sf}/documents.parquet").limit(40)
+    default = T.unigram_surprisal(d, "doc_id", "text")
+    explicit = T.unigram_surprisal(
+        d, "doc_id", "text", tokenizer=WhitespaceTokenizer()
+    )
+    assert default.exceptAll(explicit).count() == 0
+    assert explicit.exceptAll(default).count() == 0

@@ -56,6 +56,16 @@ def n_tokens(col: Column) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(TOKEN_RE), 0))
 
 
+def token_count(col: Column, tokenizer=None) -> Column:
+    """Token count under a pluggable tokenizer (functions.tokenize).
+    Default = whitespace words (``n_words``, the historical contract);
+    pass a RegexTokenizer or SubwordTokenizer to budget in model-ish
+    tokens instead of words."""
+    from .tokenize import resolve_tokenizer
+
+    return resolve_tokenizer(tokenizer).count(col)
+
+
 def n_paragraphs(col: Column) -> Column:
     """Non-blank-line count (reference utils.py:274)."""
     return F.size(
@@ -265,16 +275,58 @@ def repetition_signals(df, id_col: str, text_col: str, n: int = 2):
 # ---------------------------------------------------------------------------
 
 
-def chunk_text(df, id_col: str, text_col: str, chunk_chars: int = 200, overlap: int = 50):
-    """Split each text into overlapping fixed-width character chunks
-    (starts every ``chunk_chars - overlap``; the tail chunk may be
+def chunk_text(
+    df,
+    id_col: str,
+    text_col: str,
+    chunk_chars: int = 200,
+    overlap: int = 50,
+    chunk_tokens: int | None = None,
+    overlap_tokens: int = 0,
+    tokenizer=None,
+):
+    """Split each text into overlapping fixed-width chunks
+    (starts every ``chunk - overlap`` units; the tail chunk may be
     short; empty/short texts yield exactly one chunk).  One explode, no
-    shuffle — chunk boundaries are char-deterministic so downstream
+    shuffle — chunk boundaries are deterministic so downstream
     dedup/embedding stages are reproducible.
+
+    Units are CHARACTERS by default (``chunk_chars``/``overlap``).
+    Pass ``chunk_tokens`` to chunk in TOKENS instead — the unit a
+    context window is actually measured in — under the pluggable
+    ``tokenizer`` (functions.tokenize; default whitespace): the token
+    array is sliced per window and rejoined with single spaces, so a
+    token-mode chunk is a valid sub-document whose own token count is
+    exactly the window width.
 
     A chunk that would contain ONLY overlap (start >= len - overlap) is
     not emitted — it would duplicate content already fully covered by
     the previous chunk."""
+    if chunk_tokens is not None:
+        if overlap_tokens >= chunk_tokens:
+            raise ValueError("overlap_tokens must be smaller than chunk_tokens")
+        from .tokenize import resolve_tokenizer
+
+        stride_t = chunk_tokens - overlap_tokens
+        toks = resolve_tokenizer(tokenizer).tokens(F.col(text_col))
+        n_chunks_t = (
+            F.floor(
+                (F.greatest(F.size(toks) - overlap_tokens, F.lit(1)) - 1) / stride_t
+            )
+            + 1
+        ).cast("int")
+        return df.select(
+            F.col(id_col),
+            toks.alias("_tk"),
+            F.explode(F.sequence(F.lit(0), n_chunks_t - 1)).alias("chunk_idx"),
+        ).select(
+            F.col(id_col),
+            F.col("chunk_idx"),
+            F.array_join(
+                F.slice(F.col("_tk"), F.col("chunk_idx") * stride_t + 1, chunk_tokens),
+                " ",
+            ).alias("chunk"),
+        )
     if overlap >= chunk_chars:
         raise ValueError("overlap must be smaller than chunk_chars")
     stride = chunk_chars - overlap
@@ -419,14 +471,16 @@ def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 5, min_token_len: i
 # ---------------------------------------------------------------------------
 
 
-def unigram_surprisal(df, id_col: str, text_col: str):
+def unigram_surprisal(df, id_col: str, text_col: str, tokenizer=None):
     """Per-document mean unigram surprisal -ln(p(token)) under the
     corpus's own token distribution — the deterministic stand-in for
-    the CCNet/Gopher LM-perplexity quality gate (no external LM in
-    this sandbox; the plan shape is identical with a broadcast LM
-    table).  LOW surprisal = the doc is made of corpus-common tokens
-    (boilerplate, repeated chrome); HIGH surprisal = rare-token soup
-    (garbled OCR, noise); quality filters drop both tails.
+    the CCNet/Gopher LM-perplexity quality gate (the trained-LM form
+    is functions.lm.lm_perplexity).  LOW surprisal = the doc is made
+    of corpus-common tokens (boilerplate, repeated chrome); HIGH
+    surprisal = rare-token soup (garbled OCR, noise); quality filters
+    drop both tails.  ``tokenizer`` plugs in the token definition
+    (functions.tokenize; default whitespace — the historical
+    contract).
 
     Returns (id, n_tokens, mean_surprisal).  Docs with no tokens after
     cleaning are absent (no 0/0 row).
@@ -439,11 +493,13 @@ def unigram_surprisal(df, id_col: str, text_col: str):
     scan) and enters as a broadcast 1-row aggregate, never a driver
     round-trip, so the whole thing is one lazy plan scanning the
     corpus twice (freq pass + score pass)."""
+    from .tokenize import resolve_tokenizer
+
     toks = df.select(
         F.col(id_col),
-        F.explode(
-            F.split(F.lower(clean_text_col(F.col(text_col))), " ")
-        ).alias("token"),
+        F.explode(resolve_tokenizer(tokenizer).tokens(F.col(text_col))).alias(
+            "token"
+        ),
     ).where(F.length("token") > 0)
     freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("token_freq"))
     total = freq.select(F.sum("token_freq").alias("corpus_tokens"))

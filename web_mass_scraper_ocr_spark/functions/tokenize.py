@@ -1,0 +1,193 @@
+"""Pluggable tokenization for all token accounting (VERDICT r4 #1).
+
+A training-data pipeline budgets, packs, and mixes in MODEL tokens;
+whitespace word counts are off by ~1.3-4x depending on language and
+domain, so a "1e12-token mixture" composed in words is not 1e12 real
+tokens.  Every token-accounting operator in the engine
+(``token_count``/``chunk_text``/``unigram_surprisal`` in
+functions/text.py, ``pack_sequences``/``mixture_by_tokens`` in
+operators/sampling.py, ``capped_take_tokens`` in operators/shuffle.py)
+therefore accepts a ``tokenizer=`` — one of the three implementations
+below — with the whitespace tokenizer as the default (the reference's
+own word_count semantics, /root/reference/src/scraper_app/utils.py:272,
+and the engine's historical contract).
+
+Three implementations, chosen by what stays JVM-side:
+
+- :class:`WhitespaceTokenizer` — lowercase whitespace split of
+  normalized text.  Pure Catalyst expressions, zero Python.
+- :class:`RegexTokenizer` — GPT-2-style pre-tokenization (letter runs /
+  digit runs / punctuation singles).  Pure Catalyst
+  (``regexp_extract_all``), zero Python.
+- :class:`SubwordTokenizer` — deterministic BPE/WordPiece-style greedy
+  longest-prefix-match segmentation against a subword VOCABULARY, with
+  single-character fallback (so segmentation is total: no UNK, every
+  character is covered).  The vocab is a plain list of pieces — pass a
+  list or a one-column DataFrame; it is captured in the Arrow-batched
+  pandas-UDF closure, i.e. shipped to every executor exactly once like
+  a broadcast variable (a 50k-piece BPE vocab is ~1 MB).  This is the
+  slow path by construction (Python, though vectorized per Arrow batch
+  with per-batch word memoization); on a real cluster you would swap in
+  a JVM/native tokenizer behind the same two-method interface.
+
+The interface is two methods so operators never care which one they got:
+
+- ``tokens(col) -> Column``  (array<string> — feeds explodes/shingles)
+- ``count(col)  -> Column``  (long — feeds budgets/packing/mixtures)
+
+Determinism: all three are pure functions of the text (+ vocab), so
+resumes, reruns, and the DuckDB oracle reproduce identical counts.  The
+greedy segmentation has an exact ANSI-SQL twin as a recursive CTE (see
+``__spark_entry__.oracle_sql['tokenize']``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .text import WS, TOKEN_RE, clean_text_col, n_words
+
+
+class Tokenizer:
+    """Interface: subclasses implement ``tokens`` and ``count``."""
+
+    name: str = "abstract"
+
+    def tokens(self, col: Column) -> Column:  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def count(self, col: Column) -> Column:
+        return F.size(self.tokens(col)).cast("long")
+
+
+class WhitespaceTokenizer(Tokenizer):
+    """Lowercase whitespace tokens of normalized text — the default.
+
+    ``count`` is exactly ``n_words`` (the reference's len(text.split())
+    semantics) and both methods are pure JVM expressions."""
+
+    name = "whitespace"
+
+    def tokens(self, col: Column) -> Column:
+        return F.filter(
+            F.split(F.lower(clean_text_col(col)), " "),
+            lambda t: t != F.lit(""),
+        )
+
+    def count(self, col: Column) -> Column:
+        return n_words(col).cast("long")
+
+
+class RegexTokenizer(Tokenizer):
+    """GPT-2-style pre-tokenization: letter runs, digit runs, single
+    punctuation marks.  Case-preserving (count parity with
+    functions.text.n_tokens); pure JVM regex."""
+
+    name = "regex"
+
+    def __init__(self, pattern: str = TOKEN_RE):
+        self.pattern = pattern
+
+    def tokens(self, col: Column) -> Column:
+        return F.regexp_extract_all(col, F.lit(self.pattern), 0)
+
+
+class SubwordTokenizer(Tokenizer):
+    """Greedy longest-prefix-match subword segmentation (BPE/WordPiece
+    inference shape) over an explicit piece vocabulary.
+
+    Per whitespace word of the lowercased normalized text: repeatedly
+    take the LONGEST vocab piece that prefixes the remainder, falling
+    back to one character when nothing matches — segmentation is total
+    and deterministic, and ``''.join(tokens(word)) == word`` always.
+
+    ``vocab``: list of piece strings, or a one-column DataFrame
+    (collected to the driver — it is a model artifact of bounded size,
+    not data; ``max_vocab`` guards against passing a data table by
+    mistake).  Single characters need not be listed; the fallback
+    covers them.
+    """
+
+    name = "subword"
+
+    def __init__(self, vocab: list[str] | DataFrame, max_vocab: int = 1_000_000):
+        if isinstance(vocab, DataFrame):
+            if len(vocab.columns) != 1:
+                raise ValueError("vocab DataFrame must have exactly one column")
+            rows = vocab.limit(max_vocab + 1).collect()
+            if len(rows) > max_vocab:
+                raise ValueError(
+                    f"vocab exceeds max_vocab={max_vocab}; a tokenizer vocab "
+                    "is a bounded model artifact — this looks like a data table"
+                )
+            vocab = [r[0] for r in rows]
+        self.pieces = frozenset(p for p in vocab if p)
+        self.max_piece_len = max((len(p) for p in self.pieces), default=1)
+
+    def tokens(self, col: Column) -> Column:
+        pieces = self.pieces
+        max_len = self.max_piece_len
+
+        from pyspark.sql.pandas.functions import pandas_udf
+
+        @pandas_udf("array<string>")
+        def _segment(texts):  # pd.Series[str] -> pd.Series[list[str]]
+            import re
+
+            ws = re.compile(r"[ \t\r\n]+")
+            cache: dict[str, list[str]] = {}
+
+            def seg_word(w: str) -> list[str]:
+                hit = cache.get(w)
+                if hit is not None:
+                    return hit
+                out: list[str] = []
+                pos, L = 0, len(w)
+                while pos < L:
+                    k = min(max_len, L - pos)
+                    while k > 1 and w[pos : pos + k] not in pieces:
+                        k -= 1
+                    out.append(w[pos : pos + k])
+                    pos += k
+                cache[w] = out
+                return out
+
+            def seg(text):
+                # NULL in -> NULL out, matching the split()-based
+                # tokenizers so count(NULL) is NULL under all three
+                if text is None:
+                    return None
+                toks: list[str] = []
+                for w in ws.sub(" ", text).strip().lower().split(" "):
+                    if w:
+                        toks.extend(seg_word(w))
+                return toks
+
+            return texts.map(seg)
+
+        return _segment(col)
+
+
+def resolve_tokenizer(tokenizer: Tokenizer | None) -> Tokenizer:
+    """None -> the default WhitespaceTokenizer (historical contract)."""
+    return tokenizer if tokenizer is not None else WhitespaceTokenizer()
+
+
+def tokenize(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    tokenizer: Tokenizer | None = None,
+) -> DataFrame:
+    """The tokenizer as an operator: (id, n_tokens, tokens).
+
+    One projection — tokens never leave the row, so this parallelizes
+    embarrassingly (no shuffle); downstream ops explode or count as
+    needed."""
+    tk = resolve_tokenizer(tokenizer)
+    toks = tk.tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        toks.alias("tokens"),
+    )

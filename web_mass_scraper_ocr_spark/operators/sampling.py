@@ -89,6 +89,8 @@ def mixture_by_tokens(
     shares: dict[str, float],
     budget: int,
     salt: str = "",
+    text_col: str | None = None,
+    tokenizer=None,
 ) -> DataFrame:
     """Compose a training mixture: sample each source down so its token
     mass approximates ``share * budget`` (e.g. 60% web / 30% code /
@@ -102,7 +104,18 @@ def mixture_by_tokens(
     the SQL oracle reproduces it without Python/SQL round() parity
     traps.  Sources absent from ``shares`` are dropped.  Fractions are
     deterministic given the corpus, so re-runs (and the DuckDB oracle)
-    see the identical sample."""
+    see the identical sample.
+
+    Pass ``text_col`` (+ optional ``tokenizer``, functions.tokenize) to
+    DERIVE the token counts in-plan instead of consuming a precomputed
+    ``n_tokens_col`` — the budget is then measured in that tokenizer's
+    tokens (model tokens, not whitespace words)."""
+    if text_col is not None:
+        from ..functions.tokenize import resolve_tokenizer
+
+        df = df.withColumn(
+            n_tokens_col, resolve_tokenizer(tokenizer).count(F.col(text_col))
+        )
     totals = {
         r["src"]: r["tot"]
         for r in df.groupBy(F.col(source_col).alias("src"))
@@ -150,6 +163,8 @@ def pack_sequences(
     n_tokens_col: str,
     budget: int,
     n_shards: int = 64,
+    text_col: str | None = None,
+    tokenizer=None,
 ) -> DataFrame:
     """Concatenative context-window packing: documents are laid out in
     a deterministic order and chunked into ``budget``-token bins; a
@@ -160,8 +175,19 @@ def pack_sequences(
     Scale shape: packing is per-SHARD (hash of id -> ``n_shards``), so
     the running-offset window sorts each shard independently — no
     global single-partition sort.  Output adds (shard, bin, bin_offset).
+
+    Pass ``text_col`` (+ optional ``tokenizer``, functions.tokenize) to
+    derive the counts in-plan: the bins are then ``budget`` MODEL
+    tokens, which is what a context window actually holds.
     """
     from pyspark.sql.window import Window
+
+    if text_col is not None:
+        from ..functions.tokenize import resolve_tokenizer
+
+        df = df.withColumn(
+            n_tokens_col, resolve_tokenizer(tokenizer).count(F.col(text_col))
+        )
 
     shard = _hash_bucket(F.col(id_col), "shard") % n_shards
     out = df.withColumn("shard", shard.cast("int"))

@@ -123,6 +123,8 @@ def capped_take_tokens(
     budget: int,
     seed: str = "",
     group_cols: list[str] | None = None,
+    text_col: str | None = None,
+    tokenizer=None,
 ) -> DataFrame:
     """Keep documents while the running token total (in deterministic
     shuffle order) stays under ``budget``: the "give me the first N
@@ -130,7 +132,15 @@ def capped_take_tokens(
     token sum of everything BEFORE it is < budget, so exactly the docs
     a sequential budget-limited reader would consume (the last one may
     straddle the boundary).  Adds ``tokens_before``.  Per-group budgets
-    via ``group_cols`` (e.g. one budget per source)."""
+    via ``group_cols`` (e.g. one budget per source).  Pass ``text_col``
+    (+ optional ``tokenizer``, functions.tokenize) to derive the counts
+    in-plan and budget in model tokens."""
+    if text_col is not None:
+        from ..functions.tokenize import resolve_tokenizer
+
+        df = df.withColumn(
+            n_tokens_col, resolve_tokenizer(tokenizer).count(F.col(text_col))
+        )
     groups = list(group_cols or [])
     key = order_key(F.col(id_col), seed)
     out = df.withColumn("_key", key).withColumn("_bkt", _bucket(F.col("_key")))
