@@ -1359,6 +1359,21 @@ def q_chunk_tokens(spark, sf_dir):
     ).select("doc_id", F.col("chunk_idx").cast("int").alias("chunk_idx"), "chunk")
 
 
+LM_INTERP = 0.7  # bigram-vs-unigram interpolation weight
+
+
+def q_lm_perplexity(spark, sf_dir):
+    """Interpolated bigram-LM perplexity gate (functions/lm.py): the
+    trained-LM form of the CCNet/Gopher quality signal the surprisal
+    query stands in for.  Model = two hash-aggs (unigram + bigram
+    counts); scoring = vocabulary joins on token and (prev, token) with
+    totals as a broadcast 1-row aggregate; ppl = exp(mean -ln p)."""
+    from web_mass_scraper_ocr_spark.functions.lm import lm_perplexity
+
+    d = _t(spark, sf_dir, "documents")
+    return lm_perplexity(d, "doc_id", "text", interp=LM_INTERP)
+
+
 def q_quantiles(spark, sf_dir):
     """Exact interpolated percentiles per group (latency-style SLO
     reporting; Spark `percentile` and DuckDB `quantile_cont` share the
@@ -1647,6 +1662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_bpe": q_pack_bpe,
         "token_budget_bpe": q_token_budget_bpe,
         "chunk_tokens": q_chunk_tokens,
+        "lm_perplexity": q_lm_perplexity,
         "decontaminate": q_decontaminate,
         "per_host_cap": q_per_host_cap,
         # r04-green, unchanged
@@ -2464,6 +2480,37 @@ SELECT doc_id, tokens_before FROM (
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
   FROM k
 ) WHERE tokens_before < {BPE_CAP_BUDGET}""",
+        "lm_perplexity": f"""
+WITH t AS (
+  SELECT doc_id, list_filter({_TOKENS}, x -> x <> '') AS toks FROM documents
+),
+tokp AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks FROM t),
+tk AS (
+  SELECT doc_id, pos, toks[pos] AS token,
+         CASE WHEN pos > 1 THEN toks[pos - 1] END AS prev
+  FROM tokp
+),
+uni AS (SELECT token, count(*) AS cu FROM tk GROUP BY token),
+bi AS (SELECT prev, token, count(*) AS cb FROM tk WHERE prev IS NOT NULL GROUP BY prev, token),
+tot AS (SELECT CAST(sum(cu) AS BIGINT) AS total, count(*) AS v FROM uni),
+sc AS (
+  SELECT tk.doc_id,
+         CASE WHEN tk.prev IS NULL OR cp.cp IS NULL THEN
+                CAST(coalesce(u.cu, 0) + 1 AS DOUBLE) / CAST(t2.total + t2.v + 1 AS DOUBLE)
+              ELSE {LM_INTERP!r} * (CAST(coalesce(b.cb, 0) AS DOUBLE) / CAST(cp.cp AS DOUBLE))
+                   + {1.0 - LM_INTERP!r} * (CAST(coalesce(u.cu, 0) + 1 AS DOUBLE) / CAST(t2.total + t2.v + 1 AS DOUBLE))
+         END AS p
+  FROM tk
+  LEFT JOIN uni u ON u.token = tk.token
+  LEFT JOIN bi b ON b.prev = tk.prev AND b.token = tk.token
+  LEFT JOIN (SELECT token AS prev, cu AS cp FROM uni) cp ON cp.prev = tk.prev
+  CROSS JOIN tot t2
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       avg(-ln(p)) AS mean_neg_logp,
+       exp(avg(-ln(p))) AS ppl
+FROM sc GROUP BY doc_id""",
         "chunk_tokens": f"""
 WITH t AS (
   SELECT doc_id, list_filter({_TOKENS}, x -> x <> '') AS toks FROM documents

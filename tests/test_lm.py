@@ -1,0 +1,109 @@
+"""Interpolated bigram LM perplexity gate (functions/lm.py, VERDICT r4
+#2): hand-computed probabilities, held-out OOV behavior, and the CCNet
+two-sided-tail filter (keeps the middle of the distribution)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from web_mass_scraper_ocr_spark.functions.lm import (
+    lm_perplexity,
+    lm_perplexity_filter,
+    train_bigram_lm,
+)
+
+
+def test_bigram_lm_hand_computed(request):
+    """One tiny corpus, every probability checked by hand."""
+    spark = request.getfixturevalue("spark")
+    df = spark.createDataFrame([(1, "a b a b"), (2, "a a")], "doc_id long, text string")
+    # corpus tokens: a b a b a a -> cu = {a:4, b:2}, total=6, v=2
+    # bigrams: (a,b):2 (b,a):1 (a,a):1
+    got = {r.doc_id: r for r in lm_perplexity(df, "doc_id", "text", interp=0.5).collect()}
+
+    def p_uni(cu):
+        return (cu + 1) / (6 + 2 + 1)
+
+    def p_bi(cb, cp):
+        return cb / cp
+
+    # doc 1: a | (a->b) | (b->a) | (a->b)
+    terms1 = [
+        p_uni(4),
+        0.5 * p_bi(2, 4) + 0.5 * p_uni(2),
+        0.5 * p_bi(1, 2) + 0.5 * p_uni(4),
+        0.5 * p_bi(2, 4) + 0.5 * p_uni(2),
+    ]
+    want1 = sum(-math.log(p) for p in terms1) / 4
+    assert abs(got[1].mean_neg_logp - want1) < 1e-12
+    assert abs(got[1].ppl - math.exp(want1)) < 1e-12
+    assert got[1].n_tokens == 4
+    # doc 2: a | (a->a)
+    terms2 = [p_uni(4), 0.5 * p_bi(1, 4) + 0.5 * p_uni(4)]
+    want2 = sum(-math.log(p) for p in terms2) / 2
+    assert abs(got[2].mean_neg_logp - want2) < 1e-12
+
+
+def test_heldout_reference_oov_finite_and_high(request):
+    """Scoring against a held-out reference: OOV tokens hit the add-one
+    unigram floor — finite (never log 0) and higher-perplexity than
+    in-domain text."""
+    spark = request.getfixturevalue("spark")
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(5)], "doc_id long, text string"
+    )
+    lm = train_bigram_lm(ref, "doc_id", "text")
+    df = spark.createDataFrame(
+        [(100, "the cat sat"), (101, "zorp blik quux")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in lm_perplexity(df, "doc_id", "text", lm=lm).collect()}
+    assert math.isfinite(got[101].ppl)
+    assert got[101].ppl > got[100].ppl * 2
+
+
+def test_two_sided_tail_filter_keeps_middle(request):
+    """The CCNet gate, scored under a held-out reference LM (the real
+    shape — self-scoring a bigram LM rewards unique sequences, since
+    their transitions are deterministic): memorized boilerplate (low
+    ppl) AND OOV noise (high ppl) both drop; ordinary docs survive."""
+    spark = request.getfixturevalue("spark")
+    ref = spark.createDataFrame(
+        [(1000 + i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(10)],
+        "doc_id long, text string",
+    )
+    lm = train_bigram_lm(ref, "doc_id", "text")
+    rows = [(i, f"alpha beta gamma w{i} delta epsilon theta zeta") for i in range(20)]
+    rows.append((100, "alpha beta gamma delta " * 8))  # memorized boilerplate
+    rows.append((101, "qq ww ee rr tt yy uu ii oo pp"))  # OOV noise
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ppl = {
+        r.doc_id: r.ppl for r in lm_perplexity(df, "doc_id", "text", lm=lm).collect()
+    }
+    assert ppl[100] == min(ppl.values())
+    assert ppl[101] == max(ppl.values())
+    kept = sorted(
+        r.doc_id
+        for r in lm_perplexity_filter(
+            df, "doc_id", "text", lm=lm, low_q=0.05, high_q=0.95
+        ).collect()
+    )
+    assert 100 not in kept and 101 not in kept
+    assert set(kept).issuperset(set(range(1, 19)))
+    # survivors keep their original columns + ppl
+    out = lm_perplexity_filter(df, "doc_id", "text", lm=lm, low_q=0.05, high_q=0.95)
+    assert set(out.columns) == {"doc_id", "text", "ppl"}
+
+
+def test_lm_respects_tokenizer(request):
+    """Under the subword tokenizer the model vocabulary is pieces, not
+    words — counts and scores change accordingly but stay consistent."""
+    from web_mass_scraper_ocr_spark.functions.tokenize import SubwordTokenizer
+
+    spark = request.getfixturevalue("spark")
+    df = spark.createDataFrame([(1, "window window")], "doc_id long, text string")
+    tk = SubwordTokenizer(["wind", "ow"])
+    r = lm_perplexity(df, "doc_id", "text", tokenizer=tk).first()
+    # pieces: wind ow wind ow -> 4 tokens
+    assert r.n_tokens == 4
+    r_ws = lm_perplexity(df, "doc_id", "text").first()
+    assert r_ws.n_tokens == 2

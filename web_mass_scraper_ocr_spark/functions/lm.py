@@ -1,0 +1,192 @@
+"""In-engine interpolated bigram language model — the real LM behind
+the perplexity quality gate (VERDICT r4 #2; the unigram stand-in is
+functions.text.unigram_surprisal).
+
+CCNet/Gopher-style pipelines score every document's perplexity under a
+language model trained on a trusted reference corpus (CCNet: a
+Wikipedia LM) and keep the middle of the distribution: very LOW
+perplexity is boilerplate/chrome the model has memorized, very HIGH is
+garbled OCR / wrong-language noise.  The smallest honest version of
+that model is an interpolated bigram LM, and it trains with exactly
+two hash-aggregates over the reference corpus:
+
+    p(w_i | w_{i-1}) = L * c(w_{i-1} w_i)/c(w_{i-1})  +  (1-L) * p_uni(w_i)
+    p_uni(w)         = (c(w) + 1) / (total + |V| + 1)     (add-one; the
+                       +1 type is the OOV bucket, so held-out scoring
+                       never hits log(0))
+
+Scoring is the vocabulary-join shape proven by unigram_surprisal and
+tfidf: the token stream joins the unigram table ON TOKEN and the
+bigram table ON (prev, token) — model-sized sides, AQE decides
+broadcast vs shuffle; totals enter as a broadcast 1-row aggregate.  No
+Python in the hot path; the bigram stream is built from the token
+ARRAY with zip_with over two slices (no window, no extra shuffle).
+
+Determinism: every probability is derived from integer counts with a
+fixed operation order, so the DuckDB oracle reproduces each per-token
+probability bit-for-bit; only the final per-doc mean is an
+order-sensitive float aggregate (gate compares with tolerance, like
+surprisal).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from .tokenize import resolve_tokenizer
+
+
+@dataclass
+class BigramLM:
+    """A trained model: two count tables + their totals frame.
+
+    ``unigrams``: (token, cu) — vocabulary-sized.
+    ``bigrams``:  (prev, token, cb) — observed-bigram-sized.
+    ``totals``:   1 row (total tokens, vocab size) — broadcast into
+    every scoring plan.
+    """
+
+    unigrams: DataFrame
+    bigrams: DataFrame
+    totals: DataFrame
+
+
+def _doc_tokens(df: DataFrame, id_col: str, text_col: str, tokenizer) -> DataFrame:
+    """(id, pos, token, prev): positioned token stream with the previous
+    token (NULL at pos 1), built array-side — zip_with of two slices —
+    so no per-doc window is needed."""
+    toks = resolve_tokenizer(tokenizer).tokens(F.col(text_col))
+    pairs = F.zip_with(
+        toks,
+        F.concat(F.array(F.lit(None).cast("string")), F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))),
+        lambda t, p: F.struct(t.alias("token"), p.alias("prev")),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(pairs).alias("pos", "tp")
+    ).select(
+        id_col,
+        (F.col("pos") + 1).alias("pos"),
+        F.col("tp.token").alias("token"),
+        F.col("tp.prev").alias("prev"),
+    ).where(F.length("token") > 0)
+
+
+def train_bigram_lm(
+    reference: DataFrame,
+    id_col: str,
+    text_col: str,
+    tokenizer=None,
+) -> BigramLM:
+    """Two hash-aggs over the reference corpus -> a BigramLM.  The
+    totals frame derives from the unigram aggregate (no extra corpus
+    scan, same trick as unigram_surprisal)."""
+    tok = _doc_tokens(reference, id_col, text_col, tokenizer)
+    uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cu"))
+    bi = (
+        tok.where(F.col("prev").isNotNull())
+        .groupBy("prev", "token")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    totals = uni.select(
+        F.sum("cu").alias("total"), F.count(F.lit(1)).alias("v")
+    )
+    return BigramLM(unigrams=uni, bigrams=bi, totals=totals)
+
+
+def lm_perplexity(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lm: BigramLM | None = None,
+    reference: DataFrame | None = None,
+    interp: float = 0.7,
+    tokenizer=None,
+) -> DataFrame:
+    """Per-document perplexity under an interpolated bigram LM.
+
+    Pass a trained ``lm``, or a ``reference`` corpus to train on (the
+    CCNet shape: score the crawl under the trusted-corpus model), or
+    neither to self-score ``df`` under its own statistics.  Returns
+    (id, n_tokens, mean_neg_logp, ppl) with ppl = exp(mean_neg_logp);
+    token-less docs are absent.
+
+    Per token: interpolated probability L*p_bi + (1-L)*p_uni, where the
+    bigram term is the ML estimate c(prev w)/c(prev) (0 for unseen
+    bigrams and OOV prev) and p_uni is add-one smoothed over the
+    reference vocabulary (so OOV tokens score finite).  The first token
+    of a doc has no prev and scores p_uni alone.
+    """
+    if lm is None:
+        lm = train_bigram_lm(
+            reference if reference is not None else df, id_col, text_col, tokenizer
+        )
+    tok = _doc_tokens(df, id_col, text_col, tokenizer)
+    scored = (
+        tok.join(lm.unigrams, "token", "left")
+        .join(lm.bigrams, ["prev", "token"], "left")
+        .join(
+            lm.unigrams.select(
+                F.col("token").alias("prev"), F.col("cu").alias("cp")
+            ),
+            "prev",
+            "left",
+        )
+        .crossJoin(F.broadcast(lm.totals))
+    )
+    p_uni = (F.coalesce(F.col("cu"), F.lit(0)) + 1).cast("double") / (
+        F.col("total") + F.col("v") + 1
+    ).cast("double")
+    p_bi = (
+        F.coalesce(F.col("cb"), F.lit(0)).cast("double")
+        / F.col("cp").cast("double")
+    )
+    p = F.when(
+        F.col("prev").isNull() | F.col("cp").isNull(),
+        p_uni,
+    ).otherwise(F.lit(interp) * p_bi + F.lit(1.0 - interp) * p_uni)
+    return (
+        scored.withColumn("nlp", -F.log(p))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.avg("nlp").alias("mean_neg_logp"),
+        )
+        .withColumn("ppl", F.exp(F.col("mean_neg_logp")))
+    )
+
+
+def lm_perplexity_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    low_q: float = 0.1,
+    high_q: float = 0.9,
+    lm: BigramLM | None = None,
+    reference: DataFrame | None = None,
+    interp: float = 0.7,
+    tokenizer=None,
+) -> DataFrame:
+    """The CCNet two-sided gate: keep docs whose perplexity lies within
+    the [low_q, high_q] quantile band of the corpus — dropping the
+    memorized-boilerplate head AND the garbled-noise tail.
+
+    Shape: lm_perplexity + ONE exact-percentile aggregate (1 row,
+    broadcast back as cutoffs) — the same quantile-gate plan as
+    quality_quantile_filter, never a window sort of the data.  Returns
+    the surviving rows of ``df`` (original columns + ppl)."""
+    ppl = lm_perplexity(
+        df, id_col, text_col, lm=lm, reference=reference,
+        interp=interp, tokenizer=tokenizer,
+    ).select(id_col, "ppl")
+    cuts = ppl.agg(
+        F.percentile("ppl", low_q).alias("_lo"),
+        F.percentile("ppl", high_q).alias("_hi"),
+    )
+    kept = (
+        ppl.crossJoin(F.broadcast(cuts))
+        .where((F.col("ppl") >= F.col("_lo")) & (F.col("ppl") <= F.col("_hi")))
+        .select(id_col, "ppl")
+    )
+    return df.join(kept, id_col)
