@@ -466,3 +466,103 @@ def test_table_read_delta_incremental(spark, tmp_path):
     t.compact(spark)
     with pytest.raises(ValueError, match="not re-materializable"):
         t.read_delta(spark, snap_a, snap_b)
+
+
+def test_table_delete_where_takedown(spark, tmp_path):
+    """Row-level delete (VERDICT r4 #3): delete_where rewrites only the
+    files containing matching rows into a NEW snapshot; the current
+    read excludes the rows, the pre-delete snapshot still time-travels
+    to them, read_delta across the delete raises the rewrite guard, and
+    expire_snapshots finally garbage-collects the pre-delete files
+    (making the takedown physical)."""
+    from web_mass_scraper_ocr_spark.sources.tableio import Table
+
+    t = Table(tmp_path, "docs")
+    pre = t.append(spark.range(0, 10).toDF("v"))
+    t.append(spark.range(10, 20).toDF("v"))
+    n_files_before = len(t._listing())
+
+    res = t.delete_where(spark, "v IN (3, 7, 15)")
+    assert res["rows_deleted"] == 3
+    # only the commits containing matches were rewritten
+    assert res["files_rewritten"] >= 1
+
+    got = sorted(r.v for r in t.read(spark).collect())
+    assert got == [v for v in range(20) if v not in (3, 7, 15)]
+    # the new snapshot is the committed one
+    assert t.snapshot_id() == res["snapshot_id"]
+    assert sorted(r.v for r in t.read(spark, snapshot_id=res["snapshot_id"]).collect()) == got
+
+    # time travel: the pre-delete snapshot still returns the deleted rows
+    assert sorted(r.v for r in t.read(spark, snapshot_id=pre).collect()) == list(range(10))
+    # pre-delete files remain on disk (shared-file CoW, not a purge)
+    assert len(t._listing()) > n_files_before
+
+    # no row-level delta is definable across a rewrite
+    with pytest.raises(ValueError, match="rewrote the table"):
+        t.read_delta(spark, pre)
+
+    # appends after a delete never resurrect the orphaned files
+    t.append(spark.range(20, 23).toDF("v"))
+    got2 = sorted(r.v for r in t.read(spark).collect())
+    assert got2 == [v for v in range(23) if v not in (3, 7, 15)]
+
+    # expiry garbage-collects files referenced by no retained snapshot
+    t.expire_snapshots(keep_last=1)
+    with pytest.raises(ValueError, match="not in table"):
+        t.read(spark, snapshot_id=pre)
+    assert sorted(r.v for r in t.read(spark).collect()) == got2
+    # the takedown is now physical: fewer files on disk than pre-expiry
+    referenced = set(f for f, _ in t._listing())
+    assert len(referenced) == len(t._current_files())
+
+
+def test_table_delete_where_no_match_and_guards(spark, tmp_path):
+    from web_mass_scraper_ocr_spark.sources.tableio import Table
+
+    t = Table(tmp_path, "docs")
+    snap = t.append(spark.range(0, 5).toDF("v"))
+    res = t.delete_where(spark, "v > 100")
+    assert res["rows_deleted"] == 0 and res["snapshot_id"] == snap
+    assert sorted(r.v for r in t.read(spark).collect()) == list(range(5))
+
+    # NULL predicate keeps the row (SQL DELETE semantics)
+    t2 = Table(tmp_path, "nulls")
+    t2.append(
+        spark.createDataFrame([(1, "a"), (2, None), (3, "b")], "v long, s string")
+    )
+    res = t2.delete_where(spark, "s = 'a'")
+    assert res["rows_deleted"] == 1
+    assert sorted(r.v for r in t2.read(spark).collect()) == [2, 3]
+
+    # hive-partitioned layout refuses
+    hive = Table(tmp_path, "hive")
+    hive.overwrite_partitions(
+        spark.createDataFrame([(1, "x"), (2, "y")], "v long, p string"), ["p"]
+    )
+    with pytest.raises(ValueError, match="not append-layout"):
+        hive.delete_where(spark, "v = 1")
+
+
+def test_cli_delete_smoke(spark, tmp_path):
+    """python -m web_mass_scraper_ocr_spark delete — takedown via CLI."""
+    import json as _json
+
+    from web_mass_scraper_ocr_spark.__main__ import main
+    from web_mass_scraper_ocr_spark.sources.tableio import Table
+
+    t = Table(tmp_path / "wh", "docs")
+    t.append(spark.range(0, 8).toDF("v"))
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main([
+            "delete", "--warehouse", str(tmp_path / "wh"), "--table", "docs",
+            "--where", "v >= 6", "--master", "local[2]",
+        ])
+    assert rc == 0
+    out = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["rows_deleted"] == 2 and out["table"] == "docs"
+    assert sorted(r.v for r in t.read(spark).collect()) == list(range(6))

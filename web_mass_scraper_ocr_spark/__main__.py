@@ -172,6 +172,17 @@ def main(argv: list[str] | None = None) -> int:
     pk.add_argument("--target-file-mb", type=int, default=128)
     pk.add_argument("--master", default=None)
 
+    pdel = sub.add_parser(
+        "delete",
+        help="row-level delete (takedown): rewrite matching files, commit a "
+             "new snapshot; prior snapshots stay time-travelable until expiry",
+    )
+    pdel.add_argument("--warehouse", required=True)
+    pdel.add_argument("--table", required=True)
+    pdel.add_argument("--where", required=True,
+                      help="SQL predicate; rows where it is TRUE are deleted")
+    pdel.add_argument("--master", default=None)
+
     args = parser.parse_args(argv)
     spark = get_spark(master=args.master)
 
@@ -375,6 +386,14 @@ def main(argv: list[str] | None = None) -> int:
                  "files": len(t._listing())}
             )
         )
+        return 0
+
+    if args.cmd == "delete":
+        from .sources.tableio import table
+
+        t = table(args.warehouse, args.table)
+        res = t.delete_where(spark, args.where)
+        print(json.dumps({"table": args.table, **res}))
         return 0
 
     return 2

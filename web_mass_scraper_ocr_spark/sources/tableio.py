@@ -44,31 +44,62 @@ class Table:
             for p in self.data_dir.rglob("*.parquet")
         )
 
-    def snapshot_id(self) -> str:
+    def _manifest(self) -> dict:
+        if self.manifest_path.exists():
+            return json.loads(self.manifest_path.read_text())
+        return {"snapshots": []}
+
+    def _current_files(self) -> list[str] | None:
+        """The CURRENT snapshot's file set per the manifest (the Iceberg
+        semantic: current state = what the last commit references, NOT
+        what happens to be on disk — after ``delete_where`` the two
+        differ, since pre-delete files stay for time travel until
+        ``expire_snapshots``).  None for manifest-less/legacy tables
+        (fall back to the directory listing)."""
+        snaps = self._manifest()["snapshots"]
+        if snaps and isinstance(snaps[-1].get("files"), list):
+            return snaps[-1]["files"]
+        return None
+
+    def _snapshot_id_of(self, files: list[str]) -> str:
         h = hashlib.sha256()
-        for rel, size in self._listing():
+        for rel in sorted(files):
+            p = self.data_dir / rel
             h.update(rel.encode())
-            h.update(str(size).encode())
+            h.update(str(p.stat().st_size if p.exists() else -1).encode())
         return h.hexdigest()[:16]
 
-    def _write_manifest(self, op: str) -> None:
-        manifest = {"snapshots": []}
-        if self.manifest_path.exists():
-            manifest = json.loads(self.manifest_path.read_text())
-        listing = self._listing()
+    def snapshot_id(self) -> str:
+        cur = self._current_files()
+        if cur is not None:
+            return self._snapshot_id_of(cur)
+        return self._snapshot_id_of([rel for rel, _ in self._listing()])
+
+    def _write_manifest(self, op: str, files: list[str] | None = None) -> str:
+        """Commit a snapshot entry.  ``files`` is the explicit file set
+        of the new snapshot; default = the full directory listing
+        (correct for ops whose post-state IS the disk state: append
+        onto an orphan-free table, compact, overwrite_partitions).
+        Returns the committed snapshot id."""
+        manifest = self._manifest()
+        if files is None:
+            files = [rel for rel, _ in self._listing()]
+        files = sorted(files)
+        snap_id = self._snapshot_id_of(files)
         manifest["snapshots"].append(
             {
-                "snapshot_id": self.snapshot_id(),
+                "snapshot_id": snap_id,
                 "sequence": len(manifest["snapshots"]),
                 "operation": op,
                 # relative file paths, not just a count: this is what
                 # makes a snapshot re-materializable (time travel) —
                 # the Iceberg manifest-list analogue
-                "files": [rel for rel, _ in listing],
-                "n_files": len(listing),
+                "files": files,
+                "n_files": len(files),
             }
         )
         self.manifest_path.write_text(json.dumps(manifest, indent=1))
+        return snap_id
 
     # -- IO ----------------------------------------------------------------
     def read(self, spark: SparkSession, snapshot_id: str | None = None) -> DataFrame:
@@ -82,12 +113,38 @@ class Table:
         there this window is the expiry policy)."""
         if snapshot_id is not None:
             return self._read_snapshot(spark, snapshot_id)
-        # append-mode tables nest files under commit-* dirs (glob them in);
-        # partition-overwrite tables use hive-style key=value dirs (plain
-        # read so partition-column inference works)
+        # manifest-driven current state (the Iceberg semantic): after a
+        # delete_where, pre-delete files remain on disk for time travel
+        # but are NOT part of the current snapshot, so the current read
+        # must follow the manifest, not the directory
+        cur = self._current_files()
+        if cur is not None:
+            return self._read_files(spark, cur, "current snapshot")
+        # legacy/manifest-less fallback: append-mode tables nest files
+        # under commit-* dirs (glob them in); partition-overwrite tables
+        # use hive-style key=value dirs (plain read so partition-column
+        # inference works)
         if any(p.name.startswith("commit-") for p in self.data_dir.iterdir() if p.is_dir()):
             return spark.read.parquet(str(self.data_dir / "commit-*"))
         return spark.read.parquet(str(self.data_dir))
+
+    def _read_files(self, spark: SparkSession, rels: list[str], what: str) -> DataFrame:
+        paths = [self.data_dir / rel for rel in rels]
+        missing = [str(p) for p in paths if not p.exists()]
+        if missing:
+            raise ValueError(
+                f"{what} of table {self.name!r} is no longer "
+                f"re-materializable: {len(missing)} file(s) were removed by a "
+                f"later compact/overwrite/expire (first: {missing[0]})"
+            )
+        if not paths:
+            raise ValueError(f"{what} of table {self.name!r} recorded zero files")
+        # basePath keeps hive-style partition-column inference working
+        # when individual files are listed explicitly
+        return (
+            spark.read.option("basePath", str(self.data_dir))
+            .parquet(*[str(p) for p in paths])
+        )
 
     def _read_snapshot(self, spark: SparkSession, snapshot_id: str) -> DataFrame:
         if not self.manifest_path.exists():
@@ -110,22 +167,7 @@ class Table:
                 f"snapshot {snapshot_id!r} predates file-level manifests "
                 "(count-only entry); not re-materializable"
             )
-        paths = [self.data_dir / rel for rel in entry["files"]]
-        missing = [str(p) for p in paths if not p.exists()]
-        if missing:
-            raise ValueError(
-                f"snapshot {snapshot_id!r} is no longer re-materializable: "
-                f"{len(missing)} file(s) were removed by a later compact/"
-                f"overwrite (first: {missing[0]})"
-            )
-        if not paths:
-            raise ValueError(f"snapshot {snapshot_id!r} recorded zero files")
-        # basePath keeps hive-style partition-column inference working
-        # when individual files are listed explicitly
-        return (
-            spark.read.option("basePath", str(self.data_dir))
-            .parquet(*[str(p) for p in paths])
-        )
+        return self._read_files(spark, entry["files"], f"snapshot {snapshot_id!r}")
 
     def append(self, df: DataFrame) -> str:
         import shutil
@@ -142,9 +184,17 @@ class Table:
         token = uuid.uuid4().hex[:12]
         staging = self.dir / f"tmp-append-{token}"
         df.write.mode("overwrite").parquet(str(staging))
-        staging.rename(self.data_dir / f"commit-{token}")
-        self._write_manifest("append")
-        return self.snapshot_id()
+        commit_dir = self.data_dir / f"commit-{token}"
+        staging.rename(commit_dir)
+        # new snapshot = current snapshot + this commit's files (NOT the
+        # raw directory listing, which after a delete_where also holds
+        # orphaned pre-delete files kept only for time travel)
+        cur = self._current_files()
+        new = [
+            str(p.relative_to(self.data_dir)) for p in commit_dir.rglob("*.parquet")
+        ]
+        files = (cur + new) if cur is not None else None
+        return self._write_manifest("append", files=files)
 
     def read_delta(
         self, spark: SparkSession, from_snapshot: str, to_snapshot: str | None = None
@@ -199,6 +249,14 @@ class Table:
                     "no delta computable"
                 )
             target = last["files"]
+        removed = [rel for rel in base if rel not in set(target)]
+        if removed:
+            raise ValueError(
+                f"{len(removed)} file(s) of snapshot {from_snapshot!r} are "
+                "absent from the target snapshot (a delete_where/compact/"
+                "overwrite rewrote the table in between); a file-based "
+                "shim has no well-defined row-level delta across a rewrite"
+            )
         added = [rel for rel in target if rel not in base]
         if not added:
             raise ValueError(
@@ -226,7 +284,13 @@ class Table:
         'not in manifest' error instead.  Data files are untouched:
         in this shim every live file belongs to the current snapshot
         (compact/overwrite already delete rewritten files eagerly).
-        Returns the number of entries removed."""
+        After dropping entries, data files referenced by NO retained
+        snapshot are garbage-collected (the files a ``delete_where``
+        kept on disk only for time travel) — this is what bounds
+        storage and what finally makes a takedown physical.  GC runs
+        only when every retained entry carries a file list (otherwise
+        references are unknowable and files are left alone).  Returns
+        the number of entries removed."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         if not self.manifest_path.exists():
@@ -237,6 +301,22 @@ class Table:
         if n_drop:
             manifest["snapshots"] = snaps[n_drop:]
             self.manifest_path.write_text(json.dumps(manifest, indent=1))
+        retained = manifest["snapshots"]
+        if retained and all(isinstance(s.get("files"), list) for s in retained):
+            referenced = {rel for s in retained for rel in s["files"]}
+            for rel, _ in self._listing():
+                if rel not in referenced:
+                    (self.data_dir / rel).unlink()
+            # sweep commit dirs emptied by the GC
+            for p in list(self.data_dir.iterdir()):
+                if (
+                    p.is_dir()
+                    and p.name.startswith("commit-")
+                    and not any(p.rglob("*.parquet"))
+                ):
+                    import shutil
+
+                    shutil.rmtree(p)
         return n_drop
 
     def compact(self, spark: SparkSession, target_file_mb: int = 128) -> str:
@@ -297,8 +377,97 @@ class Table:
             if p.is_dir() and p.name.startswith("commit-"):
                 shutil.rmtree(p)
         staging.rename(self.data_dir / f"commit-{uuid.uuid4().hex[:12]}")
-        self._write_manifest("compact")
-        return self.snapshot_id()
+        return self._write_manifest("compact")
+
+    def delete_where(self, spark: SparkSession, predicate) -> dict:
+        """Row-level delete (the takedown primitive, VERDICT r4 #3):
+        ``DELETE FROM t WHERE predicate`` as a file-granular
+        copy-on-write rewrite committing a NEW snapshot — the missing
+        piece of the Iceberg surface after snapshot read-back / expiry /
+        delta reads.
+
+        ``predicate`` is a SQL expression string or a Column; rows
+        where it evaluates TRUE are deleted (NULL keeps the row, the
+        SQL DELETE semantic).  Shape, scale-first: (1) ONE scan of the
+        current snapshot finds the files containing matching rows plus
+        per-file match counts — a |files|-bounded statistics collect
+        (real Iceberg prunes this with column stats; the shim scans);
+        (2) ONLY those files are re-read and their surviving rows
+        rewritten into a fresh commit (staged + renamed, crash-safe
+        like append); (3) the new snapshot's file set = (current -
+        affected) + rewritten — untouched files are SHARED with prior
+        snapshots, exactly Iceberg CoW.  Pre-delete files stay on disk,
+        so ``read(snapshot_id=pre_delete)`` still re-materializes them
+        until ``expire_snapshots`` garbage-collects; ``read_delta``
+        across the delete raises the rewrite guard (no well-defined
+        row-level delta).  Append-layout tables only (hive-partitioned
+        tables take the overwrite_partitions route).
+
+        Returns {snapshot_id, rows_deleted, files_rewritten,
+        files_total}; a no-match delete commits nothing and returns the
+        current snapshot with rows_deleted 0.
+        """
+        import shutil
+
+        from pyspark.sql import Column, functions as F
+
+        if not self.exists():
+            raise ValueError(f"table {self.name!r} has no data")
+        if not any(
+            p.name.startswith("commit-") for p in self.data_dir.iterdir() if p.is_dir()
+        ):
+            raise ValueError(
+                f"table {self.name!r} is not append-layout; delete rows of a "
+                "hive-partitioned table by rewriting its partitions "
+                "(overwrite_partitions)"
+            )
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        if not isinstance(pred, Column):
+            raise TypeError("predicate must be a SQL string or a Column")
+        cur = self._current_files()
+        if cur is None:  # legacy manifest-less table: adopt the listing
+            cur = [rel for rel, _ in self._listing()]
+        df = self._read_files(spark, cur, "current snapshot")
+        hits = (
+            df.where(pred)
+            .groupBy(F.input_file_name().alias("uri"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        if not hits:
+            return {
+                "snapshot_id": self._snapshot_id_of(cur),
+                "rows_deleted": 0,
+                "files_rewritten": 0,
+                "files_total": len(cur),
+            }
+        data_uri = self.data_dir.resolve().as_uri()
+        affected = set()
+        for r in hits:
+            if not r.uri.startswith(data_uri):
+                raise RuntimeError(f"unexpected file uri {r.uri!r}")
+            affected.add(r.uri[len(data_uri) :].lstrip("/"))
+        rows_deleted = sum(r.n for r in hits)
+        keep = ~F.coalesce(pred.cast("boolean"), F.lit(False))
+        survivors = self._read_files(
+            spark, sorted(affected), "delete rewrite"
+        ).where(keep)
+        token = uuid.uuid4().hex[:12]
+        staging = self.dir / f"tmp-append-{token}"
+        survivors.write.mode("overwrite").parquet(str(staging))
+        commit_dir = self.data_dir / f"commit-{token}"
+        staging.rename(commit_dir)
+        new = [
+            str(p.relative_to(self.data_dir)) for p in commit_dir.rglob("*.parquet")
+        ]
+        files = [rel for rel in cur if rel not in affected] + new
+        snap = self._write_manifest("delete", files=files)
+        return {
+            "snapshot_id": snap,
+            "rows_deleted": rows_deleted,
+            "files_rewritten": len(affected),
+            "files_total": len(files),
+        }
 
     def overwrite_partitions(self, df: DataFrame, partition_cols: list[str]) -> str:
         """Dynamic-partition overwrite (idempotent per-bucket redo)."""
@@ -309,8 +478,7 @@ class Table:
             .option("partitionOverwriteMode", "dynamic")
             .parquet(str(self.data_dir))
         )
-        self._write_manifest("overwrite_partitions")
-        return self.snapshot_id()
+        return self._write_manifest("overwrite_partitions")
 
 
 def table(root: str | Path, name: str) -> Table:
