@@ -1234,17 +1234,60 @@ def q_surprisal(spark, sf_dir):
 PER_HOST_CAP = 15  # bites at sf0.01 (25 docs/source) and above
 
 
-def q_per_host_cap(spark, sf_dir):
-    """Domain balancing (operators/sampling.py per_host_cap): keep at
-    most PER_HOST_CAP docs per source in deterministic md5(id||seed)
-    order — the C4/RefinedWeb max-per-domain rule, two-stage windowed
-    so one viral host never lands on one task."""
-    from web_mass_scraper_ocr_spark.operators.sampling import per_host_cap
+def _synth_host():
+    """Deterministic hostname per doc, exercising the eTLD+1 rules:
+    three subdomain variants of ``<source>.co.uk`` (which MUST share
+    one registered-domain cap), a ``cdn.<source>.org`` variant, and an
+    unlisted TLD hitting the PSL default rule."""
+    i = F.col("doc_id") % 5
+    src = F.col("source")
+    return (
+        F.when(i == 0, F.concat(F.lit("blog."), src, F.lit(".co.uk")))
+        .when(i == 1, F.concat(F.lit("www."), src, F.lit(".co.uk")))
+        .when(i == 2, F.concat(src, F.lit(".co.uk")))
+        .when(i == 3, F.concat(F.lit("cdn."), src, F.lit(".org")))
+        .otherwise(F.concat(src, F.lit(".unknowntld")))
+    )
+
+
+_SYNTH_HOST_SQL = """CASE doc_id % 5
+  WHEN 0 THEN 'blog.' || source || '.co.uk'
+  WHEN 1 THEN 'www.' || source || '.co.uk'
+  WHEN 2 THEN source || '.co.uk'
+  WHEN 3 THEN 'cdn.' || source || '.org'
+  ELSE source || '.unknowntld' END"""
+
+
+def q_registered_domain(spark, sf_dir):
+    """eTLD+1 extraction under the public-suffix snapshot
+    (functions/files.py registered_domain): longest-suffix match per
+    label count (InSet, codegen-friendly), PSL default rule for
+    unlisted TLDs, NULL for bare suffixes — the C4/RefinedWeb
+    domain-balancing key (cap per registered domain, not hostname)."""
+    from web_mass_scraper_ocr_spark.functions.files import registered_domain
 
     d = _t(spark, sf_dir, "documents")
-    return per_host_cap(d, "doc_id", "source", cap=PER_HOST_CAP, seed="e0").select(
-        "doc_id", "source", "host_rank"
+    host = _synth_host()
+    return d.select(
+        "doc_id", host.alias("host"), registered_domain(host).alias("reg_domain")
     )
+
+
+def q_per_host_cap(spark, sf_dir):
+    """Domain balancing (operators/sampling.py per_host_cap) keyed on
+    the REGISTERED domain (eTLD+1, r5 re-key per C4/RefinedWeb: blog.X
+    and www.X share one cap): keep at most PER_HOST_CAP docs per
+    registered domain in deterministic md5(id||seed) order, two-stage
+    windowed so one viral domain never lands on one task."""
+    from web_mass_scraper_ocr_spark.functions.files import registered_domain
+    from web_mass_scraper_ocr_spark.operators.sampling import per_host_cap
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "reg_domain", registered_domain(_synth_host())
+    )
+    return per_host_cap(
+        d, "doc_id", "reg_domain", cap=PER_HOST_CAP, seed="e0"
+    ).select("doc_id", "reg_domain", "host_rank")
 
 
 def q_split_leakage(spark, sf_dir):
@@ -1663,6 +1706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_bpe": q_token_budget_bpe,
         "chunk_tokens": q_chunk_tokens,
         "lm_perplexity": q_lm_perplexity,
+        "registered_domain": q_registered_domain,
         "decontaminate": q_decontaminate,
         "per_host_cap": q_per_host_cap,
         # r04-green, unchanged
@@ -1792,6 +1836,29 @@ term AS (SELECT doc_id, wi, n, toks_s FROM seg WHERE pos > length(word)),
 bpe_counts AS (
   SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tok_bpe FROM term GROUP BY doc_id
 )"""
+
+
+def _regdom_case() -> str:
+    """The registered_domain when-chain as DuckDB SQL, generated from
+    the SAME public-suffix snapshot (guaranteed parity).  Expects
+    columns ``labs`` (VARCHAR[], dot-split lowercased host) and ``n``
+    (len(labs)) in scope."""
+    from web_mass_scraper_ocr_spark.functions.files import PUBLIC_SUFFIXES
+
+    by_k: dict[int, list[str]] = {}
+    for s in PUBLIC_SUFFIXES:
+        by_k.setdefault(s.count(".") + 1, []).append(s)
+    branches = []
+    for k in sorted(by_k, reverse=True):
+        inlist = ", ".join(f"'{s}'" for s in sorted(by_k[k]))
+        last_k = f"array_to_string(list_slice(labs, n - {k - 1}, n), '.')"
+        reg = (
+            f"CASE WHEN n >= {k + 1} THEN "
+            f"array_to_string(list_slice(labs, n - {k}, n), '.') END"
+        )
+        branches.append(f"WHEN n >= {k} AND {last_k} IN ({inlist}) THEN {reg}")
+    default = "CASE WHEN n >= 2 THEN array_to_string(list_slice(labs, n - 1, n), '.') END"
+    return "CASE " + " ".join(branches) + f" ELSE {default} END"
 
 
 def _simhash_sql() -> str:
@@ -2109,16 +2176,37 @@ SELECT id_a, id_b, common_shingles,
        common_shingles::DOUBLE / (sa.set_size + sb.set_size - common_shingles)::DOUBLE AS jaccard
 FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 WHERE common_shingles::DOUBLE / (sa.set_size + sb.set_size - common_shingles)::DOUBLE >= {JACCARD_THRESHOLD}""",
+        "registered_domain": f"""
+WITH h AS (
+  SELECT doc_id, {_SYNTH_HOST_SQL} AS host FROM documents
+),
+lab AS (
+  SELECT doc_id, host,
+         string_split(lower(regexp_replace(host, '\\.$', '')), '.') AS labs,
+         len(string_split(lower(regexp_replace(host, '\\.$', '')), '.')) AS n
+  FROM h
+)
+SELECT doc_id, host, {_regdom_case()} AS reg_domain FROM lab""",
         "per_host_cap": f"""
-WITH r AS (
-  SELECT doc_id, source,
+WITH h AS (
+  SELECT doc_id, {_SYNTH_HOST_SQL} AS host FROM documents
+),
+lab AS (
+  SELECT doc_id,
+         string_split(lower(regexp_replace(host, '\\.$', '')), '.') AS labs,
+         len(string_split(lower(regexp_replace(host, '\\.$', '')), '.')) AS n
+  FROM h
+),
+rd AS (SELECT doc_id, {_regdom_case()} AS reg_domain FROM lab),
+r AS (
+  SELECT doc_id, reg_domain,
          row_number() OVER (
-           PARTITION BY source
+           PARTITION BY reg_domain
            ORDER BY md5(concat(CAST(doc_id AS VARCHAR), 'e0')), doc_id
          ) AS host_rank
-  FROM documents
+  FROM rd
 )
-SELECT doc_id, source, CAST(host_rank AS BIGINT) AS host_rank
+SELECT doc_id, reg_domain, CAST(host_rank AS BIGINT) AS host_rank
 FROM r WHERE host_rank <= {PER_HOST_CAP}""",
         "split_leakage": f"""
 WITH {_shingle_cte()},

@@ -164,3 +164,71 @@ def test_safe_filename_fuzz_parity(spark):
         if got[i] != ref_safe_filename(u)
     ]
     assert not mismatches, mismatches[:10]
+
+
+def test_registered_domain_rules(request):
+    """eTLD+1 (VERDICT r4 #6): subdomain variants share one registered
+    domain, multi-label suffixes beat single-label, bare suffixes have
+    no registrable domain, unlisted TLDs take the PSL default rule."""
+    from pyspark.sql import functions as F
+
+    from web_mass_scraper_ocr_spark.functions.files import registered_domain
+
+    spark = request.getfixturevalue("spark")
+    cases = {
+        "blog.example.co.uk": "example.co.uk",
+        "www.example.co.uk": "example.co.uk",
+        "example.co.uk": "example.co.uk",
+        "co.uk": None,                      # bare suffix
+        "uk": None,
+        "a.b.c.example.com": "example.com",
+        "CDN.Example.COM.": "example.com",  # case + trailing dot
+        "foo.unknowntld": "foo.unknowntld",  # PSL default rule
+        "x.y.unknowntld": "y.unknowntld",
+        "single": None,
+        "sub.host.com.au": "host.com.au",
+    }
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases.items())], "id long, host string"
+    )
+    got = {
+        r.host: r.rd
+        for r in df.select(
+            "host", registered_domain(F.col("host")).alias("rd")
+        ).collect()
+    }
+    for host, want in cases.items():
+        assert got[host] == want, (host, got[host], want)
+
+
+def test_registered_domains_join_form_matches_column_form(request):
+    """The broadcast-suffix-table join (full-PSL scale shape) and the
+    InSet when-chain agree on every host shape."""
+    from pyspark.sql import functions as F
+
+    from web_mass_scraper_ocr_spark.functions.files import (
+        registered_domain,
+        registered_domains,
+    )
+
+    spark = request.getfixturevalue("spark")
+    hosts = [
+        "blog.example.co.uk", "www.example.co.uk", "example.co.uk", "co.uk",
+        "a.b.c.example.com", "example.com", "com", "foo.unknowntld",
+        "single", "CDN.Example.COM.", "x.github.io", "deep.sub.host.gov.au",
+        None, "",
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hosts)], "id long, host string"
+    )
+    col_form = {
+        r.id: r.rd
+        for r in df.select(
+            "id", registered_domain(F.col("host")).alias("rd")
+        ).collect()
+    }
+    join_form = {
+        r.id: r.registered_domain
+        for r in registered_domains(df, "id", "host").collect()
+    }
+    assert col_form == join_form

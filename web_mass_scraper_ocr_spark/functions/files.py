@@ -206,3 +206,155 @@ def safe_filename_frame(
         "_sfn_path", "_sfn_query", "_sfn_file", "_sfn_ext",
         "_sfn_sname", "_sfn_sext", "_sfn_final", "_sfn_fext",
     )
+
+
+# ---------------------------------------------------------------------------
+# registered domain (eTLD+1) — domain-balancing key (VERDICT r4 #6)
+# ---------------------------------------------------------------------------
+
+# A small deterministic snapshot of the public-suffix list (the real
+# PSL is ~9k rules and updates continuously; this sandbox ships a
+# bounded, documented snapshot covering the common multi-label and
+# single-label suffixes — swap in the full list via the ``suffixes``
+# parameter / suffix table without touching callers).  C4/RefinedWeb
+# cap documents per REGISTERED domain, not per hostname:
+# blog.example.co.uk and www.example.co.uk must share one cap.
+PUBLIC_SUFFIXES = [
+    # multi-label suffixes first in spirit; matching sorts by label count
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "org.br", "net.br",
+    "com.cn", "org.cn", "net.cn", "edu.cn", "gov.cn",
+    "com.mx", "org.mx",
+    "co.in", "org.in", "net.in",
+    "co.kr", "or.kr", "co.za", "org.za",
+    "com.tr", "org.tr", "com.ar", "com.sg", "co.nz", "org.nz",
+    # single-label suffixes
+    "com", "org", "net", "edu", "gov", "mil", "int",
+    "io", "ai", "co", "info", "biz", "dev", "app", "xyz",
+    "de", "fr", "uk", "jp", "cn", "br", "in", "au", "us", "ca", "it",
+    "es", "nl", "se", "no", "pl", "ru", "ch", "at", "be", "dk", "fi",
+    "kr", "mx", "ar", "nz", "sg", "za", "tr", "eu", "ie", "pt", "gr",
+    "cz", "hu", "ro",
+]
+
+
+def _suffixes_by_specificity(suffixes: list[str]) -> list[str]:
+    return sorted(suffixes, key=lambda s: (-s.count("."), s))
+
+
+def registered_domain(
+    host: Column, suffixes: list[str] | None = None
+) -> Column:
+    """eTLD+1 of a hostname under the public-suffix snapshot: the
+    longest matching suffix plus one label.  ``blog.example.co.uk`` ->
+    ``example.co.uk``; a host that IS a public suffix has no
+    registrable domain -> NULL; a host whose TLD matches no rule takes
+    the PSL default rule ``*`` (last label is the suffix) -> last two
+    labels.
+
+    Codegen-friendly form: ONE branch per suffix LENGTH (label count),
+    each an InSet membership test of the host's last-k-labels run —
+    never a branch per rule, which blows the janino 64KB method limit
+    around ~100 rules.  Stays pure Catalyst for a bounded snapshot;
+    the full-PSL (9k-rule) scale shape is :func:`registered_domains`
+    (broadcast suffix-table join)."""
+    sufs = suffixes or PUBLIC_SUFFIXES
+    by_k: dict[int, list[str]] = {}
+    for s in sufs:
+        by_k.setdefault(s.count(".") + 1, []).append(s)
+    h = F.lower(F.regexp_replace(host, r"\.$", ""))
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+
+    def reg_of(k: int) -> Column:
+        # suffix has k labels -> registered domain = last k+1 labels.
+        # greatest() keeps the slice start positive even when the when-
+        # guard is false: AND/value operands may still be evaluated in
+        # vectorized eval, and slice throws on start <= 0.
+        return F.when(
+            n >= k + 1,
+            F.array_join(F.slice(labels, F.greatest(n - k, F.lit(1)), k + 1), "."),
+        ).otherwise(F.lit(None).cast("string"))
+
+    expr = None
+    for k in sorted(by_k, reverse=True):  # longest suffixes first
+        last_k = F.array_join(
+            F.slice(labels, F.greatest(n - k + 1, F.lit(1)), k), "."
+        )
+        cond = (n >= k) & last_k.isin(by_k[k])
+        expr = F.when(cond, reg_of(k)) if expr is None else expr.when(cond, reg_of(k))
+    # PSL default rule '*': unlisted TLD -> last two labels
+    return expr.otherwise(reg_of(1))
+
+
+def registered_domains(
+    df,
+    id_col: str,
+    host_col: str,
+    suffix_df=None,
+    out_col: str = "registered_domain",
+    max_suffix_labels: int = 4,
+):
+    """The full-PSL scale shape of :func:`registered_domain`: the
+    suffix list lives in a TABLE (suffix) that is broadcast into an
+    equi-join — the form that holds at 9k+ PSL rules, where a 9k-branch
+    when-chain would blow codegen.
+
+    Per host: its last 1..``max_suffix_labels`` label runs are the
+    candidate suffixes (<= 4 short rows per host); candidates
+    equi-join the broadcast suffix table; the LONGEST match wins; hosts
+    matching nothing take the PSL default rule (last two labels), and
+    hosts equal to a suffix get NULL.  Appends ``out_col``.
+    """
+    spark = df.sparkSession
+    if suffix_df is None:
+        suffix_df = spark.createDataFrame(
+            [(s,) for s in PUBLIC_SUFFIXES], "suffix string"
+        )
+    h = F.lower(F.regexp_replace(F.col(host_col), r"\.$", ""))
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    prepped = df.withColumn("_rd_h", h).withColumn("_rd_n", n)
+    cands = prepped.select(
+        F.col(id_col),
+        F.col("_rd_n"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.least(F.lit(max_suffix_labels), F.col("_rd_n"))),
+                lambda k: F.struct(
+                    k.alias("k"),
+                    F.array_join(
+                        F.slice(F.split(F.col("_rd_h"), r"\."), F.col("_rd_n") - k + 1, k),
+                        ".",
+                    ).alias("cand"),
+                ),
+            )
+        ).alias("c"),
+    ).select(id_col, "_rd_n", F.col("c.k").alias("k"), F.col("c.cand").alias("cand"))
+    best = (
+        cands.join(
+            F.broadcast(suffix_df.select(F.col("suffix").alias("cand"))), "cand"
+        )
+        .groupBy(id_col)
+        .agg(F.max("k").alias("_rd_k"))
+    )
+    joined = prepped.join(best, id_col, "left")
+    k = F.col("_rd_k")
+    labs = F.split(F.col("_rd_h"), r"\.")
+    nn = F.col("_rd_n")
+    reg = (
+        F.when(
+            k.isNull(),
+            F.when(
+                nn >= 2,
+                F.array_join(F.slice(labs, F.greatest(nn - 1, F.lit(1)), 2), "."),
+            ),
+        )
+        .when(k == nn, F.lit(None).cast("string"))  # host IS a suffix
+        .otherwise(
+            F.array_join(F.slice(labs, F.greatest(nn - k, F.lit(1)), k + 1), ".")
+        )
+    )
+    return joined.withColumn(out_col, reg).drop("_rd_h", "_rd_n", "_rd_k")
