@@ -1197,12 +1197,18 @@ def q_heavy_hitters(spark, sf_dir):
     return heavy_hitters(toks, "token", k=HH_K, item_alias="token")
 
 
+DECON_N = 8  # published practice: GPT-3 13-grams, Lee et al. ~8 tokens
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (operators/decontaminate.py): flag
-    documents containing >= 50% of a benchmark item's 3-token shingles
-    (containment, not Jaccard — a short benchmark quoted inside a long
-    page must still flag).  Bench side = every BENCH_MOD-th document,
-    so the oracle reproduces the fixture deterministically."""
+    documents containing >= 50% of a benchmark item's DECON_N-token
+    shingles (containment, not Jaccard — a short benchmark quoted
+    inside a long page must still flag; n=8 per published practice —
+    r5 default change, was 3).  Items shorter than n tokens take the
+    min-shingle floor (whole item as one exact-phrase shingle).  Bench
+    side = every BENCH_MOD-th document, so the oracle reproduces the
+    fixture deterministically."""
     from web_mass_scraper_ocr_spark.operators.decontaminate import (
         benchmark_contamination,
     )
@@ -1212,7 +1218,7 @@ def q_decontaminate(spark, sf_dir):
         F.col("doc_id").alias("bench_id"), "text"
     )
     return benchmark_contamination(
-        d, bench, n=SHINGLE_N, threshold=0.5
+        d, bench, n=DECON_N, threshold=0.5
     ).select(
         "doc_id",
         "bench_id",
@@ -2264,14 +2270,43 @@ FROM tok, tot
 GROUP BY token, tot.n
 HAVING count(*) * {HH_K} > tot.n""",
         "decontaminate": f"""
-WITH {_shingle_cte()},
-bench AS (
-  SELECT doc_id AS bench_id, shingle FROM shingles WHERE doc_id % {BENCH_MOD} = 0
+WITH {_shingle_cte(DECON_N)},
+btoks AS (
+  SELECT doc_id AS bench_id, {_TOKENS} AS toks
+  FROM documents WHERE doc_id % {BENCH_MOD} = 0
 ),
-sizes AS (SELECT bench_id, count(*) AS bench_shingles FROM bench GROUP BY bench_id),
+blong AS (
+  SELECT doc_id AS bench_id, shingle FROM shingles
+  WHERE doc_id % {BENCH_MOD} = 0
+),
+bshort AS (
+  SELECT bench_id, array_to_string(toks, ' ') AS shingle, len(toks) AS k
+  FROM btoks
+  WHERE len(toks) < {DECON_N} AND array_to_string(toks, ' ') <> ''
+),
+ks AS (SELECT DISTINCT k FROM bshort),
+dshort AS (
+  SELECT DISTINCT doc_id, k, shingle FROM (
+    SELECT d.doc_id, ks.k,
+           unnest(list_transform(
+             generate_series(1, greatest(len(d.toks) - ks.k + 1, 0)),
+             i -> array_to_string(list_slice(d.toks, i, i + ks.k - 1), ' ')
+           )) AS shingle
+    FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents) d CROSS JOIN ks
+  ) WHERE shingle <> ''
+),
+sizes AS (
+  SELECT bench_id, count(*) AS bench_shingles FROM blong GROUP BY bench_id
+  UNION ALL
+  SELECT bench_id, count(*) AS bench_shingles FROM bshort GROUP BY bench_id
+),
 common AS (
   SELECT s.doc_id, b.bench_id, count(*) AS common_shingles
-  FROM shingles s JOIN bench b USING (shingle) GROUP BY 1, 2
+  FROM shingles s JOIN blong b USING (shingle) GROUP BY 1, 2
+  UNION ALL
+  SELECT d.doc_id, b.bench_id, count(*) AS common_shingles
+  FROM dshort d JOIN bshort b ON b.k = d.k AND b.shingle = d.shingle
+  GROUP BY 1, 2
 )
 SELECT doc_id, bench_id, bench_shingles, common_shingles,
        common_shingles::DOUBLE / bench_shingles::DOUBLE AS containment

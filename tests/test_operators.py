@@ -650,6 +650,45 @@ def test_benchmark_contamination_containment(request):
         benchmark_contamination(docs, bench, threshold=0.0)
 
 
+def test_benchmark_contamination_short_item_floor(request):
+    """Min-shingle floor (VERDICT r4 #7): a bench item shorter than n
+    tokens becomes ONE exact-phrase shingle instead of silently
+    producing zero n-shingles and escaping screening; items of
+    different short lengths coexist; phrase must match exactly."""
+    from web_mass_scraper_ocr_spark.operators.decontaminate import (
+        benchmark_contamination,
+    )
+
+    spark = request.getfixturevalue("spark")
+    bench = spark.createDataFrame(
+        [
+            (1, "forty two"),                       # 2 tokens < n=8
+            (2, "the mitochondria"),                # 2 tokens
+            (3, "a b c d"),                         # 4 tokens
+            (4, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),  # 10 tokens -> 3 8-grams
+        ],
+        "bench_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (10, "the answer is forty two obviously"),
+            (11, "powerhouse of the cell: The  Mitochondria yes"),  # case+ws normalize
+            (12, "has a b c then d - not the contiguous phrase a b x c d"),
+            (13, "prefix w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 suffix"),
+            (14, "forty three and two"),            # tokens present, phrase absent
+        ],
+        "doc_id long, text string",
+    )
+    out = benchmark_contamination(docs, bench, n=8, threshold=0.5)
+    got = {(r.doc_id, r.bench_id): (r.bench_shingles, r.containment) for r in out.collect()}
+    assert got[(10, 1)] == (1, 1.0)
+    assert got[(11, 2)] == (1, 1.0)
+    assert (12, 3) not in got       # 'a b c d' never contiguous in doc 12
+    assert got[(13, 4)] == (3, 1.0)  # long item via ordinary 8-grams
+    assert (14, 1) not in got        # words present but phrase absent
+    assert all(k[1] != 3 for k in got)
+
+
 def test_unigram_surprisal_semantics(request):
     """Corpus-statistics surprisal: a doc of corpus-common tokens scores
     LOWER than a doc of corpus-unique tokens; token-free docs are

@@ -10,14 +10,29 @@ benchmark items are short, documents are long, and a full benchmark
 question quoted inside a 10k-token page is exactly the case Jaccard's
 symmetric denominator would hide.
 
+Shingle width ``n`` defaults to 8 tokens, matching published practice
+(GPT-3 screened on 13-grams, Lee et al. 2022 on ~8-token windows;
+PaLM/Llama use 8-10): larger n = higher precision (an 8-token overlap
+is essentially never coincidence) at the cost of recall on paraphrased
+or truncated quotes; smaller n flags shared idioms and boilerplate as
+contamination.  Tune DOWN for aggressive screening, UP for precision.
+
+Very short benchmark items (< n tokens — short answers, single-line
+math problems) would produce ZERO n-shingles and silently escape
+screening; instead they take the MIN-SHINGLE FLOOR: the whole
+normalized item becomes one exact-phrase shingle, and the document
+side grows matching k-token windows for exactly the short lengths
+present in the bench (a data-driven union — no driver round-trip; at
+most n-1 extra widths, each another linear scan of the corpus).
+
 Plan shape (Spark-first): shingle both sides with the same
 ``token_shingles`` used by the dedup family, equi-join on shingle —
 the benchmark side is small (10^3..10^6 rows vs 10^9+ docs), so the
-join broadcasts the bench shingles and the corpus is scanned ONCE with
-no corpus-side shuffle; per-(doc, bench) match counts then join the
-per-bench shingle-set sizes (again broadcast) for the containment
-ratio.  Cost is linear in corpus tokens; no pairwise corpus join ever
-occurs.
+join broadcasts the bench shingles and the corpus is scanned ONCE per
+shingle width with no corpus-side shuffle; per-(doc, bench) match
+counts then join the per-bench shingle-set sizes (again broadcast) for
+the containment ratio.  Cost is linear in corpus tokens; no pairwise
+corpus join ever occurs.
 
 Reference scope: beyond the reference (it has no corpus hygiene), part
 of the LLM-pipeline operator set this engine adds; same shingle
@@ -28,7 +43,45 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.text import clean_text_col
 from .dedup import token_shingles
+
+
+def _doc_short_shingles(
+    docs: DataFrame, id_col: str, text_col: str, short_ks: DataFrame
+) -> DataFrame:
+    """Distinct k-token windows of every doc for every k in the (tiny,
+    broadcast) ``short_ks`` frame — the document side of the min-
+    shingle floor.  k is a COLUMN, so no driver collect decides the
+    widths."""
+    toks = F.split(F.lower(clean_text_col(F.col(text_col))), " ")
+    exploded = (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("_tk"))
+        .join(F.broadcast(short_ks))
+        .select(
+            "doc_id",
+            F.col("k"),
+            F.explode(
+                # sequence(1, 0) descends (see dedup.token_shingles) —
+                # docs shorter than k yield no windows
+                F.when(
+                    F.size(F.col("_tk")) - F.col("k") + 1 >= 1,
+                    F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.greatest(
+                                F.size(F.col("_tk")) - F.col("k") + 1, F.lit(1)
+                            ),
+                        ),
+                        lambda i: F.array_join(
+                            F.slice(F.col("_tk"), i, F.col("k")), " "
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("shingle"),
+        )
+    )
+    return exploded.where(F.col("shingle") != "").distinct()
 
 
 def benchmark_contamination(
@@ -38,15 +91,16 @@ def benchmark_contamination(
     text_col: str = "text",
     bench_id_col: str = "bench_id",
     bench_text_col: str = "text",
-    n: int = 3,
+    n: int = 8,
     threshold: float = 0.5,
 ) -> DataFrame:
     """(doc_id, bench_id, bench_shingles, common_shingles, containment)
     for every (document, benchmark item) pair whose containment
     |shingles(doc) ∩ shingles(bench)| / |shingles(bench)| reaches
-    ``threshold``.  Benchmark items with fewer than one n-token shingle
-    (shorter than n tokens) cannot be meaningfully matched and are
-    absent from the output.
+    ``threshold``.  Items with >= n tokens use n-token shingles; items
+    with 1..n-1 tokens take the min-shingle floor (whole item as one
+    exact-phrase shingle, see module doc) so nothing silently escapes
+    screening; empty items are absent.
 
     Join the result back anti-style to drop contaminated docs:
 
@@ -55,19 +109,54 @@ def benchmark_contamination(
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
     d_sh = token_shingles(docs, id_col, text_col, n).select(
         F.col(id_col).alias("doc_id"), "shingle"
     )
-    b_sh = token_shingles(bench, bench_id_col, bench_text_col, n).select(
-        F.col(bench_id_col).alias("bench_id"), "shingle"
+    b_toks = F.split(F.lower(clean_text_col(F.col(bench_text_col))), " ")
+    b_base = bench.select(
+        F.col(bench_id_col).alias("bench_id"), b_toks.alias("_tk")
     )
-    sizes = b_sh.groupBy("bench_id").agg(
-        F.count(F.lit(1)).alias("bench_shingles")
+    b_long = b_base.where(F.size("_tk") >= n).select("bench_id")
+    b_sh_long = token_shingles(
+        bench.join(
+            b_long.withColumnRenamed("bench_id", bench_id_col), bench_id_col, "left_semi"
+        ),
+        bench_id_col,
+        bench_text_col,
+        n,
+    ).select(F.col(bench_id_col).alias("bench_id"), "shingle")
+    # min-shingle floor: the whole normalized short item is ONE shingle
+    b_sh_short = (
+        b_base.where((F.size("_tk") < n))
+        .select(
+            "bench_id",
+            F.array_join(F.col("_tk"), " ").alias("shingle"),
+            F.size("_tk").alias("k"),
+        )
+        .where(F.col("shingle") != "")
     )
-    common = (
-        d_sh.join(F.broadcast(b_sh), "shingle")
+    short_ks = b_sh_short.select("k").distinct()
+    d_sh_short = _doc_short_shingles(docs, id_col, text_col, short_ks)
+
+    common_long = (
+        d_sh.join(F.broadcast(b_sh_long), "shingle")
         .groupBy("doc_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("common_shingles"))
+    )
+    common_short = (
+        d_sh_short.join(F.broadcast(b_sh_short), ["k", "shingle"])
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("common_shingles"))
+    )
+    common = common_long.unionByName(common_short)
+    sizes = b_sh_long.groupBy("bench_id").agg(
+        F.count(F.lit(1)).alias("bench_shingles")
+    ).unionByName(
+        b_sh_short.groupBy("bench_id").agg(
+            F.count(F.lit(1)).alias("bench_shingles")
+        )
     )
     return (
         common.join(F.broadcast(sizes), "bench_id")

@@ -114,11 +114,18 @@ def token_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Dat
     """
     df = _fan_out_small_input(df)
     toks = F.split(F.lower(clean_text_col(F.col(text_col))), " ")
-    n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    shingles = F.transform(
-        F.sequence(F.lit(1), n_sh),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
+    n_sh = F.size(toks) - F.lit(n - 1)
+    # sequence(1, 0) DESCENDS in Spark ([1, 0] — not empty), feeding
+    # slice a start of 0; docs shorter than n tokens must yield an
+    # EMPTY shingle array instead (latent until n grew past the
+    # shortest doc — surfaced by the r5 n=8 decontamination default)
+    shingles = F.when(
+        n_sh >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_sh, F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
         .distinct()
@@ -601,13 +608,20 @@ def _positioned_windows(df: DataFrame, id_col: str, text_col: str, n: int) -> Da
     occurrence."""
     df = _fan_out_small_input(df)
     toks = F.split(F.lower(clean_text_col(F.col(text_col))), " ")
-    n_win = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    wins = F.transform(
-        F.sequence(F.lit(1), n_win),
-        lambda i: F.struct(
-            (i - 1).alias("start"),
-            F.md5(F.array_join(F.slice(toks, i, n), " ")).alias("whash"),
+    n_win = F.size(toks) - F.lit(n - 1)
+    # sequence(1, 0) descends (see token_shingles) — short docs must
+    # yield zero windows
+    wins = F.when(
+        n_win >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_win, F.lit(1))),
+            lambda i: F.struct(
+                (i - 1).alias("start"),
+                F.md5(F.array_join(F.slice(toks, i, n), " ")).alias("whash"),
+            ),
         ),
+    ).otherwise(
+        F.array().cast("array<struct<start:int,whash:string>>")
     )
     return df.select(F.col(id_col), F.explode(wins).alias("w")).select(
         id_col, F.col("w.start").alias("start"), F.col("w.whash").alias("whash")

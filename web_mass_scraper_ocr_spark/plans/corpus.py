@@ -37,7 +37,7 @@ def build_training_corpus(
     line_dedup_min_df: int | None = None,
     substring_dedup_n: int | None = None,
     decontaminate_bench: DataFrame | None = None,
-    decontaminate_n: int = 3,
+    decontaminate_n: int = 8,
     decontaminate_threshold: float = 0.5,
 ) -> DataFrame:
     """Returns the kept corpus rows:
