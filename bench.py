@@ -9,28 +9,53 @@ line:
 
 Each query is forced end-to-end with a noop sink (full computation, no
 driver collect — the same shape a cluster write has).  The flagship
-extraction throughput (turns/sec) is reported alongside inside the JSON
-line under "extraction_turns_per_sec".
+extraction throughput (turns/sec) is reported in BENCH_SELF.json.
 
-Per-query numbers are MEDIANS over $SPARK_GRAFT_BENCH_REPS (default 3)
-full round-robin passes — pass 1 pays codegen compilation for every
-query, so the median reports the warm steady state and round-over-round
-deltas are attributable to code, not host variance (BENCH/BASELINE.md
-measured +-40% single-shot walls on this host).  "reps" is recorded in
-the JSON so artifacts are comparable across rounds.
+Quiet-host discipline (VERDICT r4 #4 — the shared-query wall drifted
++8.4% r3->r4 with zero code change on the regressed paths):
+
+- the process re-execs itself under ``taskset -c 0..cpus-1`` (the same
+  pinning the scaling ladder uses), so the JVM + python workers stay on
+  a fixed core set for the whole run;
+- per-query numbers are MEDIANS over $SPARK_GRAFT_BENCH_REPS (default
+  5 since r5, was 3) full round-robin passes — pass 1 pays codegen
+  compilation, so the median reports the warm steady state;
+- BENCH_SELF.json records per-query {min, med, max} plus every raw
+  sample, so a drifted median can be attributed (tight spread = real
+  change; wide spread = host noise) without rerunning.
+
+The stdout line must FIT the driver's 2000-char tail window: timings
+are emitted at 2 decimals, degrading to 1 decimal only if the line
+would overflow (93+ queries put 2dp right at the limit); the sidecar
+always carries full precision.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import __spark_entry__ as entrymod
-from web_mass_scraper_ocr_spark.session import get_spark
+
+def _repin() -> None:
+    """Re-exec under taskset so the whole JVM/worker tree is pinned to
+    a fixed core set (scheduler migrations were a measured noise source
+    on this host — see scripts/bench_scaling.py).  No-op when taskset
+    is unavailable or we are already pinned."""
+    if os.environ.get("SPARK_GRAFT_BENCH_PINNED") == "1":
+        return
+    taskset = shutil.which("taskset")
+    if not taskset:
+        return
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ncores = os.cpu_count() or cpus
+    top = min(cpus, ncores) - 1
+    os.environ["SPARK_GRAFT_BENCH_PINNED"] = "1"
+    os.execvp(taskset, [taskset, "-c", f"0-{top}", sys.executable, *sys.argv])
 
 
 def force(df) -> int:
@@ -40,13 +65,18 @@ def force(df) -> int:
 
 
 def main() -> None:
+    _repin()
+
+    import __spark_entry__ as entrymod
+    from web_mass_scraper_ocr_spark.session import get_spark
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark(app_name="bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     qmap = entrymod.queries()
     samples: dict[str, list[float]] = {name: [] for name in qmap}
     samples["extraction_e2e"] = []
@@ -75,6 +105,14 @@ def main() -> None:
         return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
 
     timings = {name: round(median(xs), 3) for name, xs in samples.items()}
+    spread = {
+        name: {
+            "min": round(min(xs), 3),
+            "med": round(median(xs), 3),
+            "max": round(max(xs), 3),
+        }
+        for name, xs in samples.items()
+    }
     extract_wall = timings["extraction_e2e"]
 
     total = round(sum(timings.values()), 3)
@@ -84,30 +122,39 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+    }
+    # full-precision copy on disk: the driver records only a bounded
+    # stdout tail, which truncated r03's line (VERDICT r03 #9) — the
+    # file is the always-complete artifact, now with per-rep spread
+    # (VERDICT r4 #4) so drift is attributable without a rerun
+    sidecar = {
+        **payload,
         "cpus": int(cpus),
         "reps": reps,
+        "pinned": os.environ.get("SPARK_GRAFT_BENCH_PINNED") == "1",
         "extraction_turns": n_turns,
         "extraction_turns_per_sec": round(n_turns / extract_wall, 1)
         if extract_wall > 0
         else 0.0,
+        "spread": spread,
+        "samples": samples,
     }
-    # full-precision copy on disk: the driver records only a bounded
-    # stdout tail, which truncated r03's line (VERDICT r03 #9) — the
-    # file is the always-complete artifact
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json"),
             "w",
         ) as fh:
-            json.dump({**payload, "samples": samples}, fh, indent=1)
+            json.dump(sidecar, fh, indent=1)
     except OSError:
         pass  # read-only deployment: stdout line still carries everything
-    # stdout line must FIT the driver's 2000-char tail window to parse:
-    # compact separators + 2-decimal timings; extraction_turns lives in
-    # the sidecar only (every stdout byte is window headroom)
-    payload["queries"] = {k: round(v, 2) for k, v in timings.items()}
-    payload.pop("extraction_turns")
-    print(json.dumps(payload, separators=(",", ":")))
+    # stdout line must FIT the driver's 2000-char tail window: 2-decimal
+    # timings, degrading to 1 decimal only if the line would overflow
+    for nd in (2, 1):
+        payload["queries"] = {k: round(v, nd) for k, v in timings.items()}
+        line = json.dumps(payload, separators=(",", ":"))
+        if len(line) < 1990:
+            break
+    print(line)
     spark.stop()
 
 

@@ -1,0 +1,157 @@
+"""Scale bench for the two heavy ops missing from DEDUP_SCALE.md
+(VERDICT r4 #8): connected_components (wall AND round count on a 10x
+pair graph with a long chain) and stream_neardup_ingest (per-batch
+walls at 1x vs 10x corpus — the near-dup streaming path).
+
+Graph synthesis (CC): S star-clusters of 10 vertices each (the
+near-dup-clique shape the corpus pipeline produces) PLUS one chain of
+length 2000*S — the adversarial diameter case: min-label propagation
+needs O(chain) rounds, star contraction needs O(log chain).
+
+Stream synthesis: sf0.1 documents replicated R times with a
+distinguishing prefix (the bench_dedup_scale fixture), dealt round-
+robin into 4 micro-batches by doc_id so every near-dup cluster
+straddles batches (worst case for the cross-batch index join);
+per-batch durations come from the streaming query's recentProgress.
+
+Usage:  python scripts/bench_cc_stream_scale.py [scale ...]   (default 1 10)
+Writes one JSON line per measurement; paste into BENCH/DEDUP_SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from web_mass_scraper_ocr_spark.operators.graph import connected_components
+from web_mass_scraper_ocr_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_BATCHES = 4
+
+
+def chain_graph(spark, n_clusters: int, chain_len: int):
+    """Star-clusters + one long chain, as an (id_a, id_b) pair frame."""
+    stars = (
+        spark.range(n_clusters)
+        .select(
+            (F.col("id") * 10).alias("base"),
+            F.explode(F.sequence(F.lit(1), F.lit(9))).alias("i"),
+        )
+        .select(
+            F.col("base").alias("id_a"), (F.col("base") + F.col("i")).alias("id_b")
+        )
+    )
+    chain_base = n_clusters * 10
+    chain = spark.range(chain_len).select(
+        (F.col("id") + chain_base).alias("id_a"),
+        (F.col("id") + chain_base + 1).alias("id_b"),
+    )
+    return stars.unionByName(chain)
+
+
+def bench_cc(spark, scale: int) -> None:
+    n_clusters = 500 * scale
+    chain_len = 2000 * scale
+    pairs = chain_graph(spark, n_clusters, chain_len).repartition(64).cache()
+    n_edges = pairs.count()
+    rounds: list = []
+    t0 = time.monotonic()
+    comp = connected_components(pairs, round_counter=rounds)
+    n_comp = comp.select("component").distinct().count()
+    wall = time.monotonic() - t0
+    print(
+        json.dumps(
+            {
+                "stage": f"{scale}x connected_components",
+                "wall_sec": round(wall, 2),
+                "edges": n_edges,
+                "components": n_comp,
+                "chain_len": chain_len,
+                "rounds": rounds[0] if rounds else None,
+            }
+        )
+    )
+    pairs.unpersist()
+
+
+def replicate(docs, r: int):
+    if r == 1:
+        return docs
+    reps = F.explode(F.sequence(F.lit(0), F.lit(r - 1))).alias("rep")
+    return docs.select("doc_id", "text", reps).select(
+        (F.col("doc_id") * r + F.col("rep")).alias("doc_id"),
+        F.concat(
+            F.lit("rep"), F.col("rep").cast("string"), F.lit(" "), F.col("text")
+        ).alias("text"),
+    )
+
+
+def bench_stream(spark, scale: int) -> None:
+    from web_mass_scraper_ocr_spark.streaming.ingest import stream_neardup_ingest
+
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    docs = replicate(base, scale).withColumns(
+        {
+            "lang": F.lit("en"),
+            "source": F.lit("s"),
+            "n_chars": F.length("text").cast("long"),
+        }
+    )
+    work = tempfile.mkdtemp(prefix="wms_stream_scale_")
+    src, out, ckpt = f"{work}/src", f"{work}/out", f"{work}/ckpt"
+    # one file per micro-batch; round-robin deal so clusters straddle
+    for b in range(N_BATCHES):
+        docs.where(F.col("doc_id") % N_BATCHES == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    t0 = time.monotonic()
+    q = stream_neardup_ingest(
+        spark, src, out, ckpt,
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+        n=3, num_hashes=16, band_size=4, threshold=0.5,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(1800)
+    wall = time.monotonic() - t0
+    batch_secs = [
+        round(p.batchDuration / 1000.0, 2)
+        for p in q.recentProgress
+        if p.numInputRows > 0
+    ]
+    accepted = spark.read.parquet(out).count()
+    print(
+        json.dumps(
+            {
+                "stage": f"{scale}x stream_neardup_ingest",
+                "wall_sec": round(wall, 2),
+                "n_docs": docs.count(),
+                "accepted": accepted,
+                "batch_secs": batch_secs,
+            }
+        )
+    )
+    shutil.rmtree(work, ignore_errors=True)
+
+
+def main() -> None:
+    scales = [int(a) for a in sys.argv[1:]] or [1, 10]
+    spark = get_spark(app_name="bench-cc-stream", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    for s in scales:
+        bench_cc(spark, s)
+    for s in scales:
+        bench_stream(spark, s)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

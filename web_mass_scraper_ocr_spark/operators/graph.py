@@ -82,6 +82,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 25,
+    round_counter: list | None = None,
 ) -> DataFrame:
     """(id, component) for every vertex in ``pairs``; ``component`` is
     the minimum vertex id of the vertex's connected component.
@@ -121,12 +122,15 @@ def connected_components(
         return (row["n"], row["h"])
 
     sig = _signature(edges)
-    for _ in range(max_iterations):
+    for round_no in range(1, max_iterations + 1):
         new_edges = _small_star(_large_star(_symmetric_edges(edges, "a", "b")))
         new_edges = new_edges.localCheckpoint(eager=True)
         new_sig = _signature(new_edges)
         changed = new_sig != sig
         edges, sig = new_edges, new_sig
+        if round_counter is not None:
+            # instrumentation for scale benches: rounds actually run
+            round_counter[:] = [round_no]
         if not changed:
             # fixed point: edges are stars (v -> component min)
             labels = edges.select(F.col("a").alias("id"), F.col("b").alias("component"))
