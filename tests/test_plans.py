@@ -140,6 +140,20 @@ def test_heavy_hitters_candidate_semi_join_broadcasts(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_lm_perplexity_plan_shape(spark):
+    """The LM scoring joins (unigram, bigram, prev-unigram) carry NO
+    broadcast hint (model tables are corpus-vocabulary-scale at 100 TB;
+    AQE decides) and the totals enter as ONE broadcast 1-row aggregate."""
+    from web_mass_scraper_ocr_spark.functions.lm import lm_perplexity
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    out = lm_perplexity(d, "doc_id", "text")
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("hints=(strategy=broadcast)") <= 1  # the 1-row totals
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" in plan  # totals crossJoin
+
+
 def test_surprisal_no_forced_broadcast_on_vocabulary(spark):
     """The token-frequency join carries NO broadcast hint (vocabulary is
     corpus-scale at 100 TB; AQE decides) and the corpus total is a
