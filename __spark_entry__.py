@@ -503,6 +503,23 @@ def q_embedding_neardup_bucketed(spark, sf_dir):
     )
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): cell-clustered semantic dedup over
+    the embedding column — within-cell cosine pairs above the dup
+    threshold collapse to one representative, the paper's keep policy
+    (lowest similarity to the cell centroid, tie -> lower id).  Output
+    is the survivor set (vec_id, cell_id); the oracle reproduces the
+    identical deterministic cell assignment, priorities, and drop set."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return D.semantic_dedup(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=COSINE_DUP_THRESHOLD,
+        n_cells=IVF_N_CENTROIDS,
+    )
+
+
 def q_extract_plain(spark, sf_dir):
     """The real pandas-UDF dispatch kernel on plain payloads — gated
     against the SQL clean-text oracle (kernel/SQL semantic parity)."""
@@ -1698,6 +1715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_parse": q_url_parse,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_bucketed": q_embedding_neardup_bucketed,
+        "semdedup": q_semdedup,
         "url_resolve": q_url_resolve,
         "validate_url": q_validate_url,
         "validate_payload": q_validate_payload,
@@ -2406,6 +2424,26 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM assign a JOIN assign b
   ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= {COSINE_DUP_THRESHOLD}""",
+        "semdedup": f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cell_id, v AS cv FROM e
+         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {IVF_N_CENTROIDS}),
+assign AS (
+  SELECT vec_id, v, cell_id, prio FROM (
+    SELECT e.vec_id, e.v, c.cell_id,
+           list_cosine_similarity(e.v, c.cv) AS prio,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell_id ASC) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT a.vec_id FROM assign a JOIN assign b
+    ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id
+  WHERE (b.prio < a.prio OR (b.prio = a.prio AND b.vec_id < a.vec_id))
+    AND list_cosine_similarity(a.v, b.v) >= {COSINE_DUP_THRESHOLD}
+)
+SELECT vec_id, cell_id FROM assign
+WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""",
         "extract_plain": f"""
 SELECT doc_id, {clean} AS clean_text,
        CASE WHEN {clean} = '' THEN 'no_text_found' ELSE 'success' END AS status,

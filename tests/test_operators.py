@@ -216,6 +216,54 @@ def test_embedding_near_duplicates(vecs):
     assert (0, 2) not in pairs  # orthogonal
 
 
+def test_semantic_dedup_keeps_point_farthest_from_centroid(request):
+    # pair (1,2) is above threshold; the paper policy keeps the one with
+    # LOWER centroid similarity (id 2, prio 0.9986 < id 1's 1.0) — i.e.
+    # NOT keep-min-id, which distinguishes the policy under test
+    spark = request.getfixturevalue("spark")
+    pts = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.95, 0.05]), (3, [0.8, 0.6]), (4, [0.1, 0.99])],
+        "vec_id long, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        (r.vec_id, r.cell_id)
+        for r in D.semantic_dedup(pts, cents, threshold=0.97).collect()
+    }
+    assert out == {(2, 100), (3, 100), (4, 101)}
+
+
+def test_semantic_dedup_chain_drops_all_losers(request):
+    # unit circle at 0/14/28 degrees, threshold cos(15deg): 1~2 and 2~3
+    # but NOT 1~3.  Priority (centroid sim asc) ranks 3 < 2 < 1, so 1 is
+    # dropped by 2 and 2 by 3 (even though 2 is itself dropped) — the
+    # documented drop-all-losers chain semantics
+    spark = request.getfixturevalue("spark")
+
+    def ang(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+
+    pts = spark.createDataFrame(
+        [(1, ang(0.0)), (2, ang(14.0)), (3, ang(28.0))],
+        "vec_id long, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    out = D.semantic_dedup(
+        pts, cents, threshold=math.cos(math.radians(15.0))
+    ).collect()
+    assert {r.vec_id for r in out} == {3}
+
+
+def test_semantic_dedup_cell_size_guard(vecs):
+    with pytest.raises(ValueError, match="max_cell_rows"):
+        D.semantic_dedup(vecs, n_cells=1, max_cell_rows=1)
+
+
 def test_embedding_near_duplicates_bucketed_subset(vecs):
     # cells from even ids; bucketed result must be a subset of exact
     cents = vecs.where(F.col("vec_id") % 2 == 0)

@@ -520,6 +520,105 @@ def embedding_near_duplicates_bucketed(
     return pairs.distinct() if nprobe > 1 else pairs
 
 
+def semantic_dedup(
+    df: DataFrame,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    n_cells: int = 16,
+    max_cell_rows: int | None = 100_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster
+    embeddings into cells, flag within-cell pairs with cosine >=
+    ``threshold`` as semantic duplicates, and keep ONE representative
+    per duplicate neighborhood — the paper's keep policy: the point
+    with the LOWEST cosine similarity to its cluster centroid (the
+    "outer edge" of the cluster preserves diversity; ties break on
+    lower id).  A doc is dropped iff some same-cell neighbor above the
+    threshold outranks it under that priority (drop-all-losers, the
+    same explicit policy streaming near-dup uses — chains A~B~C with
+    A!~C drop both B and C).
+
+    Returns survivors as (id, cell_id), ids only — float-free output,
+    deterministic given the centroid frame.
+
+    Plan shape: broadcast fixed-count centroids -> O(n * k) assign
+    (one row per vector, nprobe=1) + centroid-similarity priority in
+    the same pass -> per-cell self equi-join on cell id (shuffle on a
+    bounded-cardinality key, never a global cross product) -> EXISTS
+    via left_anti against the dropped-id set.
+
+    100-TB shape: the quadratic stage is per-cell, so cost is
+    sum(|cell|^2) — the operative knob is cells small enough to square
+    (the paper runs ~100k-point cells on 5B docs).  ``max_cell_rows``
+    is the fail-fast guard (one hash-agg count before any pair work):
+    an over-full cell means ``n_cells`` is undersized for the corpus
+    — raise ``n_cells`` (or pass a k-means-refined centroid frame,
+    similarity.kmeans_refine) rather than letting one hot cell go
+    O(n^2).  ``None`` disables for deliberate small sweeps."""
+    from .similarity import cosine, ivf_assign, select_centroids
+
+    if centroids is None:
+        centroids = select_centroids(df, n_cells, id_col, vec_col)
+    cent = centroids.select(
+        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("__cent_vec")
+    )
+    assigned = (
+        ivf_assign(df, centroids, id_col, vec_col, nprobe=1)
+        .withColumnRenamed("centroid_id", "cell_id")
+        .join(F.broadcast(cent), "cell_id")
+        .withColumn("__prio", cosine(F.col(vec_col), F.col("__cent_vec")))
+        .drop("__cent_vec")
+    )
+    if max_cell_rows is not None:
+        over = (
+            assigned.groupBy("cell_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > max_cell_rows)
+            .limit(1)
+            .collect()
+        )
+        if over:
+            raise ValueError(
+                f"semantic_dedup cell {over[0]['cell_id']} has {over[0]['n']} "
+                f"rows (> max_cell_rows={max_cell_rows}); per-cell pair cost "
+                "is quadratic — raise n_cells (or pass kmeans_refine'd "
+                "centroids) so cells stay square-able, or pass "
+                "max_cell_rows=None to force"
+            )
+    left = assigned.select(
+        "cell_id",
+        F.col(id_col).alias("__id_a"),
+        F.col(vec_col).alias("__vec_a"),
+        F.col("__prio").alias("__prio_a"),
+    )
+    right = assigned.select(
+        "cell_id",
+        F.col(id_col).alias("__id_b"),
+        F.col(vec_col).alias("__vec_b"),
+        F.col("__prio").alias("__prio_b"),
+    )
+    dropped = (
+        left.join(right, "cell_id")
+        .where(F.col("__id_a") != F.col("__id_b"))
+        .where(
+            (F.col("__prio_b") < F.col("__prio_a"))
+            | (
+                (F.col("__prio_b") == F.col("__prio_a"))
+                & (F.col("__id_b") < F.col("__id_a"))
+            )
+        )
+        .where(cosine(F.col("__vec_a"), F.col("__vec_b")) >= threshold)
+        .select(F.col("__id_a").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped, id_col, "left_anti")
+        .select(F.col(id_col), F.col("cell_id"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
