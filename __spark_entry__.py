@@ -1440,6 +1440,25 @@ def q_lm_perplexity(spark, sf_dir):
     return lm_perplexity(d, "doc_id", "text", interp=LM_INTERP)
 
 
+def q_nb_classifier(spark, sf_dir):
+    """Seed-trained quality classifier (functions/classify.py): the
+    GPT-3/CCNet curated-vs-crawl gate as multinomial Naive Bayes.
+    Deterministic synthetic seed: doc_id % 7 == 0 plays the curated
+    class, % 7 == 3 the raw-crawl class; every document is scored with
+    the add-one-smoothed log-odds (training = two hash-aggs, scoring =
+    one vocabulary join + broadcast scalars)."""
+    from web_mass_scraper_ocr_spark.functions import classify as C
+
+    d = _t(spark, sf_dir, "documents")
+    seeds = d.where(F.col("doc_id") % 7 == 0).withColumn(
+        "label", F.lit(1)
+    ).unionByName(
+        d.where(F.col("doc_id") % 7 == 3).withColumn("label", F.lit(0))
+    )
+    model = C.train_quality_classifier(seeds, "doc_id", "text", "label")
+    return C.quality_log_odds(d, model, "doc_id", "text")
+
+
 def q_quantiles(spark, sf_dir):
     """Exact interpolated percentiles per group (latency-style SLO
     reporting; Spark `percentile` and DuckDB `quantile_cont` share the
@@ -1730,6 +1749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_bpe": q_token_budget_bpe,
         "chunk_tokens": q_chunk_tokens,
         "lm_perplexity": q_lm_perplexity,
+        "nb_classifier": q_nb_classifier,
         "registered_domain": q_registered_domain,
         "decontaminate": q_decontaminate,
         "per_host_cap": q_per_host_cap,
@@ -2672,6 +2692,39 @@ SELECT doc_id,
        avg(-ln(p)) AS mean_neg_logp,
        exp(avg(-ln(p))) AS ppl
 FROM sc GROUP BY doc_id""",
+        "nb_classifier": f"""
+WITH tok AS (
+  SELECT doc_id, t.token
+  FROM documents, unnest({_TOKENS}) AS t(token)
+  WHERE len(t.token) > 0
+),
+seeds AS (
+  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS label
+  FROM documents WHERE doc_id % 7 IN (0, 3)
+),
+stok AS (SELECT s.label, t.token FROM tok t JOIN seeds s USING (doc_id)),
+cnt AS (
+  SELECT token,
+         sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS c0
+  FROM stok GROUP BY token
+),
+sc AS (
+  SELECT (SELECT sum(c1) FROM cnt) AS n1, (SELECT sum(c0) FROM cnt) AS n0,
+         (SELECT count(*) FROM cnt) AS v,
+         (SELECT count(*) FROM seeds WHERE label = 1) AS d1,
+         (SELECT count(*) FROM seeds WHERE label = 0) AS d0
+),
+per_tok AS (
+  SELECT t.doc_id,
+         ln(CAST(coalesce(c.c1, 0) + 1 AS DOUBLE)) - ln(CAST(sc.n1 + sc.v + 1 AS DOUBLE))
+       - ln(CAST(coalesce(c.c0, 0) + 1 AS DOUBLE)) + ln(CAST(sc.n0 + sc.v + 1 AS DOUBLE)) AS llr
+  FROM tok t LEFT JOIN cnt c USING (token) CROSS JOIN sc
+),
+agg AS (SELECT doc_id, count(*) AS nt, sum(llr) AS s FROM per_tok GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(a.nt, 0) AS BIGINT) AS n_tokens,
+       coalesce(a.s, 0.0) + ln(CAST(sc.d1 AS DOUBLE)) - ln(CAST(sc.d0 AS DOUBLE)) AS log_odds
+FROM documents d LEFT JOIN agg a USING (doc_id) CROSS JOIN sc""",
         "chunk_tokens": f"""
 WITH t AS (
   SELECT doc_id, list_filter({_TOKENS}, x -> x <> '') AS toks FROM documents

@@ -1,0 +1,70 @@
+"""Naive-Bayes quality classifier: hand-computed scores, OOV fallback,
+empty-doc rows, and the threshold gate."""
+
+import math
+
+import pytest
+
+from web_mass_scraper_ocr_spark.functions import classify as C
+
+
+@pytest.fixture(scope="module")
+def model_and_docs(request):
+    spark = request.getfixturevalue("spark")
+    seeds = spark.createDataFrame(
+        [(1, "good clean prose", 1), (2, "spam spam buy", 0)],
+        "doc_id long, text string, label int",
+    )
+    docs = spark.createDataFrame(
+        [(10, "good spam"), (11, "good clean"), (12, "zzz"), (13, "")],
+        "doc_id long, text string",
+    )
+    model = C.train_quality_classifier(seeds, "doc_id", "text", "label")
+    return model, docs
+
+
+def test_log_odds_hand_computed(model_and_docs):
+    # counts: good/clean/prose (1,0) each, spam (0,2), buy (0,1)
+    # n1=3, n0=3, v=5, priors equal -> prior term 0
+    # llr(good) = ln((1+1)/9) - ln((0+1)/9) = ln 2
+    # llr(spam) = ln(1/9) - ln(3/9) = -ln 3
+    model, docs = model_and_docs
+    got = {
+        r.doc_id: (r.n_tokens, r.log_odds)
+        for r in C.quality_log_odds(docs, model, "doc_id", "text").collect()
+    }
+    assert got[10][0] == 2
+    assert abs(got[10][1] - (math.log(2) - math.log(3))) < 1e-12
+    assert abs(got[11][1] - 2 * math.log(2)) < 1e-12
+
+
+def test_oov_and_empty_docs_score_prior(model_and_docs):
+    # OOV token: add-one numerators on both sides cancel (equal class
+    # totals) -> 0; empty doc keeps a row scoring the prior alone
+    model, docs = model_and_docs
+    got = {
+        r.doc_id: (r.n_tokens, r.log_odds)
+        for r in C.quality_log_odds(docs, model, "doc_id", "text").collect()
+    }
+    assert got[12] == (1, pytest.approx(0.0, abs=1e-12))
+    assert got[13] == (0, pytest.approx(0.0, abs=1e-12))
+
+
+def test_filter_keeps_curated_side(model_and_docs):
+    model, docs = model_and_docs
+    kept = C.quality_classifier_filter(docs, model, "doc_id", "text")
+    assert {r.doc_id for r in kept.collect()} == {11}
+    # survivors keep the original columns plus the score
+    assert set(kept.columns) == {"doc_id", "text", "log_odds"}
+
+
+def test_unequal_priors_enter_the_score(request):
+    spark = request.getfixturevalue("spark")
+    seeds = spark.createDataFrame(
+        [(1, "alpha", 1), (2, "alpha", 1), (3, "beta", 0)],
+        "doc_id long, text string, label int",
+    )
+    model = C.train_quality_classifier(seeds, "doc_id", "text", "label")
+    docs = spark.createDataFrame([(10, "")], "doc_id long, text string")
+    row = C.quality_log_odds(docs, model, "doc_id", "text").collect()[0]
+    assert abs(row.log_odds - math.log(2.0)) < 1e-12

@@ -1,0 +1,170 @@
+"""Seed-trained quality classifier (multinomial Naive Bayes).
+
+Every published web-scale pipeline gates pages with a lightweight
+classifier trained on a curated-vs-crawl seed: GPT-3 / The Pile score
+CommonCrawl against WebText/Wikipedia+books with a linear classifier,
+CCNet ships a fastText model, Falcon/RefinedWeb document the same
+"looks like the reference corpus?" gate.  The smallest honest in-engine
+version is multinomial Naive Bayes with add-one smoothing — its
+training IS two hash-aggregates (no gradient loop, no external model
+artifact), and its scoring is the vocabulary-join shape proven by
+unigram_surprisal / lm_perplexity:
+
+    log_odds(doc) = log P(c=1)/P(c=0)
+                  + sum_t  log P(t|1) - log P(t|0)
+    P(t|c)        = (count(t, c) + 1) / (n_c + |V| + 1)   (add-one; the
+                    +1 type is the OOV bucket shared with functions.lm,
+                    so out-of-vocabulary tokens score finite)
+
+Class 1 is the KEEP class (curated seed), class 0 the reject class
+(raw-crawl seed); log_odds > 0 reads "more like the curated seed".
+
+Scale shape: the seed set is tiny relative to the corpus (10^5-10^6
+docs against 10^9+), so training cost is negligible; what matters is
+scoring, which is one corpus token explode joined against a
+VOCABULARY-sized log-likelihood-ratio table (AQE decides broadcast vs
+shuffle, same reasoning as tfidf_top_terms) plus a broadcast 1-row
+scalar frame — a single corpus scan, no window, no Python.
+
+Determinism: probabilities derive from integer counts with a fixed
+operation order, so the DuckDB oracle reproduces every per-token LLR
+bit-for-bit; only the per-doc sum is an order-sensitive float aggregate
+(the gate compares with tolerance, like surprisal/lm_perplexity).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from .tokenize import resolve_tokenizer
+
+
+@dataclass
+class QualityClassifier:
+    """A trained model: one vocabulary-sized count table + scalars.
+
+    ``token_counts``: (token, c1, c0) — per-token counts in the keep /
+    reject seed classes; vocabulary-sized.
+    ``scalars``: 1 row (n1, n0, v, d1, d0) — class token totals, vocab
+    size, class doc counts — broadcast into every scoring plan.
+    """
+
+    token_counts: DataFrame
+    scalars: DataFrame
+
+
+def train_quality_classifier(
+    seeds: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    tokenizer=None,
+) -> QualityClassifier:
+    """Two hash-aggs over the labeled seed set -> a QualityClassifier.
+
+    ``label_col`` is 1 for the curated/keep seed, 0 for the raw-crawl/
+    reject seed.  The scalar frame derives from the count aggregate
+    (vocabulary-sized re-agg, not a second seed scan) except the class
+    doc counts, which are one more seed-sized hash-agg.
+    """
+    tok = seeds.select(
+        F.col(id_col),
+        F.col(label_col).cast("int").alias("__label"),
+        F.explode(resolve_tokenizer(tokenizer).tokens(F.col(text_col))).alias(
+            "token"
+        ),
+    ).where(F.length("token") > 0)
+    counts = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("__label") == 1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("__label") == 0, 1).otherwise(0)).alias("c0"),
+    )
+    docs = seeds.select(
+        F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0)).alias("d1"),
+        F.sum(F.when(F.col(label_col) == 0, 1).otherwise(0)).alias("d0"),
+    )
+    scalars = (
+        counts.select(
+            F.sum("c1").alias("n1"),
+            F.sum("c0").alias("n0"),
+            F.count(F.lit(1)).alias("v"),
+        )
+        .crossJoin(F.broadcast(docs))
+    )
+    return QualityClassifier(token_counts=counts, scalars=scalars)
+
+
+def quality_log_odds(
+    df: DataFrame,
+    model: QualityClassifier,
+    id_col: str,
+    text_col: str,
+    tokenizer=None,
+) -> DataFrame:
+    """Score every row of ``df``: (id, n_tokens, log_odds).
+
+    One token explode -> left join the vocabulary LLR table (unseen
+    tokens fall back to the add-one OOV ratio) -> per-doc sum + the
+    class-prior log ratio.  Docs with no tokens after cleaning keep a
+    row (n_tokens 0, log_odds = prior alone) so the filter composes
+    over the whole input.
+    """
+    sc = model.scalars
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            resolve_tokenizer(tokenizer).tokens(F.col(text_col))
+        ).alias("token"),
+    ).where(F.length("token") > 0)
+    llr = (
+        F.log((F.coalesce(F.col("c1"), F.lit(0)) + 1).cast("double"))
+        - F.log((F.col("n1") + F.col("v") + 1).cast("double"))
+        - F.log((F.coalesce(F.col("c0"), F.lit(0)) + 1).cast("double"))
+        + F.log((F.col("n0") + F.col("v") + 1).cast("double"))
+    )
+    scored = (
+        toks.join(model.token_counts, "token", "left")
+        .crossJoin(F.broadcast(sc))
+        .withColumn("__llr", llr)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("__llr").alias("__llr_sum"),
+        )
+    )
+    prior = F.log(F.col("d1").cast("double")) - F.log(F.col("d0").cast("double"))
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .crossJoin(F.broadcast(sc))
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            (F.coalesce(F.col("__llr_sum"), F.lit(0.0)) + prior).alias("log_odds"),
+        )
+    )
+
+
+def quality_classifier_filter(
+    df: DataFrame,
+    model: QualityClassifier,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.0,
+    tokenizer=None,
+) -> DataFrame:
+    """Keep rows scoring above ``threshold`` (default 0 = "more like
+    the curated seed than the crawl seed").  Returns the surviving rows
+    of ``df`` plus their score.
+
+    GPT-3 famously soft-sampled on the score (keep probability
+    ~ Pareto(score)) instead of hard-thresholding; that is a sampling
+    policy over this same score column — compose with
+    operators.sampling if wanted.  The deterministic gate is the
+    operator."""
+    scores = quality_log_odds(df, model, id_col, text_col, tokenizer)
+    return df.join(
+        scores.where(F.col("log_odds") > threshold).select(id_col, "log_odds"),
+        id_col,
+    )
