@@ -1385,6 +1385,30 @@ def q_tokenize(spark, sf_dir):
     )
 
 
+TRAIN_BPE_MERGES = 24
+
+
+def q_train_bpe(spark, sf_dir):
+    """In-engine BPE vocabulary induction (functions/tokenize.py
+    train_bpe, Sennrich et al. 2016): one corpus scan builds the
+    word-frequency table, then each merge round is a pair-count
+    hash-agg over that bounded table + a 1-row top-pair driver read +
+    an aggregate-fold merge apply.  Deterministic (integer counts,
+    count-desc/lexicographic ties) but iterative, so — like the
+    sketch queries — it carries no single-statement SQL twin and takes
+    the rows-only gate; the merge-by-merge semantics are pinned by the
+    hand-computed classic example in tests/test_tokenize.py, and the
+    induced pieces drive SubwordTokenizer (whose greedy segmentation
+    IS value-oracled via the `tokenize` recursive-CTE twin)."""
+    from web_mass_scraper_ocr_spark.functions.tokenize import train_bpe
+
+    d = _t(spark, sf_dir, "documents")
+    merges = train_bpe(d, "text", n_merges=TRAIN_BPE_MERGES)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, piece string"
+    )
+
+
 def q_pack_bpe(spark, sf_dir):
     """pack_sequences under the NON-default tokenizer: bins are
     BPE_PACK_BUDGET model tokens (what a context window actually
@@ -1745,6 +1769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hypertable_rollup": q_hypertable_rollup,
         # r5 additions + r5 implementation changes (also in-window)
         "tokenize": q_tokenize,
+        "train_bpe": q_train_bpe,
         "pack_bpe": q_pack_bpe,
         "token_budget_bpe": q_token_budget_bpe,
         "chunk_tokens": q_chunk_tokens,

@@ -10,7 +10,9 @@ from web_mass_scraper_ocr_spark.functions.tokenize import (
     RegexTokenizer,
     SubwordTokenizer,
     WhitespaceTokenizer,
+    bpe_vocab,
     tokenize,
+    train_bpe,
 )
 
 VOCAB = ["the", "token", "ize", "izers", "quick", "est", "en", "s"]
@@ -170,3 +172,46 @@ def test_surprisal_tokenizer_param_default_unchanged(request):
     )
     assert default.exceptAll(explicit).count() == 0
     assert explicit.exceptAll(default).count() == 0
+
+
+def test_train_bpe_classic_example(request):
+    # Sennrich et al. 2016 example (no end-of-word marker): the first
+    # four merges are es, est, lo, low — pair counts 9, 9, 7, 7 with
+    # ties broken lexicographically
+    spark = request.getfixturevalue("spark")
+    corpus = spark.createDataFrame(
+        [("low " * 5,), ("lower " * 2,), ("newest " * 6,), ("widest " * 3,)],
+        "text string",
+    )
+    merges = train_bpe(corpus, "text", n_merges=4)
+    assert merges == [
+        (1, "e", "s", "es"),
+        (2, "es", "t", "est"),
+        (3, "l", "o", "lo"),
+        (4, "lo", "w", "low"),
+    ]
+    # induced vocab feeds SubwordTokenizer: lowest -> low + est
+    tk = SubwordTokenizer(bpe_vocab(merges))
+    seg = tokenize(
+        spark.createDataFrame([(1, "lowest")], "id long, text string"),
+        "id",
+        "text",
+        tk,
+    ).collect()[0]
+    assert seg.tokens == ["low", "est"]
+
+
+def test_train_bpe_overlapping_pairs_merge_left_to_right(request):
+    # aaaa under merge (a,a) -> [aa, aa]; aaa -> [aa, a]: the standard
+    # non-overlapping left-to-right scan, then (aa,a)/(aa,aa) follow-ups
+    spark = request.getfixturevalue("spark")
+    corpus = spark.createDataFrame([("aaa aaa",)], "text string")
+    merges = train_bpe(corpus, "text", n_merges=5)
+    assert [m[3] for m in merges] == ["aa", "aaa"]
+
+
+def test_train_bpe_min_frequency_stops(request):
+    # every word unique -> best pair count 1 < min_frequency 2 -> no merges
+    spark = request.getfixturevalue("spark")
+    corpus = spark.createDataFrame([("ab cd ef",)], "text string")
+    assert train_bpe(corpus, "text", n_merges=3) == []

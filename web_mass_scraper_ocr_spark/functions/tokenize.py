@@ -173,6 +173,125 @@ def resolve_tokenizer(tokenizer: Tokenizer | None) -> Tokenizer:
     return tokenizer if tokenizer is not None else WhitespaceTokenizer()
 
 
+# ---------------------------------------------------------------------------
+# BPE vocabulary induction
+# ---------------------------------------------------------------------------
+
+
+def _apply_merge(syms: Column, left: str, right: str) -> Column:
+    """Replace every non-overlapping left-to-right (left, right) adjacency
+    in a symbol array with the merged piece — one aggregate fold, no
+    Python.  State is (out, pend): ``pend`` holds the previous symbol
+    until we know whether the next one completes the pair (aaa under
+    merge (a,a) -> [aa, a], the standard left-to-right scan)."""
+    merged = left + right
+    return F.aggregate(
+        syms,
+        F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit(None).cast("string").alias("pend"),
+        ),
+        lambda acc, s: F.when(
+            (acc.pend == F.lit(left)) & (s == F.lit(right)),
+            F.struct(
+                F.concat(acc.out, F.array(F.lit(merged))).alias("out"),
+                F.lit(None).cast("string").alias("pend"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.when(acc.pend.isNull(), acc.out)
+                .otherwise(F.concat(acc.out, F.array(acc.pend)))
+                .alias("out"),
+                s.alias("pend"),
+            )
+        ),
+        lambda acc: F.when(acc.pend.isNull(), acc.out).otherwise(
+            F.concat(acc.out, F.array(acc.pend))
+        ),
+    )
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 100,
+    min_frequency: int = 2,
+) -> list[tuple[int, str, str, str]]:
+    """Induce a BPE merge table from the corpus (Sennrich et al. 2016):
+    repeatedly merge the most frequent adjacent symbol pair.  Returns
+    [(rank, left, right, piece)] — rank 1 is the first merge; the
+    pieces feed :class:`SubwordTokenizer` directly (no end-of-word
+    marker: pieces are plain substrings, matching its greedy
+    longest-prefix inference).
+
+    Scale shape — the reason this works at 100 TB: BPE statistics
+    depend only on the WORD-FREQUENCY table, so the corpus is scanned
+    exactly once (word hash-agg, vocabulary-sized result); every merge
+    round then runs on that bounded table — pair counts via one
+    zip_with explode weighted by word freq -> hash-agg -> global top-1
+    (a 1-row driver read, same bounded-statistics discipline as the
+    connected-components signature), and the merge applies as an
+    aggregate fold over each word's symbol array.  localCheckpoint per
+    round keeps the fold from nesting ``n_merges`` deep in one codegen
+    unit.
+
+    Determinism: integer counts, ties broken (count desc, left asc,
+    right asc).  Stops early when no pair reaches ``min_frequency``
+    (the classic stopping rule) — the returned table may be shorter
+    than ``n_merges``."""
+    words = (
+        df.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(clean_text_col(F.col(text_col))), " "),
+                    lambda t: t != F.lit(""),
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            # split-at-every-position keeps a trailing '' (the lookahead
+            # also matches before end-of-string) — drop empty symbols
+            F.filter(
+                F.split(F.col("word"), "(?!^)"), lambda s: s != F.lit("")
+            ).alias("syms"),
+            F.col("freq"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, str]] = []
+    for rank in range(1, n_merges + 1):
+        n = F.size(F.col("syms"))
+        pair_col = F.zip_with(
+            F.slice(F.col("syms"), 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(F.col("syms"), 2, F.greatest(n - 1, F.lit(0))),
+            lambda x, y: F.struct(x.alias("l"), y.alias("r")),
+        )
+        top = (
+            words.select(F.explode(pair_col).alias("p"), "freq")
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["c"] < min_frequency:
+            break
+        left, right = top[0]["l"], top[0]["r"]
+        merges.append((rank, left, right, left + right))
+        words = words.select(
+            _apply_merge(F.col("syms"), left, right).alias("syms"), "freq"
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_vocab(merges: list[tuple[int, str, str, str]]) -> list[str]:
+    """Merge table -> piece list for :class:`SubwordTokenizer` (single
+    characters are covered by its fallback and need not be listed)."""
+    return [m[3] for m in merges]
+
+
 def tokenize(
     df: DataFrame,
     id_col: str,
