@@ -1002,6 +1002,40 @@ def q_mixture_sample(spark, sf_dir):
     ).select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
 
 
+TEMP_ALPHA = 0.5
+TEMP_BUDGET = 60_000  # bites: per-source token mass exceeds share*budget
+BLOCKED_DOMAINS = ("src1.co.uk", "src2.org")
+
+
+def q_temperature_mixture(spark, sf_dir):
+    """Temperature-smoothed mixture (mT5/XLM-R alpha sampling,
+    operators/sampling.py temperature_shares): per-source shares
+    p_i^alpha / sum p_j^alpha from one |sources|-row aggregate, then
+    the same hash-stable token-budget sampling as mixture_sample —
+    the standard knob for keeping low-resource sources from
+    drowning in natural proportions."""
+    from web_mass_scraper_ocr_spark.operators.sampling import temperature_mixture
+
+    d = _t(spark, sf_dir, "documents")
+    return temperature_mixture(
+        d, "doc_id", "source", "n_chars", budget=TEMP_BUDGET, alpha=TEMP_ALPHA
+    ).select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
+
+
+def q_domain_blocklist(spark, sf_dir):
+    """Registered-domain blocklist gate (functions/files.py
+    filter_blocked_domains): the RefinedWeb URL-filtering stage keyed
+    on eTLD+1 so blocking ``src1.co.uk`` also drops its blog./www.
+    subdomain variants; left_anti against the lowercased distinct
+    blocklist, AQE decides the join strategy."""
+    from web_mass_scraper_ocr_spark.functions.files import filter_blocked_domains
+
+    d = _t(spark, sf_dir, "documents").withColumn("host", _synth_host())
+    return filter_blocked_domains(
+        d, "doc_id", "host", list(BLOCKED_DOMAINS)
+    ).select("doc_id", "host")
+
+
 def q_quality_filter(spark, sf_dir):
     """Per-group quantile quality gate: drop docs below their
     language's p25 of the score (per-group cutoffs self-calibrate
@@ -1795,6 +1829,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_cap": q_token_budget_cap,
         "weighted_interleave": q_weighted_interleave,
         "mixture_sample": q_mixture_sample,
+        "temperature_mixture": q_temperature_mixture,
+        "domain_blocklist": q_domain_blocklist,
         "quality_filter": q_quality_filter,
         "incremental_dedup": q_incremental_dedup,
         "incremental_lsh": q_incremental_lsh,
@@ -2813,6 +2849,34 @@ thr AS (
 SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
 FROM documents d JOIN thr USING (source)
 WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < thr""",
+        "temperature_mixture": f"""
+WITH tot AS (
+  SELECT source, CAST(sum(n_chars) AS DOUBLE) AS t FROM documents GROUP BY source
+),
+pw AS (SELECT source, t, pow(t / (SELECT sum(t) FROM tot), {TEMP_ALPHA}) AS w FROM tot),
+sh AS (SELECT source, t, w / (SELECT sum(w) FROM pw) AS share FROM pw),
+thr AS (
+  SELECT source,
+         CAST(floor(least(CAST(1.0 AS DOUBLE), share * {TEMP_BUDGET} / t) * 10000 + 0.5) AS BIGINT) AS thr
+  FROM sh
+)
+SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d JOIN thr USING (source)
+WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < thr""",
+        "domain_blocklist": f"""
+WITH h AS (
+  SELECT doc_id, {_SYNTH_HOST_SQL} AS host FROM documents
+),
+lab AS (
+  SELECT doc_id, host,
+         string_split(lower(regexp_replace(host, '\\.$', '')), '.') AS labs,
+         len(string_split(lower(regexp_replace(host, '\\.$', '')), '.')) AS n
+  FROM h
+),
+rd AS (SELECT doc_id, host, {_regdom_case()} AS reg_domain FROM lab)
+SELECT doc_id, host FROM rd
+WHERE reg_domain IS NULL
+   OR reg_domain NOT IN ({", ".join(repr(d) for d in BLOCKED_DOMAINS)})""",
         "quality_filter": """
 WITH cuts AS (
   SELECT lang, quantile_cont(n_chars, 0.25) AS cut FROM documents GROUP BY lang

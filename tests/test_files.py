@@ -232,3 +232,25 @@ def test_registered_domains_join_form_matches_column_form(request):
         for r in registered_domains(df, "id", "host").collect()
     }
     assert col_form == join_form
+
+
+def test_filter_blocked_domains_etld1_keying(request):
+    from web_mass_scraper_ocr_spark.functions.files import filter_blocked_domains
+
+    spark = request.getfixturevalue("spark")
+    df = spark.createDataFrame(
+        [
+            (1, "blog.example.co.uk"),   # blocked via registered domain
+            (2, "www.example.co.uk"),    # blocked (same eTLD+1)
+            (3, "example.co.uk"),        # blocked (bare registered domain)
+            (4, "other.co.uk"),          # kept
+            (5, "example.org"),          # kept (different suffix)
+            (6, "co.uk"),                # host IS a suffix -> NULL key -> kept
+            (7, "BLOG.EXAMPLE.CO.UK"),   # case-insensitive
+        ],
+        "doc_id long, host string",
+    )
+    kept = filter_blocked_domains(df, "doc_id", "host", ["Example.co.uk"])
+    assert {r.doc_id for r in kept.collect()} == {4, 5, 6}
+    # original columns survive, helper column does not
+    assert set(kept.columns) == {"doc_id", "host"}

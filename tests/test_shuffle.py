@@ -338,3 +338,43 @@ def test_salted_join_reserved_column_and_map_salt(spark):
     mapped = left.withColumn("m", F.create_map(F.lit("a"), F.lit(1)))
     got = salted_join(mapped, right, "k").collect()
     assert len(got) == 1 and got[0].w == "x"
+
+
+def test_temperature_shares_alpha_limits(request):
+    from web_mass_scraper_ocr_spark.operators.sampling import temperature_shares
+
+    spark = request.getfixturevalue("spark")
+    # 90/10 token split between two sources
+    df = spark.createDataFrame(
+        [("a", 900), ("b", 100)], "source string, n_tok long"
+    )
+    natural = temperature_shares(df, "source", "n_tok", alpha=1.0)
+    assert abs(natural["a"] - 0.9) < 1e-12 and abs(natural["b"] - 0.1) < 1e-12
+    smoothed = temperature_shares(df, "source", "n_tok", alpha=0.5)
+    # sqrt smoothing: 0.75 / 0.25 — low-resource source quadruples
+    assert abs(smoothed["a"] - 0.75) < 1e-12 and abs(smoothed["b"] - 0.25) < 1e-12
+    near_uniform = temperature_shares(df, "source", "n_tok", alpha=0.01)
+    assert abs(near_uniform["a"] - near_uniform["b"]) < 0.02
+    assert abs(sum(smoothed.values()) - 1.0) < 1e-12
+
+
+def test_temperature_mixture_equals_manual_composition(request):
+    from web_mass_scraper_ocr_spark.operators.sampling import (
+        mixture_by_tokens,
+        temperature_mixture,
+        temperature_shares,
+    )
+
+    spark = request.getfixturevalue("spark")
+    sf = request.getfixturevalue("sf_dir")
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    one_call = temperature_mixture(
+        d, "doc_id", "source", "n_chars", budget=5_000, alpha=0.5
+    )
+    shares = temperature_shares(d, "source", "n_chars", alpha=0.5)
+    manual = mixture_by_tokens(
+        d, "doc_id", "source", "n_chars", shares, budget=5_000
+    )
+    assert {r.doc_id for r in one_call.collect()} == {
+        r.doc_id for r in manual.collect()
+    }

@@ -358,3 +358,37 @@ def registered_domains(
         )
     )
     return joined.withColumn(out_col, reg).drop("_rd_h", "_rd_n", "_rd_k")
+
+
+def filter_blocked_domains(df, id_col: str, host_col: str, blocklist, suffix_df=None):
+    """Domain-blocklist gate keyed on the REGISTERED domain — the
+    RefinedWeb/C4 URL-filtering stage (RefinedWeb ships a 4.6M-entry
+    blocklist of adult/fraud/spam domains).  Keying on eTLD+1 instead
+    of hostname is the point: blocking ``example.co.uk`` must also
+    block ``blog.example.co.uk`` and ``www.example.co.uk``.
+
+    ``blocklist``: list of registered domains, or a one-column
+    DataFrame.  Rows whose host yields a NULL registered domain (the
+    host IS a public suffix) are kept — a blocklist names domains, and
+    a bare suffix is not one.
+
+    Plan shape: :func:`registered_domains` (broadcast suffix-table
+    join) appends the key, then one left_anti against the distinct
+    lowercased blocklist.  No broadcast hint on the anti-join: a
+    production blocklist is millions of rows, so AQE decides broadcast
+    vs shuffle exactly like the vocabulary joins."""
+    from pyspark.sql import DataFrame
+
+    spark = df.sparkSession
+    if not isinstance(blocklist, DataFrame):
+        blocklist = spark.createDataFrame(
+            [(d,) for d in blocklist], "__blocked string"
+        )
+    first = blocklist.columns[0]
+    bl = blocklist.select(
+        F.lower(F.col(first)).alias("__blocked_rd")
+    ).distinct()
+    rd = registered_domains(df, id_col, host_col, suffix_df=suffix_df, out_col="__rd")
+    return (
+        rd.join(bl, rd["__rd"] == bl["__blocked_rd"], "left_anti").drop("__rd")
+    )

@@ -132,6 +132,74 @@ def mixture_by_tokens(
     return df.where(_hash_bucket(F.col(id_col), salt) < threshold)
 
 
+def temperature_shares(
+    df: DataFrame,
+    source_col: str,
+    n_tokens_col: str,
+    alpha: float = 0.5,
+    text_col: str | None = None,
+    tokenizer=None,
+) -> dict[str, float]:
+    """Temperature-smoothed mixture shares (mT5/XLM-R multilingual
+    sampling): share_i = p_i^alpha / sum_j p_j^alpha where p_i is
+    source i's token share of the corpus.  alpha=1 reproduces natural
+    proportions, alpha->0 approaches uniform — the standard knob for
+    keeping low-resource sources from drowning.
+
+    One |sources|-row aggregate collected to the driver (statistics,
+    not data — the same discipline as mixture_by_tokens); the returned
+    dict feeds mixture_by_tokens/weighted_interleave directly.
+    Deterministic: shares derive from integer token totals with
+    exponentiation in double."""
+    if text_col is not None:
+        from ..functions.tokenize import resolve_tokenizer
+
+        df = df.withColumn(
+            n_tokens_col, resolve_tokenizer(tokenizer).count(F.col(text_col))
+        )
+    totals = {
+        r["src"]: r["tot"] or 0
+        for r in df.groupBy(F.col(source_col).alias("src"))
+        .agg(F.sum(n_tokens_col).alias("tot"))
+        .collect()
+        if r["src"] is not None
+    }
+    grand = float(sum(totals.values()))
+    if grand <= 0:
+        return {src: 0.0 for src in totals}
+    powered = {src: (tot / grand) ** alpha for src, tot in sorted(totals.items())}
+    z = sum(powered.values())
+    return {src: w / z for src, w in powered.items()}
+
+
+def temperature_mixture(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    n_tokens_col: str,
+    budget: int,
+    alpha: float = 0.5,
+    salt: str = "",
+    text_col: str | None = None,
+    tokenizer=None,
+) -> DataFrame:
+    """Compose a temperature-weighted training mixture in one call:
+    :func:`temperature_shares` supplies the per-source shares,
+    :func:`mixture_by_tokens` samples each source to share * budget
+    tokens.  Token counts are derived once when ``text_col`` is given
+    (not re-derived per phase)."""
+    if text_col is not None:
+        from ..functions.tokenize import resolve_tokenizer
+
+        df = df.withColumn(
+            n_tokens_col, resolve_tokenizer(tokenizer).count(F.col(text_col))
+        )
+    shares = temperature_shares(df, source_col, n_tokens_col, alpha)
+    return mixture_by_tokens(
+        df, id_col, source_col, n_tokens_col, shares, budget, salt=salt
+    )
+
+
 def quality_quantile_filter(
     df: DataFrame,
     group_col: str,
