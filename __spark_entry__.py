@@ -1812,6 +1812,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "registered_domain": q_registered_domain,
         "decontaminate": q_decontaminate,
         "per_host_cap": q_per_host_cap,
+        "temperature_mixture": q_temperature_mixture,
+        "domain_blocklist": q_domain_blocklist,
         # r04-green, unchanged
         "sessionize": q_sessionize,
         "windowed_metrics": q_windowed_metrics,
@@ -1829,8 +1831,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_cap": q_token_budget_cap,
         "weighted_interleave": q_weighted_interleave,
         "mixture_sample": q_mixture_sample,
-        "temperature_mixture": q_temperature_mixture,
-        "domain_blocklist": q_domain_blocklist,
         "quality_filter": q_quality_filter,
         "incremental_dedup": q_incremental_dedup,
         "incremental_lsh": q_incremental_lsh,

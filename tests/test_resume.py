@@ -566,3 +566,128 @@ def test_cli_delete_smoke(spark, tmp_path):
     out = _json.loads(buf.getvalue().strip().splitlines()[-1])
     assert out["rows_deleted"] == 2 and out["table"] == "docs"
     assert sorted(r.v for r in t.read(spark).collect()) == list(range(6))
+
+
+def test_table_merge_into_upsert(spark, tmp_path):
+    """MERGE INTO (upsert): matched target rows are replaced by source
+    rows, not-matched source rows are inserted, only the files holding
+    matched keys are rewritten, and the pre-merge snapshot still
+    time-travels to the old values (shared-file CoW)."""
+    from web_mass_scraper_ocr_spark.sources.tableio import Table
+
+    t = Table(tmp_path, "docs")
+    pre = t.append(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    )
+    t.append(spark.createDataFrame([(4, "d"), (5, "e")], "k long, v string"))
+
+    src = spark.createDataFrame(
+        [(2, "B"), (5, "E"), (9, "I")], "k long, v string"
+    )
+    res = t.merge_into(spark, src, on="k")
+    assert res["rows_updated"] == 2
+    assert res["rows_inserted"] == 1
+    assert res["rows_deleted"] == 0
+    assert res["files_rewritten"] >= 1
+
+    got = {r.k: r.v for r in t.read(spark).collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d", 5: "E", 9: "I"}
+    assert t.snapshot_id() == res["snapshot_id"]
+    # time travel: the pre-merge snapshot still shows the old values
+    assert {r.k: r.v for r in t.read(spark, snapshot_id=pre).collect()} == {
+        1: "a", 2: "b", 3: "c",
+    }
+
+
+def test_table_merge_into_modes_and_guards(spark, tmp_path):
+    import pytest
+
+    from web_mass_scraper_ocr_spark.sources.tableio import Table
+
+    t = Table(tmp_path, "docs")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string"))
+
+    # when_matched='delete': matched keys vanish, not-matched insert
+    res = t.merge_into(
+        spark,
+        spark.createDataFrame([(2, "x"), (7, "g")], "k long, v string"),
+        on="k",
+        when_matched="delete",
+    )
+    assert res["rows_deleted"] == 1 and res["rows_inserted"] == 1
+    assert {r.k: r.v for r in t.read(spark).collect()} == {1: "a", 3: "c", 7: "g"}
+
+    # insert-only merge (when_matched=None) leaves matched targets as-is
+    res = t.merge_into(
+        spark,
+        spark.createDataFrame([(1, "Z"), (8, "h")], "k long, v string"),
+        on="k",
+        when_matched=None,
+    )
+    assert res["rows_updated"] == 0 and res["rows_inserted"] == 1
+    assert res["files_rewritten"] == 0  # no target file touched
+    assert {r.k: r.v for r in t.read(spark).collect()} == {
+        1: "a", 3: "c", 7: "g", 8: "h",
+    }
+
+    # update-only merge (when_not_matched=None) drops unmatched source rows
+    res = t.merge_into(
+        spark,
+        spark.createDataFrame([(3, "C"), (99, "q")], "k long, v string"),
+        on="k",
+        when_not_matched=None,
+    )
+    assert res["rows_updated"] == 1 and res["rows_inserted"] == 0
+    assert {r.k: r.v for r in t.read(spark).collect()} == {
+        1: "a", 3: "C", 7: "g", 8: "h",
+    }
+
+    # NULL keys never match (SQL semantics) -> insert branch
+    res = t.merge_into(
+        spark,
+        spark.createDataFrame([(None, "n")], "k long, v string"),
+        on="k",
+    )
+    assert res["rows_inserted"] == 1 and res["rows_updated"] == 0
+    assert sorted(
+        r.v for r in t.read(spark).collect() if r.k is None
+    ) == ["n"]
+
+    # no-op merge commits nothing
+    snap = t.snapshot_id()
+    res = t.merge_into(
+        spark,
+        spark.createDataFrame([], "k long, v string"),
+        on="k",
+    )
+    assert res["snapshot_id"] == snap and res["files_rewritten"] == 0
+
+    # cardinality violation: one target key matched by two source rows
+    with pytest.raises(ValueError, match="cardinality"):
+        t.merge_into(
+            spark,
+            spark.createDataFrame([(1, "p"), (1, "q")], "k long, v string"),
+            on="k",
+        )
+    # duplicate source keys that match NO target row are legal per the
+    # SQL standard only if at most one inserts; this shim treats the
+    # guard as matched-keys-only, so two not-matched dup rows both insert
+    res = t.merge_into(
+        spark,
+        spark.createDataFrame([(50, "p"), (50, "q")], "k long, v string"),
+        on="k",
+    )
+    assert res["rows_inserted"] == 2
+
+    # schema mismatch raises
+    with pytest.raises(ValueError, match="schemas differ"):
+        t.merge_into(spark, spark.range(3).toDF("k"), on="k")
+    # no clauses raises
+    with pytest.raises(ValueError, match="no clauses"):
+        t.merge_into(
+            spark,
+            spark.createDataFrame([(1, "a")], "k long, v string"),
+            on="k",
+            when_matched=None,
+            when_not_matched=None,
+        )

@@ -469,6 +469,169 @@ class Table:
             "files_total": len(files),
         }
 
+    def merge_into(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        on: list[str] | str,
+        when_matched: str | None = "update",
+        when_not_matched: str | None = "insert",
+    ) -> dict:
+        """MERGE INTO (upsert / CDC-apply) as a file-granular
+        copy-on-write rewrite — the companion of ``delete_where`` and
+        the last piece of the Iceberg write surface the pipeline needs
+        (real binding: ``MERGE INTO t USING s ON ... WHEN MATCHED THEN
+        UPDATE ... WHEN NOT MATCHED THEN INSERT ...``).
+
+        ``on`` = equality key column(s).  ``when_matched``: ``"update"``
+        replaces the whole target row with the source row, ``"delete"``
+        removes it, ``None`` leaves matched targets untouched
+        (insert-only merge).  ``when_not_matched``: ``"insert"`` appends
+        source rows whose key has no target match, ``None`` drops them.
+        NULL join keys never match (SQL semantics), so NULL-key source
+        rows fall into the not-matched branch.
+
+        Scale shape (same CoW discipline as ``delete_where``):
+        (1) one column-pruned semi-join scan finds the target FILES
+        containing matched keys (a |files|-bounded collect);
+        (2) the standard-SQL cardinality guard — a target row matched
+        by >1 source row — is enforced with one aggregate over the
+        matched source keys and raises before anything is written;
+        (3) only affected files are re-read: their non-matched rows
+        survive as-is, matched rows are replaced/dropped, not-matched
+        source rows (anti-join vs the FULL target key set, second
+        column-pruned scan) are appended — all into ONE staged commit
+        (crash-safe rename like append); (4) new snapshot file set =
+        (current - affected) + new, so untouched files stay SHARED with
+        prior snapshots and the pre-merge snapshot time-travels until
+        ``expire_snapshots``.  Append-layout tables only.
+
+        Returns {snapshot_id, rows_updated, rows_deleted,
+        rows_inserted, files_rewritten, files_total}; a no-op merge
+        (nothing matched, nothing to insert) commits nothing.
+        """
+        from pyspark.sql import functions as F
+
+        if when_matched not in ("update", "delete", None):
+            raise ValueError("when_matched must be 'update', 'delete', or None")
+        if when_not_matched not in ("insert", None):
+            raise ValueError("when_not_matched must be 'insert' or None")
+        if when_matched is None and when_not_matched is None:
+            raise ValueError("merge with no clauses is a no-op by construction")
+        keys = [on] if isinstance(on, str) else list(on)
+        if not keys:
+            raise ValueError("merge needs at least one key column")
+        if not self.exists():
+            raise ValueError(f"table {self.name!r} has no data")
+        if not any(
+            p.name.startswith("commit-") for p in self.data_dir.iterdir() if p.is_dir()
+        ):
+            raise ValueError(
+                f"table {self.name!r} is not append-layout; merge into a "
+                "hive-partitioned table via overwrite_partitions"
+            )
+        cur = self._current_files()
+        if cur is None:  # legacy manifest-less table: adopt the listing
+            cur = [rel for rel, _ in self._listing()]
+        target = self._read_files(spark, cur, "current snapshot")
+        tcols = target.columns
+        missing_keys = [k for k in keys if k not in tcols or k not in source.columns]
+        if missing_keys:
+            raise ValueError(f"key column(s) {missing_keys} absent from a side")
+        if set(source.columns) != set(tcols):
+            raise ValueError(
+                "source/target schemas differ: "
+                f"source-only {sorted(set(source.columns) - set(tcols))}, "
+                f"target-only {sorted(set(tcols) - set(source.columns))} "
+                "(merge replaces whole rows; project the source first)"
+            )
+        src = source.select(*tcols)  # target column order
+        tkeys = target.select(*keys)
+
+        # cardinality guard (standard SQL: MERGE raises when a target row
+        # is matched by more than one source row)
+        dup = (
+            src.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__n__"))
+            .where(F.col("__n__") > 1)
+            .join(tkeys.distinct(), keys, "left_semi")
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                "merge cardinality violation: a target row is matched by "
+                f"multiple source rows (first key: {dup[0].asDict()})"
+            )
+
+        # (1) which target FILES hold matched rows — |files|-bounded stats
+        # (input_file_name() must be captured ON the scan: evaluated after
+        # a join boundary it returns '')
+        hits = (
+            target.withColumn("__uri__", F.input_file_name())
+            .join(src.select(*keys).distinct(), keys, "left_semi")
+            .groupBy(F.col("__uri__").alias("uri"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ) if when_matched is not None else []
+        data_uri = self.data_dir.resolve().as_uri()
+        affected = set()
+        for r in hits:
+            if not r.uri.startswith(data_uri):
+                raise RuntimeError(f"unexpected file uri {r.uri!r}")
+            affected.add(r.uri[len(data_uri) :].lstrip("/"))
+        rows_matched = sum(r.n for r in hits)
+
+        pieces = []
+        rows_updated = rows_deleted = 0
+        if affected:
+            affected_df = self._read_files(spark, sorted(affected), "merge rewrite")
+            # non-matched rows of affected files survive unchanged
+            pieces.append(affected_df.join(src.select(*keys).distinct(), keys, "left_anti"))
+            if when_matched == "update":
+                # replacement rows: the source rows whose key matched
+                pieces.append(src.join(tkeys.distinct(), keys, "left_semi"))
+                rows_updated = rows_matched
+            else:  # delete: matched rows simply don't reappear
+                rows_deleted = rows_matched
+        inserts = None
+        rows_inserted = 0
+        if when_not_matched == "insert":
+            inserts = src.join(tkeys.distinct(), keys, "left_anti")
+            rows_inserted = inserts.count()
+            if rows_inserted:
+                pieces.append(inserts)
+        if not pieces or (not affected and not rows_inserted):
+            return {
+                "snapshot_id": self._snapshot_id_of(cur),
+                "rows_updated": 0,
+                "rows_deleted": 0,
+                "rows_inserted": 0,
+                "files_rewritten": 0,
+                "files_total": len(cur),
+            }
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        token = uuid.uuid4().hex[:12]
+        staging = self.dir / f"tmp-append-{token}"
+        out.write.mode("overwrite").parquet(str(staging))
+        commit_dir = self.data_dir / f"commit-{token}"
+        staging.rename(commit_dir)
+        new = [
+            str(p.relative_to(self.data_dir)) for p in commit_dir.rglob("*.parquet")
+        ]
+        files = [rel for rel in cur if rel not in affected] + new
+        snap = self._write_manifest("merge", files=files)
+        return {
+            "snapshot_id": snap,
+            "rows_updated": rows_updated,
+            "rows_deleted": rows_deleted,
+            "rows_inserted": rows_inserted,
+            "files_rewritten": len(affected),
+            "files_total": len(files),
+        }
+
     def overwrite_partitions(self, df: DataFrame, partition_cols: list[str]) -> str:
         """Dynamic-partition overwrite (idempotent per-bucket redo)."""
         self.data_dir.mkdir(parents=True, exist_ok=True)
