@@ -25,9 +25,13 @@ Quiet-host discipline (VERDICT r4 #4 — the shared-query wall drifted
   change; wide spread = host noise) without rerunning.
 
 The stdout line must FIT the driver's 2000-char tail window: timings
-are emitted at 2 decimals, degrading to 1 decimal only if the line
-would overflow (93+ queries put 2dp right at the limit); the sidecar
-always carries full precision.
+are emitted at 2 decimals, degrading in steps only as far as the line
+needs — 1 decimal, then integer DECIseconds (marked "qunit":"ds"),
+then folding the fastest queries into one "_folded":{"n":K,"sec":S}
+entry until it fits (fastest first: sub-second timings carry the least
+per-query signal and are fully recoverable from the sidecar).  The
+committed BENCH_SELF.json sidecar always carries every query at full
+precision, so no degradation step loses information from the repo.
 """
 
 from __future__ import annotations
@@ -147,13 +151,35 @@ def main() -> None:
             json.dump(sidecar, fh, indent=1)
     except OSError:
         pass  # read-only deployment: stdout line still carries everything
-    # stdout line must FIT the driver's 2000-char tail window: 2-decimal
-    # timings, degrading to 1 decimal only if the line would overflow
-    for nd in (2, 1):
-        payload["queries"] = {k: round(v, nd) for k, v in timings.items()}
-        line = json.dumps(payload, separators=(",", ":"))
-        if len(line) < 1990:
-            break
+    # stdout line must FIT the driver's 2000-char tail window; degrade
+    # only as far as needed (sidecar always carries full precision)
+    def render(qdict: dict, extra: dict | None = None) -> str:
+        p = dict(payload)
+        p["queries"] = qdict
+        if extra:
+            p.update(extra)
+        return json.dumps(p, separators=(",", ":"))
+
+    line = render({k: round(v, 2) for k, v in timings.items()})
+    if len(line) >= 1990:
+        line = render({k: round(v, 1) for k, v in timings.items()})
+    if len(line) >= 1990:
+        # integer deciseconds: "0.3"->3, "12.4"->124 (~2 chars/entry)
+        ds = {k: int(round(v * 10)) for k, v in timings.items()}
+        line = render(ds, {"qunit": "ds"})
+        # last resort: fold the fastest entries (least per-query signal,
+        # fully recoverable from BENCH_SELF.json) into one bucket
+        while len(line) >= 1990 and len(ds) > 1:
+            order = sorted(
+                (k for k in ds if k != "_folded"), key=lambda k: timings[k]
+            )
+            fold = order[: max(4, len(order) // 8)]
+            prev = ds.pop("_folded", {"n": 0, "ds": 0})
+            for k in fold:
+                prev["n"] += 1
+                prev["ds"] += ds.pop(k)
+            ds["_folded"] = prev
+            line = render(ds, {"qunit": "ds"})
     print(line)
     spark.stop()
 
