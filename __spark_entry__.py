@@ -1036,6 +1036,22 @@ def q_domain_blocklist(spark, sf_dir):
     ).select("doc_id", "host")
 
 
+BM25_TERMS = ("merge", "spark", "window")  # all present in the corpus vocab
+BM25_K = 15
+
+
+def q_bm25_search(spark, sf_dir):
+    """BM25 top-k keyword search (operators/search.py bm25_topk): the
+    corpus-retrieval surface (eval-set mining / targeted subset pulls).
+    Query terms broadcast as an isin filter BEFORE any aggregation, so
+    shuffles carry matching (doc, term) rows only — never the corpus
+    vocabulary; N/avgdl are a 1-row driver read; top-k is TakeOrdered."""
+    from web_mass_scraper_ocr_spark.operators.search import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(d, list(BM25_TERMS), k=BM25_K)
+
+
 def q_quality_filter(spark, sf_dir):
     """Per-group quantile quality gate: drop docs below their
     language's p25 of the score (per-group cutoffs self-calibrate
@@ -1814,6 +1830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "per_host_cap": q_per_host_cap,
         "temperature_mixture": q_temperature_mixture,
         "domain_blocklist": q_domain_blocklist,
+        "bm25_search": q_bm25_search,
         # r04-green, unchanged
         "sessionize": q_sessionize,
         "windowed_metrics": q_windowed_metrics,
@@ -2877,6 +2894,29 @@ rd AS (SELECT doc_id, host, {_regdom_case()} AS reg_domain FROM lab)
 SELECT doc_id, host FROM rd
 WHERE reg_domain IS NULL
    OR reg_domain NOT IN ({", ".join(repr(d) for d in BLOCKED_DOMAINS)})""",
+        "bm25_search": f"""
+WITH dl AS (
+  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, toks FROM (
+    SELECT doc_id, list_filter({_TOKENS}, x -> x <> '') AS toks FROM documents
+  ) WHERE len(toks) > 0
+),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, any_value(dl) AS dl
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl)
+  WHERE term IN ({", ".join(repr(t) for t in BM25_TERMS)})
+  GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term
+)
+SELECT doc_id,
+       round(sum(ln(1 + (stats.n - df + 0.5) / (df + 0.5))
+                 * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / stats.avgdl))), 6)
+         AS score
+FROM tf JOIN dfreq USING (term), stats
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}""",
         "quality_filter": """
 WITH cuts AS (
   SELECT lang, quantile_cont(n_chars, 0.25) AS cut FROM documents GROUP BY lang

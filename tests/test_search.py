@@ -1,0 +1,86 @@
+"""BM25 top-k search (operators/search.py)."""
+
+import math
+
+import pytest
+
+from web_mass_scraper_ocr_spark.operators.search import bm25_topk
+
+
+def _bm25_ref(docs, terms, k1=1.2, b=0.75):
+    """Hand-rolled reference implementation over a token-list dict."""
+    docs = {i: t for i, t in docs.items() if t}
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    df = {
+        q: sum(1 for t in docs.values() if q in t) for q in terms
+    }
+    out = {}
+    for i, t in docs.items():
+        s = 0.0
+        for q in set(terms):
+            tf = t.count(q)
+            if not tf or not df[q]:
+                continue
+            idf = math.log(1 + (n - df[q] + 0.5) / (df[q] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(t) / avgdl))
+        if s:
+            out[i] = round(s, 6)
+    return out
+
+
+DOCS = {
+    1: "spark shuffle join spark spark",
+    2: "window agg window",
+    3: "spark window merge plan",
+    4: "filter scan scan",
+    5: "",  # token-less: excluded from corpus stats
+}
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(i, t if t else None) for i, t in DOCS.items()], "doc_id long, text string"
+    )
+
+
+def test_bm25_matches_reference(spark):
+    got = {
+        r.doc_id: r.score
+        for r in bm25_topk(_df(spark), ["spark", "window"], k=10).collect()
+    }
+    ref = _bm25_ref({i: t.split() for i, t in DOCS.items()}, ["spark", "window"])
+    assert set(got) == set(ref)
+    for i in got:
+        assert got[i] == pytest.approx(ref[i], abs=1e-6)
+
+
+def test_bm25_topk_order_and_cutoff(spark):
+    rows = bm25_topk(_df(spark), ["spark", "window"], k=2).collect()
+    ref = _bm25_ref({i: t.split() for i, t in DOCS.items()}, ["spark", "window"])
+    want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    assert [(r.doc_id, r.score) for r in rows] == [
+        (i, pytest.approx(s, abs=1e-6)) for i, s in want
+    ]
+    # scores are non-increasing (deterministic order contract)
+    assert rows[0].score >= rows[1].score
+
+
+def test_bm25_string_query_tokenized_like_docs(spark):
+    # raw-string query goes through the same tokenizer (lowercase,
+    # whitespace collapse) and duplicate terms count once
+    a = bm25_topk(_df(spark), "  SPARK   spark\tWindow ", k=10).collect()
+    b = bm25_topk(_df(spark), ["spark", "window"], k=10).collect()
+    assert [(r.doc_id, r.score) for r in a] == [(r.doc_id, r.score) for r in b]
+
+
+def test_bm25_only_matching_docs_returned(spark):
+    rows = bm25_topk(_df(spark), ["merge"], k=10).collect()
+    assert [r.doc_id for r in rows] == [3]
+
+
+def test_bm25_guards(spark):
+    with pytest.raises(ValueError, match="empty query"):
+        bm25_topk(_df(spark), "   ", k=5)
+    with pytest.raises(ValueError, match="k must be"):
+        bm25_topk(_df(spark), ["spark"], k=0)

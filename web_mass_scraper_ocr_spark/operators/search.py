@@ -1,0 +1,143 @@
+"""Full-text keyword search over the corpus: BM25-scored top-k.
+
+The retrieval side of a training-data pipeline (corpus exploration,
+targeted subset pulls, eval-set mining: "give me the k documents most
+about X").  Spark has no built-in relevance scoring, so this composes
+one from hash aggregates — the same shape Lucene computes per segment,
+expressed as a Catalyst plan.
+
+Scale shape (the 100-TB question):
+- the query is a HANDFUL of terms — it is broadcast as a literal
+  ``isin`` filter applied to the exploded token stream BEFORE any
+  aggregation, so every shuffle downstream of the scan carries only
+  rows for matching (doc, term) pairs, not the corpus vocabulary;
+- corpus statistics (N docs, average doc length) are ONE 1-row
+  aggregate collected to the driver (a bounded scalar read, same
+  discipline as operators/sampling.py's |sources| reads);
+- per-term document frequencies are a |terms|-row aggregate joined
+  back broadcast — never a full-vocabulary groupBy;
+- the final top-k is TakeOrdered (per-partition k then merge), not a
+  global sort.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: str | list[str],
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    tokenizer=None,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 score for ``query``.
+
+    ``query`` is a raw string (tokenized with the same tokenizer as
+    the documents — default lowercase whitespace over cleaned text) or
+    an explicit term list.  Duplicate query terms count once (bag-of-
+    terms query, the common engine behavior).  Scoring uses Lucene's
+    non-negative idf variant ``ln(1 + (N - df + 0.5)/(df + 0.5))`` and
+    the classic tf saturation ``tf*(k1+1) / (tf + k1*(1-b+b*dl/avg))``.
+
+    Returns (id_col, score) with ``score`` rounded to 6 decimals and
+    deterministic order: score DESC, id ASC.  Only documents matching
+    at least one term appear (score 0 rows are not interesting and at
+    corpus scale would be almost every row).
+    """
+    from ..functions.tokenize import resolve_tokenizer
+
+    tok = resolve_tokenizer(tokenizer)
+    if isinstance(query, str):
+        # tokenize the query with the SAME path as the documents via a
+        # 1-row local frame (keeps subword/regex tokenizers consistent)
+        spark = docs.sparkSession
+        qrow = spark.createDataFrame([(query,)], f"{text_col} string")
+        terms = sorted(
+            {
+                t
+                for r in qrow.select(
+                    tok.tokens(F.col(text_col)).alias("t")
+                ).collect()
+                for t in r.t
+            }
+        )
+    else:
+        terms = sorted(set(query))
+    if not terms:
+        raise ValueError("empty query after tokenization")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    # token-less docs (NULL/empty text) can never match and must not
+    # skew N/avgdl either way — exclude them from the corpus statistics
+    # (note Spark's size(NULL) = -1: the > 0 filter handles both)
+    toks = (
+        docs.select(
+            F.col(id_col),
+            tok.tokens(F.col(text_col)).alias("__toks__"),
+        )
+        .where(F.size("__toks__") > 0)
+        .select(
+            id_col,
+            F.size("__toks__").cast("double").alias("__dl__"),
+            "__toks__",
+        )
+    )
+
+    # 1-row corpus statistics (bounded driver read)
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("__dl__").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = stats.n, stats.avgdl
+    if not n_docs:
+        raise ValueError("empty corpus")
+
+    # explode -> query-term filter FIRST -> (doc, term) tf with dl carried
+    tf = (
+        toks.select(id_col, "__dl__", F.explode("__toks__").alias("term"))
+        .where(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("tf"),
+            F.first("__dl__").alias("dl"),
+        )
+    )
+
+    # |terms|-row df aggregate, broadcast back onto the tf frame
+    df_per_term = tf.groupBy("term").agg(
+        F.countDistinct(id_col).cast("double").alias("df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    scored = (
+        tf.join(F.broadcast(df_per_term), "term")
+        .withColumn(
+            "__contrib__",
+            idf
+            * F.col("tf")
+            * F.lit(k1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("dl") / F.lit(float(avgdl))
+                )
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("__contrib__"), 6).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
