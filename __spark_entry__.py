@@ -1052,6 +1052,22 @@ def q_bm25_search(spark, sf_dir):
     return bm25_topk(d, list(BM25_TERMS), k=BM25_K)
 
 
+def q_edit_distance_pairs(spark, sf_dir):
+    """SymSpell deletion-neighborhood edit-distance join
+    (operators/fuzzyjoin.py): all pairs of 10-char text prefixes
+    within Levenshtein distance 1, blocked on shared deletion variants
+    (COMPLETE — no false negatives), verified with one levenshtein per
+    deduplicated candidate pair.  The oracle is brute force, so the
+    gate checks blocking completeness, not just the verify."""
+    from web_mass_scraper_ocr_spark.operators.fuzzyjoin import edit_distance_pairs
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.substring("text", 1, 10).alias("k"))
+    )
+    return edit_distance_pairs(d, id_col="doc_id", key_col="k", max_distance=1)
+
+
 def q_quality_filter(spark, sf_dir):
     """Per-group quantile quality gate: drop docs below their
     language's p25 of the score (per-group cutoffs self-calibrate
@@ -1831,6 +1847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture": q_temperature_mixture,
         "domain_blocklist": q_domain_blocklist,
         "bm25_search": q_bm25_search,
+        "edit_distance_pairs": q_edit_distance_pairs,
         # r04-green, unchanged
         "sessionize": q_sessionize,
         "windowed_metrics": q_windowed_metrics,
@@ -2917,6 +2934,15 @@ SELECT doc_id,
 FROM tf JOIN dfreq USING (term), stats
 GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}""",
+        "edit_distance_pairs": """
+WITH k AS (
+  SELECT doc_id, substr(text, 1, 10) AS k FROM documents
+  WHERE text IS NOT NULL AND length(text) > 0
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.k, b.k) AS INT) AS dist
+FROM k a JOIN k b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.k, b.k) <= 1""",
         "quality_filter": """
 WITH cuts AS (
   SELECT lang, quantile_cont(n_chars, 0.25) AS cut FROM documents GROUP BY lang

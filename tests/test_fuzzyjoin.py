@@ -1,0 +1,90 @@
+"""Edit-distance join via deletion-neighborhood blocking
+(operators/fuzzyjoin.py)."""
+
+import random
+
+import pytest
+
+from web_mass_scraper_ocr_spark.operators.fuzzyjoin import (
+    edit_distance_join,
+    edit_distance_pairs,
+)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def _brute(keys: dict, d: int) -> set:
+    ids = sorted(keys)
+    return {
+        (a, b, _lev(keys[a], keys[b]))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if keys[a] and keys[b] and _lev(keys[a], keys[b]) <= d
+    }
+
+
+def test_pairs_match_brute_force_d1_and_d2(spark):
+    rng = random.Random(7)
+    keys = {
+        i: "".join(rng.choice("abc") for _ in range(rng.randint(3, 7)))
+        for i in range(60)
+    }
+    df = spark.createDataFrame(list(keys.items()), "doc_id long, k string")
+    for d in (1, 2):
+        got = {
+            (r.id_a, r.id_b, r.dist)
+            for r in edit_distance_pairs(
+                df, id_col="doc_id", key_col="k", max_distance=d
+            ).collect()
+        }
+        assert got == _brute(keys, d), f"d={d}"
+
+
+def test_pairs_edge_semantics_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "abc"), (3, "abd"), (4, "ab"), (5, "abcd"),
+         (6, "xyz"), (7, None), (8, "")],
+        "doc_id long, k string",
+    )
+    keys = {1: "abc", 2: "abc", 3: "abd", 4: "ab", 5: "abcd", 6: "xyz"}
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_pairs(
+            df, id_col="doc_id", key_col="k", max_distance=1
+        ).collect()
+    }
+    assert got == _brute(keys, 1)
+    assert not any(7 in (a, b) or 8 in (a, b) for a, b, _ in got)
+
+
+def test_two_frame_join(spark):
+    left = spark.createDataFrame(
+        [(1, "spark"), (2, "query")], "id_a long, k string"
+    )
+    right = spark.createDataFrame(
+        [(10, "spark"), (11, "spa rk"), (12, "quary"), (13, "table")],
+        "id_b long, k string",
+    )
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_join(
+            left, right, left_key="k", right_key="k", max_distance=1
+        ).collect()
+    }
+    assert got == {(1, 10, 0), (1, 11, 1), (2, 12, 1)}
+
+
+def test_guard(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, k string")
+    with pytest.raises(ValueError, match="max_distance"):
+        edit_distance_pairs(df, key_col="k", max_distance=0)

@@ -1,0 +1,143 @@
+"""Edit-distance similarity join (record linkage / fuzzy key matching).
+
+Finds all pairs of rows whose short key columns are within Levenshtein
+distance ``d`` — near-duplicate titles, misspelled entity names, OCR'd
+identifiers — without an all-pairs comparison.
+
+Blocking is the SymSpell deletion neighborhood: every key emits its
+set of variants obtained by deleting up to ``d`` characters (the key
+itself included), candidates are the pairs sharing a variant, and an
+exact ``levenshtein`` verify prunes them.  The deletion neighborhood
+is COMPLETE for Levenshtein distance <= d (substitution at position i
+-> both sides share the i-deleted string; insertion/deletion -> the
+longer side's deletion equals the shorter side's variant), so unlike
+length-band or phonetic blocking there are no false negatives — the
+oracle can be brute force.
+
+Scale shape: per-key variant fan-out is O(len^d) rows (1 + len at
+d=1), so this targets SHORT keys (titles, names, hostnames, ids), not
+document bodies; the candidate join is a plain equi-join on the
+variant string (shuffle keyed on variants, no crossJoin anywhere);
+pairs are deduplicated BEFORE the verify so each pair pays one
+levenshtein regardless of how many variants it shares.  Keys sharing
+a hot variant (e.g. a very common prefix at d >= len) make that
+bucket quadratic — the same hot-key caveat as every blocked join here
+(operators/skew.py salting applies if a real corpus hits it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _deletions1(c: Column) -> Column:
+    """Array of all single-character deletions of ``c`` (empty array
+    for empty/NULL input — note sequence(1, 0) DESCENDS in Spark, so
+    the guard is load-bearing, not cosmetic)."""
+    return F.when(
+        c.isNull() | (F.length(c) <= 0), F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(c)),
+            lambda i: F.concat(
+                F.substring(c, F.lit(1), i - 1),
+                F.substring(c, i + 1, F.length(c)),
+            ),
+        )
+    )
+
+
+def _variant_rows(
+    df: DataFrame, id_col: str, key_col: str, max_distance: int
+) -> DataFrame:
+    """(id, key, variant) — distinct deletion variants of key with up
+    to ``max_distance`` characters removed, built by iterating the
+    1-deletion expansion at the DataFrame level (round r covers all
+    <= r deletions)."""
+    out = df.select(
+        F.col(id_col), F.col(key_col), F.col(key_col).alias("__variant__")
+    ).where(F.col(key_col).isNotNull() & (F.length(key_col) > 0))
+    for _ in range(max_distance):
+        out = out.select(
+            id_col,
+            key_col,
+            F.explode(
+                F.array_distinct(
+                    F.concat(
+                        F.array(F.col("__variant__")),
+                        _deletions1(F.col("__variant__")),
+                    )
+                )
+            ).alias("__variant__"),
+        ).dropDuplicates([id_col, "__variant__"])
+    return out
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    key_col: str = "text",
+    max_distance: int = 1,
+) -> DataFrame:
+    """All within-frame pairs (id_a, id_b, dist) with
+    ``levenshtein(key_a, key_b) <= max_distance`` and id_a < id_b.
+    NULL/empty keys never match.  Complete — no false negatives."""
+    if max_distance < 1:
+        raise ValueError("max_distance must be >= 1")
+    v = _variant_rows(df, id_col, key_col, max_distance)
+    a = v.select(
+        F.col(id_col).alias("id_a"),
+        F.col(key_col).alias("__ka__"),
+        "__variant__",
+    )
+    b = v.select(
+        F.col(id_col).alias("id_b"),
+        F.col(key_col).alias("__kb__"),
+        "__variant__",
+    )
+    cand = (
+        a.join(b, "__variant__")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "__ka__", "id_b", "__kb__")
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("__ka__", "__kb__"))
+        .where(F.col("dist") <= max_distance)
+        .select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
+    )
+
+
+def edit_distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_id: str = "id_a",
+    right_id: str = "id_b",
+    left_key: str = "text",
+    right_key: str = "text",
+    max_distance: int = 1,
+) -> DataFrame:
+    """Two-frame variant: (left_id, right_id, dist) for all cross
+    pairs within ``max_distance``.  Same blocking and completeness
+    contract as ``edit_distance_pairs``."""
+    if max_distance < 1:
+        raise ValueError("max_distance must be >= 1")
+    a = _variant_rows(left, left_id, left_key, max_distance).select(
+        F.col(left_id), F.col(left_key).alias("__ka__"), "__variant__"
+    )
+    b = _variant_rows(right, right_id, right_key, max_distance).select(
+        F.col(right_id), F.col(right_key).alias("__kb__"), "__variant__"
+    )
+    cand = (
+        a.join(b, "__variant__")
+        .select(left_id, "__ka__", right_id, "__kb__")
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("__ka__", "__kb__"))
+        .where(F.col("dist") <= max_distance)
+        .select(left_id, right_id, F.col("dist").cast("int").alias("dist"))
+    )
