@@ -1598,6 +1598,28 @@ def q_connected_components(spark, sf_dir):
     )
 
 
+def q_cluster_representatives(spark, sf_dir):
+    """Quality-aware dedup policy (operators/dedup.py
+    cluster_representatives): collapse each connected component of the
+    deterministic pair graph (same chains+stars as
+    q_connected_components) to its highest-n_chars row (tie -> min
+    doc_id); singletons keep themselves.  CC is O(log n) star
+    contraction; the argmax is one max(struct) hash agg, no window."""
+    from web_mass_scraper_ocr_spark.operators.dedup import cluster_representatives
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id") % 10
+    chain = d.where(i.isin(1, 2, 3)).select(
+        (F.col("doc_id") - 1).alias("id_a"), F.col("doc_id").alias("id_b")
+    )
+    star = d.where(i.isin(7, 8, 9)).select(
+        (F.col("doc_id") - i).alias("id_a"), F.col("doc_id").alias("id_b")
+    )
+    return cluster_representatives(
+        d, chain.union(star), quality_col="n_chars"
+    ).select("component", "doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+
+
 def q_windowed_metrics(spark, sf_dir):
     """The watermark-window rollup (streaming/ingest.py
     windowed_status_metrics) under the batch oracle: tumbling 6-hour
@@ -1848,6 +1870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_blocklist": q_domain_blocklist,
         "bm25_search": q_bm25_search,
         "edit_distance_pairs": q_edit_distance_pairs,
+        "cluster_reps": q_cluster_representatives,
         # r04-green, unchanged
         "sessionize": q_sessionize,
         "windowed_metrics": q_windowed_metrics,
@@ -2646,6 +2669,32 @@ reach(id, r) AS (
 )
 SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS component
 FROM reach GROUP BY id""",
+        "cluster_reps": """
+WITH RECURSIVE e AS (
+  SELECT doc_id - 1 AS a, doc_id AS b FROM documents WHERE doc_id % 10 IN (1, 2, 3)
+  UNION ALL
+  SELECT doc_id - (doc_id % 10) AS a, doc_id AS b FROM documents WHERE doc_id % 10 IN (7, 8, 9)
+),
+edges AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e2.a, reach.r FROM edges e2 JOIN reach ON reach.id = e2.b
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+lab AS (
+  SELECT d.doc_id, CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component,
+         d.n_chars
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+),
+best AS (
+  SELECT component, doc_id, n_chars,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM lab
+)
+SELECT component, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM best WHERE rn = 1""",
         "quantiles": """
 SELECT event_type,
        quantile_cont(value, 0.5) AS p50,

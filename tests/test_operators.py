@@ -793,3 +793,46 @@ def test_per_host_cap_matches_single_window(request):
     assert out == naive
     with _pytest.raises(ValueError, match="cap"):
         per_host_cap(df, "doc_id", "host", cap=0)
+
+
+def test_cluster_representatives_policy(spark):
+    """Keeper = max quality, tie -> min id; singletons keep themselves;
+    transitive chains collapse to ONE representative."""
+    from web_mass_scraper_ocr_spark.operators.dedup import cluster_representatives
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (9, 99)],
+        "doc_id long, quality long",
+    )
+    # chain 1-2, 2-3 (one cluster), 4 paired with 1 transitively? no: 4 alone
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    got = {
+        (r.component, r.doc_id)
+        for r in cluster_representatives(docs, pairs).collect()
+    }
+    # cluster {1,2,3}: qualities 10/30/30 -> tie between 2 and 3 -> min id 2
+    assert got == {(1, 2), (4, 4), (9, 9)}
+
+
+def test_cluster_representatives_quality_beats_min_id(spark):
+    from web_mass_scraper_ocr_spark.operators.dedup import cluster_representatives
+
+    docs = spark.createDataFrame(
+        [(1, 1), (7, 50)], "doc_id long, quality long"
+    )
+    pairs = spark.createDataFrame([(1, 7)], "id_a long, id_b long")
+    rows = cluster_representatives(docs, pairs).collect()
+    assert [(r.component, r.doc_id, r.quality) for r in rows] == [(1, 7, 50)]
+
+
+def test_cluster_representatives_missing_quality_raises(spark):
+    import pytest as _pytest
+
+    from web_mass_scraper_ocr_spark.operators.dedup import cluster_representatives
+
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with _pytest.raises(ValueError, match="quality column"):
+        cluster_representatives(docs, pairs)

@@ -838,3 +838,54 @@ def remove_duplicated_spans(
         .cast("long")
         .alias("n_tokens_removed"),
     )
+
+
+def cluster_representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Quality-aware dedup policy: collapse each connected component of
+    the near-duplicate ``pairs`` graph to its BEST row instead of the
+    lowest-id one (keep-min-id throws away the highest-quality copy
+    whenever a cleaner mirror of a page has a larger id — the policy
+    every production corpus build actually wants).
+
+    Keeper per cluster = max ``quality_col`` (non-null, tie -> min id);
+    rows in no pair keep themselves.  Returns the kept ``docs`` rows
+    plus a ``component`` column (min vertex id of the cluster; own id
+    for singletons) so callers can audit cluster sizes.
+
+    Scale shape: transitive resolution is operators/graph.py
+    connected_components (large/small-star, O(log n) rounds); the
+    argmax is ONE hash aggregate of max(struct(quality, -id)) — no
+    per-cluster window sort; the keep is a left_semi join on id.
+    """
+    from .graph import connected_components
+
+    if quality_col not in docs.columns:
+        raise ValueError(f"quality column {quality_col!r} absent from docs")
+    cc = connected_components(pairs, src, dst).withColumnsRenamed(
+        {"id": id_col, "component": "__component__"}
+    )
+    labeled = docs.join(cc, id_col, "left").withColumn(
+        "component",
+        F.coalesce(F.col("__component__"), F.col(id_col)).cast("long"),
+    ).drop("__component__")
+    best = (
+        labeled.groupBy("component")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(quality_col).alias("q"),
+                    (-F.col(id_col)).alias("negid"),
+                )
+            ).alias("m")
+        )
+        .select((-F.col("m.negid")).cast("long").alias(id_col))
+    )
+    return labeled.join(best, id_col, "left_semi")
