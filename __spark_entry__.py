@@ -1068,6 +1068,20 @@ def q_edit_distance_pairs(spark, sf_dir):
     return edit_distance_pairs(d, id_col="doc_id", key_col="k", max_distance=1)
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sampling without replacement
+    (operators/sampling.py weighted_sample): top-k by -ln(u)/w with
+    md5-derived exact-in-double uniforms, weight = n_chars.  The
+    global form is TakeOrdered (per-partition top-k + k-row merge),
+    never a full sort."""
+    from web_mass_scraper_ocr_spark.operators.sampling import weighted_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return weighted_sample(d, 100, weight_col="n_chars", seed="ws").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
 def q_quality_filter(spark, sf_dir):
     """Per-group quantile quality gate: drop docs below their
     language's p25 of the score (per-group cutoffs self-calibrate
@@ -1871,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "edit_distance_pairs": q_edit_distance_pairs,
         "cluster_reps": q_cluster_representatives,
+        "weighted_sample": q_weighted_sample,
         # r04-green, unchanged
         "sessionize": q_sessionize,
         "windowed_metrics": q_windowed_metrics,
@@ -2983,6 +2998,15 @@ SELECT doc_id,
 FROM tf JOIN dfreq USING (term), stats
 GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}""",
+        "weighted_sample": """
+WITH w AS (
+  SELECT doc_id, lang, n_chars,
+         (CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'ws')), 1, 13)) AS BIGINT) + 1)
+           / 4503599627370497.0 AS u
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+FROM w ORDER BY -ln(u) / n_chars ASC, doc_id ASC LIMIT 100""",
         "edit_distance_pairs": """
 WITH k AS (
   SELECT doc_id, substr(text, 1, 10) AS k FROM documents

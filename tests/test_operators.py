@@ -836,3 +836,42 @@ def test_cluster_representatives_missing_quality_raises(spark):
     pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     with _pytest.raises(ValueError, match="quality column"):
         cluster_representatives(docs, pairs)
+
+
+def test_weighted_sample_without_replacement(spark):
+    """k distinct rows; k >= n returns all positive-weight rows; heavy
+    weights dominate; per-stratum form caps each group."""
+    from web_mass_scraper_ocr_spark.operators.sampling import weighted_sample
+
+    rows = [(i, "a" if i % 2 else "b", 1.0) for i in range(20)]
+    rows += [(100 + i, "a", 1e9) for i in range(3)]  # overwhelming weights
+    rows += [(200, "b", None), (201, "b", 0.0), (202, "b", -4.0)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, w double")
+
+    got = weighted_sample(df, 5, weight_col="w", seed="t").collect()
+    ids = [r.doc_id for r in got]
+    assert len(ids) == len(set(ids)) == 5
+    assert {100, 101, 102} <= set(ids)  # ~1e9x weight -> always sampled
+    assert not {200, 201, 202} & set(ids)  # null/zero/negative never
+
+    everything = weighted_sample(df, 1000, weight_col="w", seed="t").collect()
+    assert len(everything) == 23  # all positive-weight rows, no repeats
+
+    per_g = weighted_sample(df, 2, weight_col="w", seed="t", by="g").collect()
+    from collections import Counter
+
+    counts = Counter(r.g for r in per_g)
+    assert counts == {"a": 2, "b": 2}
+
+
+def test_weighted_sample_deterministic_and_seed_sensitive(spark):
+    from web_mass_scraper_ocr_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7 + 1)) for i in range(200)], "doc_id long, w double"
+    )
+    a = sorted(r.doc_id for r in weighted_sample(df, 30, weight_col="w", seed="s1").collect())
+    b = sorted(r.doc_id for r in weighted_sample(df, 30, weight_col="w", seed="s1").collect())
+    c = sorted(r.doc_id for r in weighted_sample(df, 30, weight_col="w", seed="s2").collect())
+    assert a == b
+    assert a != c  # different seed -> different sample (w.h.p.)

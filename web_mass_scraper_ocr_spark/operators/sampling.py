@@ -312,3 +312,64 @@ def per_host_cap(
         .where(F.col(rank_col) <= cap)
         .drop("_phc_key", "_phc_salt", "_phc_r1")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    *,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: str = "",
+    by: str | list[str] | None = None,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, hash-deterministic:
+    Efraimidis-Spirakis A-ES (each row gets key u^(1/w) for uniform u;
+    the top-k keys are a weighted sample without replacement —
+    implemented in the equivalent -ln(u)/w smallest-k form).
+
+    ``u`` derives from md5(id||seed) (13 hex chars = 52 bits, so the
+    (0,1] uniform is EXACT in a double and cross-engine reproducible);
+    no RNG state, same sample on every run and cluster size.  Rows
+    with NULL or non-positive weight are never selected.  ``by`` takes
+    the top-k per stratum instead of globally.
+
+    Scale shape: the global form is orderBy().limit(k) — Spark's
+    TakeOrdered (per-partition top-k then a k-row merge), never a full
+    sort; the per-stratum form is one window row_number partitioned by
+    the stratum (hash-shuffled once; sort is per-group, not global).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(float(2**52 + 1))
+    base = df.where(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("__es_key__", -F.log(u) / F.col(weight_col).cast("double"))
+    if by is None:
+        return (
+            base.orderBy(F.col("__es_key__").asc(), F.col(id_col).asc())
+            .limit(k)
+            .drop("__es_key__")
+        )
+    from pyspark.sql.window import Window
+
+    cols = [by] if isinstance(by, str) else list(by)
+    w = Window.partitionBy(*cols).orderBy(
+        F.col("__es_key__").asc(), F.col(id_col).asc()
+    )
+    return (
+        base.withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") <= k)
+        .drop("__es_key__", "__rn__")
+    )
