@@ -721,6 +721,50 @@ def q_url_parse(spark, sf_dir):
     )
 
 
+def q_canonical_url(spark, sf_dir):
+    """URL canonicalization (functions/files.py canonicalize_url):
+    fragment strip, scheme/host lowercasing, default-port drop,
+    tracking-param removal (utm_*/gclid/fbclid/...), byte-sorted
+    surviving params, bare-root-slash collapse — the URL-keyed-dedup
+    precondition.  Pure Catalyst regexp/array chain, no UDF."""
+    from web_mass_scraper_ocr_spark.functions.files import canonicalize_url
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("HTTP://SRC.Example.COM:80/Docs/"),
+                did,
+                F.lit("?b=2&utm_source=s"),
+                did,
+                F.lit("&a=1#frag"),
+            ),
+        )
+        .when(F.col("doc_id") % 5 == 1, F.lit("https://example.com:443/"))
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(
+                F.lit("https://example.com/p/"),
+                did,
+                F.lit("?z=1&y="),
+                did,
+                F.lit("&gclid=g&fbclid=f"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(F.lit("https://example.com/p/"), did),
+        )
+        .otherwise(F.lit("http://example.com/?ref=tw"))
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id", "url", canonicalize_url(F.col("url")).alias("canonical")
+    )
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (custom operator — Spark has no built-in): for every
     click, the most recent prior-or-simultaneous purchase of the same
@@ -1886,6 +1930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_pairs": q_edit_distance_pairs,
         "cluster_reps": q_cluster_representatives,
         "weighted_sample": q_weighted_sample,
+        "canonical_url": q_canonical_url,
         # r04-green, unchanged
         "sessionize": q_sessionize,
         "windowed_metrics": q_windowed_metrics,
@@ -2998,6 +3043,56 @@ SELECT doc_id,
 FROM tf JOIN dfreq USING (term), stats
 GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}""",
+        "canonical_url": r"""
+WITH u AS (
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 0 THEN 'HTTP://SRC.Example.COM:80/Docs/' || CAST(doc_id AS VARCHAR)
+                       || '?b=2&utm_source=s' || CAST(doc_id AS VARCHAR) || '&a=1#frag'
+           WHEN 1 THEN 'https://example.com:443/'
+           WHEN 2 THEN 'https://example.com/p/' || CAST(doc_id AS VARCHAR)
+                       || '?z=1&y=' || CAST(doc_id AS VARCHAR) || '&gclid=g&fbclid=f'
+           WHEN 3 THEN 'https://example.com/p/' || CAST(doc_id AS VARCHAR)
+           ELSE 'http://example.com/?ref=tw'
+         END AS url
+  FROM documents
+),
+s2 AS (
+  SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nf FROM u
+),
+s3 AS (
+  SELECT *,
+         CASE WHEN strpos(nf, '?') > 0 THEN substr(nf, 1, strpos(nf, '?') - 1) ELSE nf END AS base0,
+         CASE WHEN strpos(nf, '?') > 0 THEN substr(nf, strpos(nf, '?') + 1) ELSE '' END AS query
+  FROM s2
+),
+s4 AS (
+  SELECT *,
+         CASE WHEN regexp_extract(base0, '^[a-zA-Z][a-zA-Z0-9+.-]*://') = '' THEN base0
+              ELSE lower(regexp_extract(base0, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1))
+                   || regexp_replace(base0, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', '')
+         END AS b1
+  FROM s3
+),
+s5 AS (
+  SELECT *,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(b1, '^(http://[^/:]+):80(/|$)', '\1\2'),
+             '^(https://[^/:]+):443(/|$)', '\1\2'),
+           '^([a-z][a-z0-9+.-]*://[^/]+)/$', '\1') AS b3
+  FROM s4
+),
+s6 AS (
+  SELECT *,
+         list_sort(list_filter(string_split(query, '&'),
+           p -> p <> '' AND NOT regexp_matches(p,
+             '^(utm_[^=&]*|gclid|fbclid|msclkid|mc_cid|mc_eid|igshid|ref)(=.*)?$'))) AS kept
+  FROM s5
+)
+SELECT doc_id, url,
+       CASE WHEN len(kept) > 0 THEN b3 || '?' || array_to_string(kept, '&') ELSE b3 END AS canonical
+FROM s6""",
         "weighted_sample": """
 WITH w AS (
   SELECT doc_id, lang, n_chars,

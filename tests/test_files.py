@@ -254,3 +254,56 @@ def test_filter_blocked_domains_etld1_keying(request):
     assert {r.doc_id for r in kept.collect()} == {4, 5, 6}
     # original columns survive, helper column does not
     assert set(kept.columns) == {"doc_id", "host"}
+
+
+def test_canonicalize_url_rules(spark):
+    """Each canonicalization rule in isolation + composition."""
+    from pyspark.sql import functions as F
+
+    from web_mass_scraper_ocr_spark.functions.files import canonicalize_url
+
+    cases = {
+        # fragment strip
+        "https://h.com/p#sec": "https://h.com/p",
+        # scheme+host lowercase, path case preserved
+        "HTTPS://WWW.H.com/PaTh": "https://www.h.com/PaTh",
+        # default ports dropped, non-default kept
+        "http://h.com:80/x": "http://h.com/x",
+        "https://h.com:443/x": "https://h.com/x",
+        "https://h.com:8443/x": "https://h.com:8443/x",
+        "http://h.com:443/x": "http://h.com:443/x",  # 443 not http default
+        # tracking params stripped, rest byte-sorted
+        "https://h.com/p?utm_source=a&b=2&a=1": "https://h.com/p?a=1&b=2",
+        "https://h.com/p?gclid=x": "https://h.com/p",
+        "https://h.com/p?refresh=1": "https://h.com/p?refresh=1",  # not 'ref'
+        # bare root slash collapses; deeper trailing slashes kept
+        "https://h.com/": "https://h.com",
+        "https://h.com/a/": "https://h.com/a/",
+        # scheme-less passthrough of case
+        "H.com/X?utm_source=1": "H.com/X",
+        # empty query -> no '?'
+        "https://h.com/p?": "https://h.com/p",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {
+        r.url: r.c
+        for r in df.select("url", canonicalize_url(F.col("url")).alias("c")).collect()
+    }
+    assert got == cases
+
+
+def test_canonicalize_url_idempotent_and_null(spark):
+    from pyspark.sql import functions as F
+
+    from web_mass_scraper_ocr_spark.functions.files import canonicalize_url
+
+    urls = [
+        "HTTP://A.com:80/p?utm_source=x&z=1&a=2#f",
+        "https://b.com/",
+        "https://c.com/p?b=1&a=2",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls] + [(None,)], "url string")
+    once = df.select(canonicalize_url(F.col("url")).alias("c"))
+    twice = once.select(canonicalize_url(F.col("c")).alias("c"))
+    assert [r.c for r in once.collect()] == [r.c for r in twice.collect()]
+    assert once.collect()[-1].c is None

@@ -392,3 +392,65 @@ def filter_blocked_domains(df, id_col: str, host_col: str, blocklist, suffix_df=
     return (
         rd.join(bl, rd["__rd"] == bl["__blocked_rd"], "left_anti").drop("__rd")
     )
+
+
+# tracking query parameters stripped by canonicalize_url: marketing
+# attribution keys that vary per click but never change the resource
+# (the RefinedWeb/CC-net URL-dedup precondition — without stripping
+# them the same page survives dedup once per ad campaign)
+TRACKING_PARAMS = (
+    "utm_[^=&]*",  # utm_source/medium/campaign/term/content/...
+    "gclid",
+    "fbclid",
+    "msclkid",
+    "mc_cid",
+    "mc_eid",
+    "igshid",
+    "ref",
+)
+_TRACKING_RE = "^(" + "|".join(TRACKING_PARAMS) + ")(=.*)?$"
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical URL form for URL-keyed dedup and frontier merging:
+
+    1. strip the fragment (``#...`` — client-side only),
+    2. lowercase the scheme and authority (host) — path and query stay
+       case-sensitive per RFC 3986,
+    3. drop default ports (``http://h:80``, ``https://h:443``),
+    4. remove tracking query params (``TRACKING_PARAMS``: utm_*,
+       gclid, fbclid, ... — attribution noise that makes one page look
+       like many),
+    5. byte-sort the surviving query params (param order is not
+       semantic; sorting makes equal resources compare equal),
+    6. collapse a bare root path ``http://h/`` to ``http://h``.
+
+    Pure Catalyst expression chain (regexp + array ops), no UDF;
+    NULL-safe (NULL in -> NULL out).
+    """
+    no_frag = F.regexp_replace(url, "#.*$", "")
+    parts = F.split(no_frag, r"\?", 2)
+    base0 = parts.getItem(0)
+    query = F.when(F.size(parts) > 1, parts.getItem(1)).otherwise(F.lit(""))
+    # lowercase scheme://authority (group 1), keep the path as-is
+    base1 = F.concat(
+        F.lower(F.regexp_extract(base0, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)", 1)),
+        F.regexp_replace(base0, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""),
+    )
+    # scheme-less input: the extract above yields '' -> keep base0
+    base1 = F.when(
+        F.regexp_extract(base0, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", 0) == "", base0
+    ).otherwise(base1)
+    base2 = F.regexp_replace(base1, r"^(http://[^/:]+):80(/|$)", r"$1$2")
+    base2 = F.regexp_replace(base2, r"^(https://[^/:]+):443(/|$)", r"$1$2")
+    base3 = F.regexp_replace(base2, r"^([a-z][a-z0-9+.-]*://[^/]+)/$", r"$1")
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != F.lit("")) & ~p.rlike(_TRACKING_RE),
+        )
+    )
+    return F.when(
+        F.size(kept) > 0,
+        F.concat(base3, F.lit("?"), F.array_join(kept, "&")),
+    ).otherwise(base3)
