@@ -1,0 +1,90 @@
+"""Scaling rows for the r5b operators: BM25 search, edit-distance
+join, cluster representatives, weighted sampling — 1x vs 10x
+documents, same replication protocol as bench_dedup_scale.py (each
+sf0.1 doc replicated R times with a ``rep<r>`` prefix).
+
+The prefix makes replicas' 10-char keys pairwise Levenshtein-1
+("rep0 key a" vs "rep7 key a"), so edit_distance_pairs sees dup
+clusters of size R — candidate volume ~R^2/2 per cluster, the same
+worst case the LSH rows measure.  BM25 sees R-fold growth in both the
+corpus and the matching set.
+
+Usage: python scripts/bench_r5b_scale.py [replication ...]
+Writes one JSON line per (stage, scale); paste into
+BENCH/DEDUP_SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from web_mass_scraper_ocr_spark.operators.dedup import cluster_representatives
+from web_mass_scraper_ocr_spark.operators.fuzzyjoin import edit_distance_pairs
+from web_mass_scraper_ocr_spark.operators.sampling import weighted_sample
+from web_mass_scraper_ocr_spark.operators.search import bm25_topk
+from web_mass_scraper_ocr_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def replicate(docs, r: int):
+    if r == 1:
+        return docs
+    reps = F.explode(F.sequence(F.lit(0), F.lit(r - 1))).alias("rep")
+    return docs.select("doc_id", "text", reps).select(
+        (F.col("doc_id") * r + F.col("rep")).alias("doc_id"),
+        F.concat(
+            F.lit("rep"), F.col("rep").cast("string"), F.lit(" "), F.col("text")
+        ).alias("text"),
+    )
+
+
+def timed(label: str, df) -> None:
+    t0 = time.monotonic()
+    n = df.count()
+    print(
+        json.dumps(
+            {"stage": label, "wall_sec": round(time.monotonic() - t0, 2), "rows": n}
+        ),
+        flush=True,
+    )
+
+
+def main() -> None:
+    rs = [int(a) for a in sys.argv[1:]] or [1, 10]
+    spark = get_spark(master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    for r in rs:
+        docs = replicate(base, r).cache()
+        n = docs.count()
+        print(json.dumps({"scale": r, "docs": n}), flush=True)
+        timed(f"bm25_topk@{r}x", bm25_topk(docs, ["merge", "spark", "window"], k=100))
+        keys = docs.select("doc_id", F.substring("text", 1, 10).alias("k"))
+        pairs = edit_distance_pairs(
+            keys, id_col="doc_id", key_col="k", max_distance=1
+        ).cache()
+        timed(f"edit_distance_pairs@{r}x", pairs)
+        quality = docs.select("doc_id", F.length("text").alias("quality"))
+        timed(
+            f"cluster_representatives@{r}x",
+            cluster_representatives(quality, pairs),
+        )
+        pairs.unpersist()
+        timed(
+            f"weighted_sample@{r}x",
+            weighted_sample(quality, 1000, weight_col="quality"),
+        )
+        docs.unpersist()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
