@@ -721,6 +721,22 @@ def q_url_parse(spark, sf_dir):
     )
 
 
+WINNOW_K, WINNOW_W = 4, 5
+
+
+def q_winnow(spark, sf_dir):
+    """Winnowing fingerprints (operators/dedup.py winnow_fingerprints,
+    MOSS SIGMOD'03): per-doc k-gram hashes, rightmost-min of each
+    w-window selected — any shared run >= w+k-1 tokens is guaranteed a
+    common fingerprint at ~2/(w+1) sampling.  One window pass ordered
+    within each doc partition; the oracle rebuilds every window
+    explicitly, so the gate proves the sliding-min selection rule."""
+    from web_mass_scraper_ocr_spark.operators.dedup import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(d, k=WINNOW_K, w=WINNOW_W)
+
+
 def q_canonical_url(spark, sf_dir):
     """URL canonicalization (functions/files.py canonicalize_url):
     fragment strip, scheme/host lowercasing, default-port drop,
@@ -1878,7 +1894,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multilevel_rollup": q_multilevel_rollup,
         "rollup_agg": q_rollup_agg,
         "set_difference": q_set_difference,
-        "clean_text": q_clean_text,
         "text_stats": q_text_stats,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
@@ -1926,19 +1941,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "edit_distance_pairs": q_edit_distance_pairs,
         "cluster_reps": q_cluster_representatives,
+        "winnow": q_winnow,
         # --- driver window (~50) ends here.  53 queries need driver
         # verification this round but only 50 fit; the 3 triaged just
         # below the cut are (a) two brand-new ops whose local evidence
         # is strongest (weighted_sample: deterministic md5 sampling
         # w/ dominance+determinism tests; canonical_url: pure
-        # expression fn w/ per-rule+idempotence tests; fingerprint: a
-        # trivial md5 projection, r03-green and unchanged since) plus
-        # the two r5-changed-but-r04-artifact-covered queries — all
-        # green in the committed local gate run
-        # (scripts/check_correctness.py).
+        # expression fn w/ per-rule+idempotence tests; fingerprint and
+        # clean_text: trivial pure projections, r03-green + golden
+        # kernel tests, unchanged since) plus the two
+        # r5-changed-but-r04-artifact-covered queries — all green in
+        # the committed local gate run (scripts/check_correctness.py).
         "weighted_sample": q_weighted_sample,
         "canonical_url": q_canonical_url,
         "fingerprint": q_fingerprint,
+        "clean_text": q_clean_text,
         "decontaminate": q_decontaminate,
         "per_host_cap": q_per_host_cap,
         # r04-green, unchanged
@@ -3053,6 +3070,37 @@ SELECT doc_id,
 FROM tf JOIN dfreq USING (term), stats
 GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}""",
+        "winnow": f"""
+WITH t AS (
+  SELECT doc_id, list_filter({_TOKENS}, x -> x <> '') AS toks FROM documents
+),
+g0 AS (
+  SELECT doc_id, len(toks) - {WINNOW_K - 1} AS m, toks FROM t
+),
+h AS (
+  SELECT doc_id, m, pos,
+         CAST(concat('0x', substr(md5(array_to_string(toks[CAST(pos AS INT):CAST(pos + {WINNOW_K - 1} AS INT)], ' ')), 1, 13)) AS BIGINT) AS fp
+  FROM (
+    SELECT doc_id, m, toks, unnest(range(1, CAST(m AS INT) + 1)) AS pos
+    FROM g0 WHERE m >= 1
+  )
+),
+starts AS (
+  SELECT doc_id, pos AS start FROM h WHERE pos <= greatest(m - {WINNOW_W - 1}, 1)
+),
+members AS (
+  SELECT s.doc_id, s.start, h.pos, h.fp
+  FROM starts s JOIN h ON h.doc_id = s.doc_id
+   AND h.pos BETWEEN s.start AND s.start + {WINNOW_W - 1}
+),
+mins AS (SELECT doc_id, start, min(fp) AS mh FROM members GROUP BY 1, 2),
+sel AS (
+  SELECT m2.doc_id, max(m2.pos) AS pos, m1.mh AS fp
+  FROM mins m1 JOIN members m2
+    ON m2.doc_id = m1.doc_id AND m2.start = m1.start AND m2.fp = m1.mh
+  GROUP BY m2.doc_id, m2.start, m1.mh
+)
+SELECT DISTINCT doc_id, CAST(pos AS INT) AS pos, fp FROM sel""",
         "canonical_url": r"""
 WITH u AS (
   SELECT doc_id,

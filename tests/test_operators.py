@@ -875,3 +875,64 @@ def test_weighted_sample_deterministic_and_seed_sensitive(spark):
     c = sorted(r.doc_id for r in weighted_sample(df, 30, weight_col="w", seed="s2").collect())
     assert a == b
     assert a != c  # different seed -> different sample (w.h.p.)
+
+
+def test_winnow_guarantee_and_density(spark):
+    """SIGMOD'03 contract: any shared token run of >= w+k-1 tokens
+    yields at least one identical selected fingerprint in both docs;
+    selection keeps roughly 2/(w+1) of grams."""
+    import random as _random
+
+    from web_mass_scraper_ocr_spark.operators.dedup import winnow_fingerprints
+
+    rng = _random.Random(11)
+    vocab = [f"w{i}" for i in range(5000)]
+    k, w = 4, 5
+    shared = " ".join(rng.choice(vocab) for _ in range(w + k - 1))
+    doc_a = " ".join(rng.choice(vocab) for _ in range(40)) + " " + shared
+    doc_b = shared + " " + " ".join(rng.choice(vocab) for _ in range(40))
+    long_doc = " ".join(rng.choice(vocab) for _ in range(400))
+    df = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, long_doc)], "doc_id long, text string"
+    )
+    rows = winnow_fingerprints(df, k=k, w=w).collect()
+    fps = {i: {r.fp for r in rows if r.doc_id == i} for i in (1, 2, 3)}
+    assert fps[1] & fps[2], "guaranteed shared fingerprint missing"
+    # density on the long doc: expectation 2/(w+1)=0.33 of 397 grams
+    n_grams = 400 - (k - 1)
+    density = len(fps[3]) / n_grams
+    assert 0.15 < density < 0.55, density
+
+
+def test_winnow_short_docs_and_positions(spark):
+    from web_mass_scraper_ocr_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),     # exactly k tokens -> 1 gram -> 1 fp at pos 1
+            (2, "a b c"),       # < k tokens -> no grams -> no rows
+            (3, None),
+            (4, "a b c d e f"), # 3 grams < w -> rightmost min of all
+        ],
+        "doc_id long, text string",
+    )
+    rows = winnow_fingerprints(df, k=4, w=5).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.doc_id, []).append((r.pos, r.fp))
+    assert [p for p, _ in by_id[1]] == [1]
+    assert 2 not in by_id and 3 not in by_id
+    assert len(by_id[4]) == 1 and 1 <= by_id[4][0][0] <= 3
+
+
+def test_winnow_identical_docs_share_all_fps(spark):
+    from web_mass_scraper_ocr_spark.operators.dedup import winnow_fingerprints
+
+    text = " ".join(f"t{i % 17}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    rows = winnow_fingerprints(df).collect()
+    a = {(r.pos, r.fp) for r in rows if r.doc_id == 1}
+    b = {(r.pos, r.fp) for r in rows if r.doc_id == 2}
+    assert a == b and a

@@ -889,3 +889,81 @@ def cluster_representatives(
         .select((-F.col("m.negid")).cast("long").alias(id_col))
     )
     return labeled.join(best, id_col, "left_semi")
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS scheme): hash every k-token gram, slide a
+    window of ``w`` consecutive gram hashes, and select each window's
+    minimum (rightmost on ties).  Guarantee: any shared token run of
+    length >= w + k - 1 contributes at least one IDENTICAL selected
+    fingerprint to both documents, while only ~2/(w+1) of grams are
+    kept — the classic sample-but-never-miss plagiarism/overlap
+    detector, complementing MinHash (whole-doc similarity) with
+    position-aware partial-overlap detection.
+
+    Returns distinct (id, pos, fp): 1-based gram position of each
+    selected fingerprint and its 52-bit hash (md5-derived, exact in a
+    double — cross-engine reproducible like every hash here).  Docs
+    with fewer than ``w`` grams select the rightmost minimum of what
+    they have (one window over the whole doc).
+
+    Scale shape: gram hashing is a per-doc JVM expression chain; the
+    window min is ONE pass ordered by position WITHIN each doc
+    partition (hash-partitioned by id — no global sort, no self-join);
+    output is ~2/(w+1) of gram volume.
+    """
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    df = _fan_out_small_input(df)
+    toks = F.filter(
+        F.split(F.lower(clean_text_col(F.col(text_col))), " "),
+        lambda t: t != F.lit(""),
+    )
+    n_gr = F.size(toks) - F.lit(k - 1)
+    grams = F.when(
+        n_gr >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_gr, F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    positioned = df.select(
+        F.col(id_col),
+        F.greatest(n_gr, F.lit(0)).alias("__m__"),
+        F.posexplode(grams).alias("__p0__", "__gram__"),
+    ).select(
+        id_col,
+        "__m__",
+        (F.col("__p0__") + 1).alias("pos"),
+        F.conv(F.substring(F.md5(F.col("__gram__")), 1, 13), 16, 10)
+        .cast("long")
+        .alias("fp"),
+    )
+    from pyspark.sql.window import Window
+
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    sel = F.min(F.struct(F.col("fp").alias("h"), (-F.col("pos")).alias("np"))).over(
+        win
+    )
+    return (
+        positioned.withColumn("__sel__", sel)
+        .where(F.col("pos") <= F.greatest(F.col("__m__") - F.lit(w - 1), F.lit(1)))
+        .select(
+            id_col,
+            (-F.col("__sel__.np")).cast("int").alias("pos"),
+            F.col("__sel__.h").alias("fp"),
+        )
+        .distinct()
+    )
