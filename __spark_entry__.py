@@ -737,6 +737,22 @@ def q_winnow(spark, sf_dir):
     return winnow_fingerprints(d, k=WINNOW_K, w=WINNOW_W)
 
 
+PHRASE = "table table"  # repeated term: exercises overlap counting
+
+
+def q_phrase_search(spark, sf_dir):
+    """Positional-inverted-index phrase query (operators/search.py
+    phrase_search): docs where the phrase tokens occur consecutively,
+    counted overlap-correctly via the anchor trick (token i at pos p
+    -> anchor p-i; occurrences = anchors shared by ALL terms).  The
+    oracle counts by scanning every token slice, so the gate proves
+    the anchor-join formulation against direct enumeration."""
+    from web_mass_scraper_ocr_spark.operators.search import phrase_search
+
+    d = _t(spark, sf_dir, "documents")
+    return phrase_search(d, PHRASE)
+
+
 def q_canonical_url(spark, sf_dir):
     """URL canonicalization (functions/files.py canonicalize_url):
     fragment strip, scheme/host lowercasing, default-port drop,
@@ -1911,7 +1927,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_explode": q_paragraph_explode,
         "source_union": q_source_union,
         "by_type_map": q_by_type_map,
-        "json_props": q_json_props,
         "safe_key": q_safe_key,
         "guarded_rollup": q_guarded_rollup,
         "data_url_decode": q_data_url_decode,
@@ -1942,20 +1957,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_pairs": q_edit_distance_pairs,
         "cluster_reps": q_cluster_representatives,
         "winnow": q_winnow,
+        "phrase_search": q_phrase_search,
         # --- driver window (~50) ends here.  53 queries need driver
         # verification this round but only 50 fit; the 3 triaged just
         # below the cut are (a) two brand-new ops whose local evidence
         # is strongest (weighted_sample: deterministic md5 sampling
         # w/ dominance+determinism tests; canonical_url: pure
-        # expression fn w/ per-rule+idempotence tests; fingerprint and
-        # clean_text: trivial pure projections, r03-green + golden
-        # kernel tests, unchanged since) plus the two
+        # expression fn w/ per-rule+idempotence tests; fingerprint,
+        # clean_text, json_props: trivial pure projections, r03-green
+        # + golden kernel tests, unchanged since) plus the two
         # r5-changed-but-r04-artifact-covered queries — all green in
         # the committed local gate run (scripts/check_correctness.py).
         "weighted_sample": q_weighted_sample,
         "canonical_url": q_canonical_url,
         "fingerprint": q_fingerprint,
         "clean_text": q_clean_text,
+        "json_props": q_json_props,
         "decontaminate": q_decontaminate,
         "per_host_cap": q_per_host_cap,
         # r04-green, unchanged
@@ -3070,6 +3087,18 @@ SELECT doc_id,
 FROM tf JOIN dfreq USING (term), stats
 GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}""",
+        "phrase_search": f"""
+WITH t AS (
+  SELECT doc_id, list_filter({_TOKENS}, x -> x <> '') AS toks FROM documents
+)
+SELECT doc_id,
+       CAST(len(list_filter(range(1, len(toks) - {len(PHRASE.split())} + 2),
+         p -> array_to_string(toks[CAST(p AS INT):CAST(p + {len(PHRASE.split()) - 1} AS INT)], ' ')
+              = '{PHRASE}')) AS BIGINT) AS n_occurrences
+FROM t
+WHERE len(list_filter(range(1, len(toks) - {len(PHRASE.split())} + 2),
+      p -> array_to_string(toks[CAST(p AS INT):CAST(p + {len(PHRASE.split()) - 1} AS INT)], ' ')
+           = '{PHRASE}')) > 0""",
         "winnow": f"""
 WITH t AS (
   SELECT doc_id, list_filter({_TOKENS}, x -> x <> '') AS toks FROM documents

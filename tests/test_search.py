@@ -84,3 +84,40 @@ def test_bm25_guards(spark):
         bm25_topk(_df(spark), "   ", k=5)
     with pytest.raises(ValueError, match="k must be"):
         bm25_topk(_df(spark), ["spark"], k=0)
+
+
+def test_phrase_search_overlap_counting(spark):
+    """'a a' occurs twice in 'a a a' (overlapping anchors)."""
+    from web_mass_scraper_ocr_spark.operators.search import phrase_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a"),
+            (2, "x a a y"),
+            (3, "a b a"),  # no consecutive pair
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_occurrences for r in phrase_search(df, "a a").collect()}
+    assert got == {1: 2, 2: 1}
+
+
+def test_phrase_search_multi_term_and_case(spark):
+    from web_mass_scraper_ocr_spark.operators.search import phrase_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "the Quick brown fox jumps"),
+            (2, "quick brown stone"),
+            (3, "brown quick fox"),  # wrong order
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.n_occurrences
+        for r in phrase_search(df, "QUICK  Brown fox").collect()
+    }
+    assert got == {1: 1}
+    with pytest.raises(ValueError, match="empty phrase"):
+        phrase_search(df, " ")

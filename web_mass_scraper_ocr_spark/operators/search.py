@@ -141,3 +141,61 @@ def bm25_topk(
         .agg(F.round(F.sum("__contrib__"), 6).alias("score"))
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str | list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokenizer=None,
+) -> DataFrame:
+    """Exact phrase query via a positional inverted index: documents
+    where the phrase's tokens occur CONSECUTIVELY, with the overlap-
+    correct occurrence count (``"a a"`` occurs twice in ``"a a a"`` —
+    a padded-LIKE scan undercounts that; this does not).
+
+    Anchor trick: token i of the phrase at position p contributes
+    anchor ``p - i``; a phrase occurrence exists exactly where ALL
+    phrase tokens agree on one anchor.  So the plan is: posexplode ->
+    filter to phrase terms (the same broadcast-isin-first discipline
+    as bm25_topk — shuffles carry matching tokens only) -> one
+    (id, anchor) equi-join per additional term -> count distinct
+    anchors per doc.  |phrase|-1 joins, each keyed on (id, anchor);
+    no regex scan, no self-join on full token streams.
+
+    Returns (id_col, n_occurrences > 0).
+    """
+    from ..functions.tokenize import resolve_tokenizer
+
+    tok = resolve_tokenizer(tokenizer)
+    if isinstance(phrase, str):
+        spark = docs.sparkSession
+        qrow = spark.createDataFrame([(phrase,)], f"{text_col} string")
+        terms = [
+            t
+            for r in qrow.select(tok.tokens(F.col(text_col)).alias("t")).collect()
+            for t in r.t
+        ]
+    else:
+        terms = list(phrase)
+    if not terms:
+        raise ValueError("empty phrase after tokenization")
+
+    positioned = docs.select(
+        F.col(id_col),
+        F.posexplode(tok.tokens(F.col(text_col))).alias("__pos__", "__tok__"),
+    ).where(F.col("__tok__").isin(list(set(terms))))
+
+    anchors = None
+    for i, term in enumerate(terms):
+        part = positioned.where(F.col("__tok__") == term).select(
+            id_col, (F.col("__pos__") - i).alias("__anchor__")
+        )
+        anchors = part if anchors is None else anchors.join(
+            part, [id_col, "__anchor__"]
+        )
+    return anchors.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
