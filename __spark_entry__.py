@@ -737,6 +737,47 @@ def q_winnow(spark, sf_dir):
     return winnow_fingerprints(d, k=WINNOW_K, w=WINNOW_W)
 
 
+def _hygiene_prefixes():
+    """Deterministic corrupted/accented prefixes for the hygiene
+    query, built FROM the same helper the table uses so both engines
+    see identical bytes (no literals that an editor could mangle)."""
+    from web_mass_scraper_ocr_spark.functions.hygiene import _as_cp1252
+
+    corrupt = lambda s: _as_cp1252(s.encode("utf-8"))  # noqa: E731
+    return [
+        corrupt("déjà vu — “great” café"),
+        "naïve café ñandú",
+        "Ørsted Łódź žů",
+        "plain ascii",
+    ]
+
+
+def q_text_hygiene(spark, sf_dir):
+    """Web-text hygiene (functions/hygiene.py): mojibake repair (the
+    75-entry utf8-as-cp1252 table, longest-first replace chain) then
+    accent folding (one 171-pair translate) over documents with
+    deterministic corrupted prefixes.  The oracle SQL is GENERATED
+    from the same table constants, so the mapping cannot diverge."""
+    from web_mass_scraper_ocr_spark.functions.hygiene import (
+        fix_mojibake,
+        strip_accents,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pres = _hygiene_prefixes()
+    pre = F.element_at(
+        F.array(*[F.lit(p) for p in pres]),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    txt = F.concat(pre, F.lit(" | "), F.substring(F.col("text"), 1, 40))
+    fixed = fix_mojibake(txt)
+    return d.select(
+        "doc_id",
+        fixed.alias("fixed"),
+        strip_accents(fixed).alias("folded"),
+    )
+
+
 PHRASE = "table table"  # repeated term: exercises overlap counting
 
 
@@ -1929,7 +1970,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "by_type_map": q_by_type_map,
         "safe_key": q_safe_key,
         "guarded_rollup": q_guarded_rollup,
-        "data_url_decode": q_data_url_decode,
         "url_parse": q_url_parse,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_bucketed": q_embedding_neardup_bucketed,
@@ -1958,6 +1998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_reps": q_cluster_representatives,
         "winnow": q_winnow,
         "phrase_search": q_phrase_search,
+        "text_hygiene": q_text_hygiene,
         # --- driver window (~50) ends here.  53 queries need driver
         # verification this round but only 50 fit; the 3 triaged just
         # below the cut are (a) two brand-new ops whose local evidence
@@ -1973,6 +2014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "clean_text": q_clean_text,
         "json_props": q_json_props,
+        "data_url_decode": q_data_url_decode,
         "decontaminate": q_decontaminate,
         "per_host_cap": q_per_host_cap,
         # r04-green, unchanged
@@ -2314,7 +2356,35 @@ FROM uniq WHERE doc_key NOT IN (SELECT doc_key FROM losers)"""
 def oracle_sql() -> dict[str, str]:
     clean = _CLEAN_TEXT
     words = f"(CASE WHEN {clean} = '' THEN 0 ELSE len(string_split({clean}, ' ')) END)"
+
+    # text_hygiene oracle is GENERATED from the hygiene table constants
+    # (same mapping by construction; independent implementation: SQL
+    # replace/translate vs Catalyst expression chain)
+    from web_mass_scraper_ocr_spark.functions.hygiene import (
+        ACCENT_DST,
+        ACCENT_SRC,
+        MOJIBAKE_TABLE,
+    )
+
+    _fix = "t.s"
+    for _bad, _good in MOJIBAKE_TABLE:
+        _fix = f"replace({_fix}, '{_bad}', '{_good}')"
+    _prefix_case = " ".join(
+        f"WHEN {i} THEN '{p}'" for i, p in enumerate(_hygiene_prefixes())
+    )
+    _hygiene_sql = f"""
+WITH t AS (
+  SELECT doc_id,
+         (CASE doc_id % 4 {_prefix_case} END) || ' | ' || substr(text, 1, 40) AS s
+  FROM documents
+),
+f AS (SELECT doc_id, {_fix} AS fixed FROM t)
+SELECT doc_id, fixed,
+       translate(fixed, '{ACCENT_SRC}', '{ACCENT_DST}') AS folded
+FROM f"""
+
     sql = {
+        "text_hygiene": _hygiene_sql,
         "pricing_rollup": f"""
 SELECT l_returnflag, l_linestatus,
   CAST(sum(CAST(l_quantity AS DECIMAL(15,4))) AS DOUBLE) AS sum_qty,

@@ -307,3 +307,48 @@ def test_canonicalize_url_idempotent_and_null(spark):
     twice = once.select(canonicalize_url(F.col("c")).alias("c"))
     assert [r.c for r in once.collect()] == [r.c for r in twice.collect()]
     assert once.collect()[-1].c is None
+
+
+def test_strip_accents_and_mojibake_table(spark):
+    from pyspark.sql import functions as F
+
+    from web_mass_scraper_ocr_spark.functions.hygiene import (
+        _as_cp1252,
+        fix_mojibake,
+        strip_accents,
+    )
+
+    corrupted = _as_cp1252("déjà — “naïve” café".encode("utf-8"))
+    df = spark.createDataFrame(
+        [(corrupted,), ("plain text",), (None,)], "s string"
+    )
+    rows = df.select(
+        fix_mojibake(F.col("s")).alias("fixed"),
+        strip_accents(fix_mojibake(F.col("s"))).alias("folded"),
+    ).collect()
+    assert rows[0].fixed == "déjà — “naïve” café"
+    assert rows[0].folded == "deja — “naive” cafe"
+    assert rows[1].fixed == "plain text" and rows[1].folded == "plain text"
+    assert rows[2].fixed is None and rows[2].folded is None
+
+
+def test_mojibake_roundtrip_general_and_guarded(spark):
+    """The roundtrip repairs sequences OUTSIDE the table (e.g. Greek,
+    CJK mojibake) and never touches legitimate accented text."""
+    from pyspark.sql import functions as F
+
+    from web_mass_scraper_ocr_spark.functions.hygiene import (
+        _as_cp1252,
+        fix_mojibake_roundtrip,
+    )
+
+    greek = _as_cp1252("αβγ δέλτα".encode("utf-8"))
+    cjk = _as_cp1252("数据 管道".encode("utf-8"))
+    legit = "São Paulo — naïve café"  # proper text, must pass through
+    df = spark.createDataFrame(
+        [(greek,), (cjk,), (legit,)], "s string"
+    )
+    rows = df.select(fix_mojibake_roundtrip(F.col("s")).alias("r")).collect()
+    assert rows[0].r == "αβγ δέλτα"
+    assert rows[1].r == "数据 管道"
+    assert rows[2].r == legit

@@ -1,0 +1,147 @@
+"""Web-text hygiene: accent folding and mojibake repair.
+
+Scraped corpora carry two classic encoding scars: accented text that
+downstream ASCII-only stages mangle, and UTF-8 bytes that were decoded
+as cp1252 somewhere upstream (Ã© where é was meant).
+
+Both fixes are TABLE-driven literal transforms, and the tables are
+built deterministically at import (NFD fold / utf8-bytes-as-cp1252)
+rather than typed as literals — invisible characters in source
+literals are unreviewable, and the correctness-gate oracle is
+generated FROM these constants (__spark_entry__ interpolates
+ACCENT_SRC/ACCENT_DST/MOJIBAKE_TABLE into its SQL), so Spark and the
+oracle can never disagree on the mapping.  Engine-native helpers
+(e.g. a builtin strip_accents) are refused for exactly that reason:
+their edge-codepoint behavior differs silently across engines.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _nfd_fold(ch: str) -> str | None:
+    """ASCII base letter of ``ch`` via NFD decomposition, or None if
+    the fold is not a single ASCII char (translate() needs 1:1)."""
+    stripped = "".join(
+        c for c in unicodedata.normalize("NFD", ch) if not unicodedata.combining(c)
+    )
+    return stripped if len(stripped) == 1 and stripped.isascii() else None
+
+
+# Latin-1 supplement letters + Latin Extended-A, NFD-foldable subset,
+# plus the handful of 1:1 letters NFD cannot decompose.
+_EXTRA_FOLDS = {
+    "Ø": "O",  # Ø
+    "ø": "o",  # ø
+    "Đ": "D",  # Đ
+    "đ": "d",  # đ
+    "Ħ": "H",  # Ħ
+    "ħ": "h",  # ħ
+    "Ł": "L",  # Ł
+    "ł": "l",  # ł
+    "Ŧ": "T",  # Ŧ
+    "ŧ": "t",  # ŧ
+}
+_folds: dict[str, str] = {}
+for _cp in list(range(0xC0, 0x100)) + list(range(0x100, 0x180)):
+    _ch = chr(_cp)
+    _f = _nfd_fold(_ch)
+    if _f is not None and _f != _ch:
+        _folds[_ch] = _f
+_folds.update(_EXTRA_FOLDS)
+ACCENT_SRC = "".join(sorted(_folds))
+ACCENT_DST = "".join(_folds[c] for c in sorted(_folds))
+assert len(ACCENT_SRC) == len(ACCENT_DST)
+
+
+def strip_accents(col: Column) -> Column:
+    """ASCII-fold accented Latin letters (é->e, Ñ->N,
+    ž->z) in ONE translate() pass over the literal
+    ``ACCENT_SRC``/``ACCENT_DST`` pair.  Characters outside the table
+    pass through unchanged; NULL-safe."""
+    return F.translate(col, ACCENT_SRC, ACCENT_DST)
+
+
+def _as_cp1252(bs: bytes) -> str:
+    """What a cp1252 viewer shows for ``bs`` — with the latin-1
+    fallback real decoders apply to the five undefined cp1252 bytes."""
+    out = []
+    for b in bs:
+        try:
+            out.append(bytes([b]).decode("cp1252"))
+        except UnicodeDecodeError:
+            out.append(bytes([b]).decode("latin-1"))
+    return "".join(out)
+
+
+# intended characters whose UTF-8 bytes commonly surface as cp1252
+# mojibake in scraped text: curly quotes, dashes, ellipsis, bullet,
+# guillemets, degree/middot, NBSP (repaired to plain space), and the
+# Latin-1 letters.
+_NBSP = "\u00a0"
+_MOJIBAKE_INTENDED = (
+    "“”‘’–—…•"
+    "«»°·" + _NBSP
+    + "".join(chr(c) for c in range(0xC0, 0x100) if chr(c) not in "×÷")
+)
+MOJIBAKE_TABLE: list[tuple[str, str]] = sorted(
+    (
+        (_as_cp1252(ch.encode("utf-8")), " " if ch == _NBSP else ch)
+        for ch in _MOJIBAKE_INTENDED
+    ),
+    key=lambda kv: -len(kv[0]),
+)
+assert len({k for k, _ in MOJIBAKE_TABLE}) == len(MOJIBAKE_TABLE)
+
+
+def fix_mojibake(col: Column) -> Column:
+    """Repair classic UTF-8-read-as-cp1252 web mojibake
+    (Ã© -> é, â€™ -> ’) with a
+    longest-key-first chain of literal replace() calls over
+    ``MOJIBAKE_TABLE``.  Clean text passes through unchanged — the
+    corrupted digraphs essentially never occur intentionally.  For
+    arbitrary sequences beyond the table see
+    :func:`fix_mojibake_roundtrip`."""
+    out = col
+    for bad, good in MOJIBAKE_TABLE:
+        out = F.replace(out, F.lit(bad), F.lit(good))
+    return out
+
+
+# the 27 bytes 0x80-0x9F that cp1252 displays as printable chars —
+# mapped back to their raw C1 codepoints so a Latin-1 re-encode (the
+# only 8-bit charset Spark's encode() supports) reproduces the
+# original corrupted bytes exactly
+_CP1252_SHOWN = "".join(
+    _as_cp1252(bytes([b])) for b in range(0x80, 0xA0)
+)
+_C1_RAW = "".join(chr(b) for b in range(0x80, 0xA0))
+
+
+def fix_mojibake_roundtrip(col: Column) -> Column:
+    """General repair: translate cp1252-display characters back to
+    their raw C1 codepoints, re-encode as Latin-1, decode as UTF-8 —
+    the exact inverse of the corruption, for ANY sequence, not just
+    the table.  Applied ONLY to rows matching a mojibake signature
+    (one of the UTF-8 lead-byte display chars followed by a
+    continuation-range display char) so legitimate text containing
+    those letters is never touched.  JVM translate/encode/decode, no
+    UDF.  Not SQL-oracle-able (no charset transcoding in the oracle
+    engine) — covered by pytest round-trip tests instead."""
+    # UTF-8 lead bytes 0xC2-0xEF display as the contiguous cp1252(=
+    # latin1 there) range Â..ï; continuation bytes 0x80-0xBF display
+    # as the cp1252 punctuation + latin1 symbol chars
+    cont = "".join(
+        sorted(set(_as_cp1252(bytes([b])) for b in range(0x80, 0xC0)))
+    )
+    cls = "".join(c if c not in "[]\\^-" else "\\" + c for c in cont)
+    sig = col.rlike("[Â-ï][" + cls + "]")
+    fixed = F.decode(
+        F.encode(F.translate(col, _CP1252_SHOWN, _C1_RAW), "ISO-8859-1"),
+        "UTF-8",
+    )
+    return F.when(sig, fixed).otherwise(col)
