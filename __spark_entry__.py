@@ -778,6 +778,33 @@ def q_text_hygiene(spark, sf_dir):
     )
 
 
+def q_corpus_diff(spark, sf_dir):
+    """Corpus version diff (operators/incremental.py corpus_diff):
+    added/removed/changed rows between two snapshots; each side
+    reduces to (id, md5) before the full-outer join so shuffles never
+    carry document bodies; unchanged rows excluded by design.  New
+    snapshot = documents minus %7 rows, %5 texts modified, %11 rows
+    re-added under shifted ids."""
+    from web_mass_scraper_ocr_spark.operators.incremental import corpus_diff
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = (
+        d.where(F.col("doc_id") % 7 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.lit("v2 "), F.col("text"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return corpus_diff(d, new)
+
+
 PHRASE = "table table"  # repeated term: exercises overlap counting
 
 
@@ -1968,7 +1995,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_explode": q_paragraph_explode,
         "source_union": q_source_union,
         "by_type_map": q_by_type_map,
-        "safe_key": q_safe_key,
         "guarded_rollup": q_guarded_rollup,
         "url_parse": q_url_parse,
         "embedding_neardup": q_embedding_neardup,
@@ -1999,6 +2025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow": q_winnow,
         "phrase_search": q_phrase_search,
         "text_hygiene": q_text_hygiene,
+        "corpus_diff": q_corpus_diff,
         # --- driver window (~50) ends here.  53 queries need driver
         # verification this round but only 50 fit; the 3 triaged just
         # below the cut are (a) two brand-new ops whose local evidence
@@ -2015,6 +2042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_text": q_clean_text,
         "json_props": q_json_props,
         "data_url_decode": q_data_url_decode,
+        "safe_key": q_safe_key,
         "decontaminate": q_decontaminate,
         "per_host_cap": q_per_host_cap,
         # r04-green, unchanged
@@ -3157,6 +3185,27 @@ SELECT doc_id,
 FROM tf JOIN dfreq USING (term), stats
 GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}""",
+        "corpus_diff": """
+WITH o AS (SELECT doc_id, text FROM documents),
+n AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN 'v2 ' || text ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0
+),
+j AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         o.doc_id IS NULL AS no_old, n.doc_id IS NULL AS no_new,
+         md5(o.text) AS mo, md5(n.text) AS mn
+  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+)
+SELECT doc_id,
+       CASE WHEN no_old THEN 'added'
+            WHEN no_new THEN 'removed'
+            WHEN mo IS DISTINCT FROM mn THEN 'changed' END AS status
+FROM j
+WHERE no_old OR no_new OR mo IS DISTINCT FROM mn""",
         "phrase_search": f"""
 WITH t AS (
   SELECT doc_id, list_filter({_TOKENS}, x -> x <> '') AS toks FROM documents

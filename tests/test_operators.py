@@ -936,3 +936,28 @@ def test_winnow_identical_docs_share_all_fps(spark):
     a = {(r.pos, r.fp) for r in rows if r.doc_id == 1}
     b = {(r.pos, r.fp) for r in rows if r.doc_id == 2}
     assert a == b and a
+
+
+def test_corpus_diff_statuses(spark):
+    from web_mass_scraper_ocr_spark.operators.incremental import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, None), (5, "e")], "doc_id long, text string"
+    )
+    got = {(r.doc_id, r.status) for r in corpus_diff(old, new).collect()}
+    # 1 unchanged (excluded), 4 NULL==NULL unchanged (excluded)
+    assert got == {(2, "changed"), (3, "removed"), (5, "added")}
+
+
+def test_corpus_diff_duplicate_ids_raise(spark):
+    import pytest as _pytest
+
+    from web_mass_scraper_ocr_spark.operators.incremental import corpus_diff
+
+    old = spark.createDataFrame([(1, "a"), (1, "b")], "doc_id long, text string")
+    new = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="duplicate"):
+        corpus_diff(old, new)

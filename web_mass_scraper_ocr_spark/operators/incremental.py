@@ -166,3 +166,59 @@ def incremental_lsh_near_duplicates(
     return jaccard_verified_pairs(
         common, new_sizes, corp_sizes, threshold, a_col="new_id", b_col="corpus_id"
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Audit diff between two corpus versions: (id, status) for every
+    row that is ``added`` (only in new), ``removed`` (only in old), or
+    ``changed`` (both, different content fingerprint).  UNCHANGED rows
+    are excluded by design — at corpus scale they are ~all rows, and a
+    diff that materializes them is a full re-export.
+
+    Content equality is md5(text) with NULL-safe semantics (NULL text
+    on both sides = unchanged).  Scale shape: each side reduces to
+    (id, md5) BEFORE the join — the shuffle carries two narrow columns
+    per row, never document bodies — then one full-outer equi-join on
+    id and a post-filter that Catalyst pushes tightly.  Duplicate ids
+    within a side violate the snapshot contract and raise.
+    """
+    def _sig(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.md5(F.col(text_col)).alias(f"__md5_{side}__"),
+            F.lit(1).alias(f"__in_{side}__"),
+        )
+
+    o, n = _sig(old, "old"), _sig(new, "new")
+    for side, frame in (("old", o), ("new", n)):
+        dup = (
+            frame.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"duplicate {id_col} in {side} snapshot: {dup[0][0]!r}"
+            )
+    joined = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("__in_old__").isNull(), F.lit("added"))
+        .when(F.col("__in_new__").isNull(), F.lit("removed"))
+        .when(
+            ~F.col("__md5_old__").eqNullSafe(F.col("__md5_new__")),
+            F.lit("changed"),
+        )
+    )
+    return (
+        joined.withColumn("status", status)
+        .where(F.col("status").isNotNull())
+        .select(id_col, "status")
+    )
