@@ -691,3 +691,54 @@ def test_table_merge_into_modes_and_guards(spark, tmp_path):
             when_matched=None,
             when_not_matched=None,
         )
+
+
+def test_cli_search_and_diff_smoke(spark, tmp_path):
+    """python -m web_mass_scraper_ocr_spark search/diff — one JSON line."""
+    import contextlib
+    import io
+    import json as _json
+
+    from web_mass_scraper_ocr_spark.__main__ import main
+
+    docs = spark.createDataFrame(
+        [(1, "spark window agg"), (2, "window window table"), (3, "scan row")],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "docs"))
+    new = spark.createDataFrame(
+        [(1, "spark window agg"), (2, "CHANGED"), (4, "added doc")],
+        "doc_id long, text string",
+    )
+    new.write.mode("overwrite").parquet(str(tmp_path / "new"))
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main([
+            "search", "--input", str(tmp_path / "docs"),
+            "--query", "window", "--k", "2", "--master", "local[2]",
+        ])
+    assert rc == 0
+    out = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["mode"] == "bm25" and len(out["hits"]) == 2
+    assert out["hits"][0][0] == 2  # doc 2 has tf=2 for 'window'
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main([
+            "search", "--input", str(tmp_path / "docs"),
+            "--query", "window window", "--phrase", "--master", "local[2]",
+        ])
+    assert rc == 0
+    out = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["mode"] == "phrase" and out["hits"] == [[2, 1]]
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main([
+            "diff", "--old", str(tmp_path / "docs"), "--new", str(tmp_path / "new"),
+            "--master", "local[2]",
+        ])
+    assert rc == 0
+    out = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert (out["added"], out["removed"], out["changed"]) == (1, 1, 1)

@@ -183,6 +183,32 @@ def main(argv: list[str] | None = None) -> int:
                       help="SQL predicate; rows where it is TRUE are deleted")
     pdel.add_argument("--master", default=None)
 
+    pq = sub.add_parser(
+        "search",
+        help="BM25 keyword search (or exact phrase search) over a "
+             "document parquet",
+    )
+    _add_common(pq)
+    pq.add_argument("--query", required=True)
+    pq.add_argument("--k", type=int, default=10)
+    pq.add_argument("--phrase", action="store_true",
+                    help="exact consecutive-token phrase match instead of BM25")
+    pq.add_argument("--id-col", default="doc_id")
+    pq.add_argument("--text-col", default="text")
+
+    pdf = sub.add_parser(
+        "diff",
+        help="corpus snapshot diff: added/removed/changed rows between "
+             "two document parquets",
+    )
+    pdf.add_argument("--old", required=True)
+    pdf.add_argument("--new", required=True)
+    pdf.add_argument("--id-col", default="doc_id")
+    pdf.add_argument("--text-col", default="text")
+    pdf.add_argument("--output", default=None,
+                     help="optional parquet path for the full diff")
+    pdf.add_argument("--master", default=None)
+
     args = parser.parse_args(argv)
     spark = get_spark(master=args.master)
 
@@ -394,6 +420,59 @@ def main(argv: list[str] | None = None) -> int:
         t = table(args.warehouse, args.table)
         res = t.delete_where(spark, args.where)
         print(json.dumps({"table": args.table, **res}))
+        return 0
+
+    if args.cmd == "search":
+        docs = spark.read.parquet(args.input)
+        if args.phrase:
+            from .operators.search import phrase_search
+
+            hits = phrase_search(
+                docs, args.query, id_col=args.id_col, text_col=args.text_col
+            ).orderBy("n_occurrences", ascending=False).limit(args.k)
+            rows = [[r[args.id_col], r.n_occurrences] for r in hits.collect()]
+            print(json.dumps({"mode": "phrase", "query": args.query, "hits": rows}))
+        else:
+            from .operators.search import bm25_topk
+
+            hits = bm25_topk(
+                docs, args.query, k=args.k,
+                id_col=args.id_col, text_col=args.text_col,
+            )
+            rows = [[r[args.id_col], r.score] for r in hits.collect()]
+            print(json.dumps({"mode": "bm25", "query": args.query, "hits": rows}))
+        return 0
+
+    if args.cmd == "diff":
+        from pyspark.sql import functions as F
+
+        from .operators.incremental import corpus_diff
+
+        d = corpus_diff(
+            spark.read.parquet(args.old),
+            spark.read.parquet(args.new),
+            id_col=args.id_col,
+            text_col=args.text_col,
+        )
+        if args.output:
+            d.write.mode("overwrite").parquet(args.output)
+            d = spark.read.parquet(args.output)
+        counts = {
+            r.status: r.c
+            for r in d.groupBy("status").agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+        print(
+            json.dumps(
+                {
+                    "old": args.old,
+                    "new": args.new,
+                    "output": args.output,
+                    "added": counts.get("added", 0),
+                    "removed": counts.get("removed", 0),
+                    "changed": counts.get("changed", 0),
+                }
+            )
+        )
         return 0
 
     return 2
