@@ -68,6 +68,43 @@ def force(df) -> int:
     return 0
 
 
+def _canary_spin(_arg):
+    """1.5 s pure-CPU spin; returns loop ops done (module-level so the
+    multiprocessing pool can pickle it under any start method)."""
+    t0 = time.monotonic()
+    n = 0
+    while time.monotonic() - t0 < 1.5:
+        for _ in range(100_000):
+            n += 1
+    return n
+
+
+def host_canary(cpus: int) -> dict:
+    """Fixed pure-CPU reference workload measured at bench time, so a
+    drifted wall can be attributed to the HOST (sandboxed vCPUs share
+    a hypervisor whose load varies run-to-run — measured ~10% steal
+    under full load on 2026-08-17) instead of guessing: single-core
+    spin ops/sec, all-core aggregate ops/sec, and the steal fraction
+    during the load window.  Walls from different rounds are
+    comparable only at similar canary readings."""
+    import multiprocessing as mp
+
+    def _stat():
+        f = open("/proc/stat").readline().split()
+        return int(f[8]), sum(int(x) for x in f[1:])
+
+    one = _canary_spin(0) / 1.5
+    s0, t0 = _stat()
+    with mp.Pool(int(cpus)) as pool:
+        allc = sum(pool.map(_canary_spin, range(int(cpus)))) / 1.5
+    s1, t1 = _stat()
+    return {
+        "single_mops": round(one / 1e6, 1),
+        "allcore_mops": round(allc / 1e6, 1),
+        "steal_pct": round(100 * (s1 - s0) / max(t1 - t0, 1), 1),
+    }
+
+
 def main() -> None:
     _repin()
 
@@ -134,6 +171,7 @@ def main() -> None:
     sidecar = {
         **payload,
         "cpus": int(cpus),
+        "host_canary": host_canary(cpus),
         "reps": reps,
         "pinned": os.environ.get("SPARK_GRAFT_BENCH_PINNED") == "1",
         "extraction_turns": n_turns,
