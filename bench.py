@@ -211,7 +211,7 @@ def main() -> None:
             order = sorted(
                 (k for k in ds if k != "_folded"), key=lambda k: timings[k]
             )
-            fold = order[: max(4, len(order) // 8)]
+            fold = order[:4]  # minimal step: fold only what must fold
             prev = ds.pop("_folded", {"n": 0, "ds": 0})
             for k in fold:
                 prev["n"] += 1
