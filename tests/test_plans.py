@@ -166,3 +166,53 @@ def test_surprisal_no_forced_broadcast_on_vocabulary(spark):
     assert opt.count("hints=(strategy=broadcast)") <= 1
     plan = _plan(unigram_surprisal(d, "doc_id", "text"))
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_bm25_plan_shape(spark):
+    """Query-term filter precedes aggregation (the scan's pushed/post
+    filter carries the isin list) and the df side joins broadcast;
+    top-k is TakeOrdered, never a global sort."""
+    plan = _plan(entrymod.queries()["bm25_search"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("merge") >= 1  # the term literals reached the plan
+    assert "CartesianProduct" not in plan
+
+
+def test_phrase_search_plan_no_cartesian(spark):
+    plan = _plan(entrymod.queries()["phrase_search"](spark, SF))
+    assert "CartesianProduct" not in plan
+    # anchor joins are equi-joins (hash or sort-merge), not NL joins
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    plan = _plan(entrymod.queries()["weighted_sample"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Sort ") == 0 or "global=true" not in plan
+
+
+def test_winnow_single_doc_partition_window(spark):
+    """One window pass partitioned by doc id — exactly one exchange
+    feeds the window sort (plus whatever the small-input fan-out
+    adds), and no self-join exists."""
+    plan = _plan(entrymod.queries()["winnow"](spark, SF))
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_edit_distance_pairs_equi_join_on_variant(spark):
+    plan = _plan(entrymod.queries()["edit_distance_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_diff_shuffles_signatures_not_bodies(spark):
+    """The full-outer join's exchanges must carry (id, md5) columns,
+    never the text column itself."""
+    plan = _plan(entrymod.queries()["corpus_diff"](spark, SF))
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1)
