@@ -805,6 +805,27 @@ def q_corpus_diff(spark, sf_dir):
     return corpus_diff(d, new)
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher quality rules (functions/gopher.py, Rae et al. 2021
+    A1.1): word-count bounds, mean word length, symbol ratio, bullet /
+    ellipsis line fractions, alphabetic-word fraction, stop-word
+    presence — all per-row array expressions, zero shuffles."""
+    from web_mass_scraper_ocr_spark.functions.gopher import gopher_quality_frame
+
+    return gopher_quality_frame(_t(spark, sf_dir, "documents"))
+
+
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher repetition rules (functions/gopher.py): duplicate line /
+    paragraph fractions (count- and char-weighted, per-row array
+    exprs) + top n-gram char fraction (n=2..4, tie-free max-of-
+    products) + duplicated n-gram coverage (n=5..10, positional) —
+    one explode + hash-agg pass per n, linear in token volume."""
+    from web_mass_scraper_ocr_spark.functions.gopher import gopher_repetition_frame
+
+    return gopher_repetition_frame(_t(spark, sf_dir, "documents"))
+
+
 PHRASE = "table table"  # repeated term: exercises overlap counting
 
 
@@ -1996,7 +2017,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_union": q_source_union,
         "by_type_map": q_by_type_map,
         "guarded_rollup": q_guarded_rollup,
-        "url_parse": q_url_parse,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_bucketed": q_embedding_neardup_bucketed,
         "semdedup": q_semdedup,
@@ -2004,7 +2024,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_url": q_validate_url,
         "validate_payload": q_validate_payload,
         "safe_filename": q_safe_filename,
-        "json_encode": q_json_encode,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "hypertable_rollup": q_hypertable_rollup,
@@ -2026,6 +2045,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "text_hygiene": q_text_hygiene,
         "corpus_diff": q_corpus_diff,
+        "gopher_quality": q_gopher_quality,
+        "gopher_repetition": q_gopher_repetition,
         # --- driver window (~50) ends here.  53 queries need driver
         # verification this round but only 50 fit; the 3 triaged just
         # below the cut are (a) two brand-new ops whose local evidence
@@ -2043,6 +2064,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": q_json_props,
         "data_url_decode": q_data_url_decode,
         "safe_key": q_safe_key,
+        "json_encode": q_json_encode,
+        "url_parse": q_url_parse,
         "decontaminate": q_decontaminate,
         "per_host_cap": q_per_host_cap,
         # r04-green, unchanged
@@ -2411,8 +2434,162 @@ SELECT doc_id, fixed,
        translate(fixed, '{ACCENT_SRC}', '{ACCENT_DST}') AS folded
 FROM f"""
 
+    # gopher oracles: generated from functions/gopher.py constants so
+    # thresholds/stopwords can never diverge from the Spark side
+    from web_mass_scraper_ocr_spark.functions import gopher as G
+
+    _toks = f"list_filter(string_split({clean}, ' '), x -> x <> '')"
+    _lns = (
+        "list_filter(list_transform(string_split(text, chr(10)), "
+        "l -> trim(l)), l -> l <> '')"
+    )
+    _paras = (
+        "list_filter(list_transform(string_split(text, chr(10) || chr(10)), "
+        "p -> trim(p)), p -> p <> '')"
+    )
+    _stops = ", ".join(f"'{s}'" for s in G.GOPHER_STOPWORDS)
+    _gq_sql = f"""
+WITH w AS (
+  SELECT doc_id, {_toks} AS toks, {_lns} AS lns FROM documents
+),
+sig AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+      / CAST(greatest(len(toks), 1) AS DOUBLE) AS mean_word_len,
+    (len(list_filter(toks, t -> contains(t, '#')))
+     + len(list_filter(toks, t -> contains(t, '...') OR contains(t, '…'))))
+      / CAST(greatest(len(toks), 1) AS DOUBLE) AS symbol_word_ratio,
+    len(list_filter(lns, l -> substr(l, 1, 1) IN ('-', '*', '•')))
+      / CAST(greatest(len(lns), 1) AS DOUBLE) AS bullet_line_fraction,
+    len(list_filter(lns, l -> ends_with(l, '...') OR ends_with(l, '…')))
+      / CAST(greatest(len(lns), 1) AS DOUBLE) AS ellipsis_line_fraction,
+    len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+      / CAST(greatest(len(toks), 1) AS DOUBLE) AS alpha_word_fraction,
+    CAST(len(list_intersect(list_distinct(list_transform(toks, t -> lower(t))),
+                            [{_stops}])) AS BIGINT) AS stopword_hits
+  FROM w
+)
+SELECT *,
+  coalesce(n_words >= {G.MIN_WORDS} AND n_words <= {G.MAX_WORDS}
+    AND mean_word_len >= {G.MIN_MEAN_WORD_LEN} AND mean_word_len <= {G.MAX_MEAN_WORD_LEN}
+    AND symbol_word_ratio <= {G.MAX_SYMBOL_WORD_RATIO}
+    AND bullet_line_fraction <= {G.MAX_BULLET_LINE_FRACTION}
+    AND ellipsis_line_fraction <= {G.MAX_ELLIPSIS_LINE_FRACTION}
+    AND alpha_word_fraction >= {G.MIN_ALPHA_WORD_FRACTION}
+    AND stopword_hits >= {G.MIN_STOPWORD_HITS}, FALSE) AS passes
+FROM sig"""
+
+    def _dupfrac(u):
+        tot = f"coalesce(list_sum(list_transform({u}, x -> length(x))), 0)"
+        dis = (
+            f"coalesce(list_sum(list_transform(list_distinct({u}), "
+            "x -> length(x))), 0)"
+        )
+        return (
+            f"(len({u}) - len(list_distinct({u})))"
+            f" / CAST(greatest(len({u}), 1) AS DOUBLE)",
+            f"({tot} - {dis}) / CAST(greatest({tot}, 1) AS DOUBLE)",
+        )
+
+    _dl, _dlc = _dupfrac("lns")
+    _dp, _dpc = _dupfrac("paras")
+    _gr_ctes = [
+        f"""base AS (
+  SELECT doc_id, {_toks} AS toks, {_lns} AS lns, {_paras} AS paras
+  FROM documents
+)""",
+        f"""core AS (
+  SELECT doc_id, toks,
+    {_dl} AS dup_line_fraction,
+    {_dlc} AS dup_line_char_fraction,
+    {_dp} AS dup_para_fraction,
+    {_dpc} AS dup_para_char_fraction,
+    greatest(coalesce(list_sum(list_transform(toks, t -> length(t))), 0), 1) AS chars
+  FROM base
+)""",
+        """tl AS (
+  SELECT doc_id, CAST(i AS INT) AS pos, length(toks[CAST(i AS INT)]) AS len
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM base)
+)""",
+    ]
+    _gr_joins, _gr_cols, _gr_pass = [], [], []
+    for n, t in sorted(G.MAX_TOP_NGRAM_CHAR_FRACTION.items()):
+        _gr_ctes.append(
+            f"""g{n} AS (
+  SELECT doc_id, max(c * (length(g) - {n - 1})) AS v
+  FROM (SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id,
+                     array_to_string(toks[CAST(i AS INT):CAST(i + {n - 1} AS INT)], ' ') AS g
+              FROM (SELECT doc_id, toks,
+                           unnest(range(1, greatest(len(toks) - {n - 1}, 0) + 1)) AS i
+                    FROM base))
+        GROUP BY doc_id, g)
+  GROUP BY doc_id
+)"""
+        )
+        _gr_joins.append(f"LEFT JOIN g{n} USING (doc_id)")
+        _gr_cols.append(
+            f"coalesce(g{n}.v, 0) / CAST(core.chars AS DOUBLE)"
+            f" AS top_{n}gram_char_fraction"
+        )
+        _gr_pass.append(f"top_{n}gram_char_fraction <= {t}")
+    for n, t in sorted(G.MAX_DUP_NGRAM_CHAR_FRACTION.items()):
+        _gr_ctes.append(
+            f"""pg{n} AS (
+  SELECT doc_id, CAST(i AS INT) AS i,
+         array_to_string(toks[CAST(i AS INT):CAST(i + {n - 1} AS INT)], ' ') AS g
+  FROM (SELECT doc_id, toks,
+               unnest(range(1, greatest(len(toks) - {n - 1}, 0) + 1)) AS i
+        FROM base)
+)"""
+        )
+        _gr_ctes.append(
+            f"""d{n} AS (
+  SELECT doc_id, g FROM pg{n} GROUP BY doc_id, g HAVING count(*) >= 2
+)"""
+        )
+        _gr_ctes.append(
+            f"""c{n} AS (
+  SELECT cp.doc_id, sum(tl.len) AS v
+  FROM (SELECT DISTINCT p.doc_id, p.i + u.o AS pos
+        FROM pg{n} p JOIN d{n} USING (doc_id, g)
+        CROSS JOIN (SELECT unnest(range(0, {n})) AS o) u) cp
+  JOIN tl ON tl.doc_id = cp.doc_id AND tl.pos = cp.pos
+  GROUP BY cp.doc_id
+)"""
+        )
+        _gr_joins.append(f"LEFT JOIN c{n} USING (doc_id)")
+        _gr_cols.append(
+            f"coalesce(c{n}.v, 0) / CAST(core.chars AS DOUBLE)"
+            f" AS dup_{n}gram_char_fraction"
+        )
+        _gr_pass.append(f"dup_{n}gram_char_fraction <= {t}")
+    _gr_sql = (
+        "WITH "
+        + ",\n".join(_gr_ctes)
+        + """
+SELECT doc_id, dup_line_fraction, dup_line_char_fraction,
+       dup_para_fraction, dup_para_char_fraction,
+       """
+        + ",\n       ".join(_gr_cols)
+        + "\nFROM core "
+        + " ".join(_gr_joins)
+    )
+    _gr_sql = f"""
+WITH inner_q AS ({_gr_sql})
+SELECT *,
+  coalesce(dup_line_fraction <= {G.MAX_DUP_LINE_FRACTION}
+    AND dup_line_char_fraction <= {G.MAX_DUP_LINE_CHAR_FRACTION}
+    AND dup_para_fraction <= {G.MAX_DUP_PARA_FRACTION}
+    AND dup_para_char_fraction <= {G.MAX_DUP_PARA_CHAR_FRACTION}
+    AND {" AND ".join(_gr_pass)}, FALSE) AS passes
+FROM inner_q"""
+
     sql = {
         "text_hygiene": _hygiene_sql,
+        "gopher_quality": _gq_sql,
+        "gopher_repetition": _gr_sql,
         "pricing_rollup": f"""
 SELECT l_returnflag, l_linestatus,
   CAST(sum(CAST(l_quantity AS DECIMAL(15,4))) AS DOUBLE) AS sum_qty,

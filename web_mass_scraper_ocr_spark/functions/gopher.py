@@ -1,0 +1,308 @@
+"""The Gopher corpus-filter suite (Rae et al. 2021, appendix A1.1) as
+Catalyst expression chains — the published quality + repetition rules
+most production web-corpus builds start from.
+
+Two families:
+
+- quality rules (``gopher_quality_signals``): document-shape filters —
+  word count bounds, mean word length, symbol-to-word ratio, bullet /
+  ellipsis line fractions, alphabetic-word fraction, stop-word
+  presence.  All pure per-row expressions (split + aggregate over
+  arrays) — zero shuffles, zero UDFs.
+- repetition rules (``gopher_repetition_signals``): duplicate line /
+  paragraph fractions (count- and character-weighted) and n-gram
+  repetition — top n-gram character fraction (n=2..4) and duplicated
+  n-gram character coverage (n=5..10).  Lines/paragraph stats are
+  per-row array expressions; the n-gram coverage stats explode to
+  (doc, pos) once per n and aggregate back — shuffle keyed on doc id,
+  volume linear in token count.
+
+Character fractions over tokens are computed on TOKEN characters
+(separators excluded) — the paper does not pin this detail; the
+choice is documented here and mirrored exactly in the oracle.
+
+Thresholds ship as module constants so callers can see and override
+the paper's defaults.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import clean_text_col
+
+# A1.1 quality thresholds
+MIN_WORDS = 50
+MAX_WORDS = 100_000
+MIN_MEAN_WORD_LEN = 3.0
+MAX_MEAN_WORD_LEN = 10.0
+MAX_SYMBOL_WORD_RATIO = 0.1
+MAX_BULLET_LINE_FRACTION = 0.9  # paper: >90% lines starting with bullet -> drop
+MAX_ELLIPSIS_LINE_FRACTION = 0.3
+MIN_ALPHA_WORD_FRACTION = 0.8
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+MIN_STOPWORD_HITS = 2
+
+_BULLETS = ("-", "*", "•")
+_ELLIPSES = ("...", "…")
+
+
+def _words(col: Column) -> Column:
+    return F.filter(F.split(clean_text_col(col), " "), lambda w: w != F.lit(""))
+
+
+def _lines(col: Column) -> Column:
+    return F.filter(
+        F.transform(F.split(col, "\n"), lambda l: F.trim(l)),
+        lambda l: l != F.lit(""),
+    )
+
+
+def gopher_quality_signals(col: Column) -> dict[str, Column]:
+    """Per-document quality signals, names matching the paper's rules.
+    All are NULL-safe scalars computed from one words-array and one
+    lines-array expression."""
+    words = _words(col)
+    lines = _lines(col)
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    word_chars = F.aggregate(
+        F.transform(words, F.length),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    lower_words = F.transform(words, F.lower)
+    n_symbolish = (
+        F.size(F.filter(words, lambda w: w.contains("#")))
+        + F.size(
+            F.filter(
+                words,
+                lambda w: w.contains("...") | w.contains("…"),
+            )
+        )
+    )
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: F.substring(l, 1, 1).isin(*_BULLETS),
+        )
+    )
+    ellipsis_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: l.endswith(_ELLIPSES[0]) | l.endswith(_ELLIPSES[1]),
+        )
+    )
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(lower_words),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    nz = lambda d: F.greatest(d, F.lit(1))  # noqa: E731
+    return {
+        "n_words": n_words.cast("long"),
+        "mean_word_len": (word_chars / nz(n_words).cast("double")),
+        "symbol_word_ratio": (n_symbolish / nz(n_words).cast("double")),
+        "bullet_line_fraction": (bullet_lines / nz(n_lines).cast("double")),
+        "ellipsis_line_fraction": (ellipsis_lines / nz(n_lines).cast("double")),
+        "alpha_word_fraction": (alpha_words / nz(n_words).cast("double")),
+        "stopword_hits": stop_hits.cast("long"),
+    }
+
+
+def gopher_quality_frame(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, signals..., passes) — ``passes`` is the conjunction of the
+    paper's seven quality rule families at the module thresholds."""
+    sig = gopher_quality_signals(F.col(text_col))
+    out = df.select(F.col(id_col), *[c.alias(n) for n, c in sig.items()])
+    passes = (
+        (F.col("n_words") >= MIN_WORDS)
+        & (F.col("n_words") <= MAX_WORDS)
+        & (F.col("mean_word_len") >= MIN_MEAN_WORD_LEN)
+        & (F.col("mean_word_len") <= MAX_MEAN_WORD_LEN)
+        & (F.col("symbol_word_ratio") <= MAX_SYMBOL_WORD_RATIO)
+        & (F.col("bullet_line_fraction") <= MAX_BULLET_LINE_FRACTION)
+        & (F.col("ellipsis_line_fraction") <= MAX_ELLIPSIS_LINE_FRACTION)
+        & (F.col("alpha_word_fraction") >= MIN_ALPHA_WORD_FRACTION)
+        & (F.col("stopword_hits") >= MIN_STOPWORD_HITS)
+    )
+    return out.withColumn("passes", F.coalesce(passes, F.lit(False)))
+
+
+def gopher_quality_filter(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Rows of ``df`` passing all Gopher quality rules (left_semi on
+    the signal frame — the signals are never materialized wide)."""
+    keep = gopher_quality_frame(df, id_col, text_col).where("passes").select(id_col)
+    return df.join(keep, id_col, "left_semi")
+
+
+# A1.1 repetition thresholds (drop when signal EXCEEDS the threshold)
+MAX_DUP_LINE_FRACTION = 0.30
+MAX_DUP_PARA_FRACTION = 0.30
+MAX_DUP_LINE_CHAR_FRACTION = 0.20
+MAX_DUP_PARA_CHAR_FRACTION = 0.20
+MAX_TOP_NGRAM_CHAR_FRACTION = {2: 0.20, 3: 0.18, 4: 0.16}
+MAX_DUP_NGRAM_CHAR_FRACTION = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def _dup_stats(units: Column) -> tuple[Column, Column]:
+    """(dup fraction, dup char fraction) for an array of text units:
+    fraction of occurrences beyond the first, and the characters those
+    extra occurrences contribute over total unit characters — both
+    per-row array expressions (extra-occurrence chars = total chars -
+    distinct-unit chars, since every repeat re-adds its length)."""
+    n = F.size(units)
+    total_chars = F.aggregate(
+        F.transform(units, F.length), F.lit(0), lambda a, x: a + x
+    )
+    distinct_chars = F.aggregate(
+        F.transform(F.array_distinct(units), F.length),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    nz = lambda d: F.greatest(d, F.lit(1))  # noqa: E731
+    return (
+        (n - F.size(F.array_distinct(units))) / nz(n).cast("double"),
+        (total_chars - distinct_chars) / nz(total_chars).cast("double"),
+    )
+
+
+def _positioned_grams(toks: Column, n: int) -> Column:
+    """Array of n-token grams of a token array (empty when too short;
+    sequence(1, 0) DESCENDS in Spark — the when-guard is required)."""
+    m = F.size(toks) - F.lit(n - 1)
+    return F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def gopher_repetition_frame(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, repetition signals..., passes).  Line/paragraph stats are
+    per-row array expressions (no shuffle).  Per n: top-n-gram char
+    fraction (n=2..4) = max over grams of count*gram_token_chars /
+    total token chars (the max-of-products form is tie-free, so no
+    argmax tie rule is needed); duplicated-n-gram coverage (n=5..10) =
+    token chars at positions covered by ANY gram occurring >= 2 times
+    in the doc / total token chars.  Each n is one explode + hash-agg
+    pass keyed on the doc id — linear in token volume, 9 passes total,
+    all joined back on id (nothing quadratic, nothing per-row Python).
+    """
+    base = df.select(
+        F.col(id_col),
+        _words(F.col(text_col)).alias("__toks__"),
+        F.col(text_col).alias("__text__"),
+    )
+    lines = _lines(F.col("__text__"))
+    paras = F.filter(
+        F.transform(F.split(F.col("__text__"), "\n\n"), lambda p: F.trim(p)),
+        lambda p: p != F.lit(""),
+    )
+    dl, dlc = _dup_stats(lines)
+    dp, dpc = _dup_stats(paras)
+    total_tok_chars = F.aggregate(
+        F.transform(F.col("__toks__"), F.length), F.lit(0), lambda a, x: a + x
+    )
+    out = base.select(
+        id_col,
+        "__toks__",
+        dl.alias("dup_line_fraction"),
+        dlc.alias("dup_line_char_fraction"),
+        dp.alias("dup_para_fraction"),
+        dpc.alias("dup_para_char_fraction"),
+        F.greatest(total_tok_chars, F.lit(1)).alias("__chars__"),
+    )
+
+    for n in sorted(MAX_TOP_NGRAM_CHAR_FRACTION):
+        grams = base.select(
+            F.col(id_col), F.explode(_positioned_grams(F.col("__toks__"), n)).alias("g")
+        )
+        top = (
+            grams.groupBy(id_col, "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy(id_col)
+            .agg(
+                F.max(F.col("c") * (F.length("g") - F.lit(n - 1))).alias(
+                    f"__top{n}__"
+                )
+            )
+        )
+        out = out.join(top, id_col, "left")
+        out = out.withColumn(
+            f"top_{n}gram_char_fraction",
+            F.coalesce(F.col(f"__top{n}__"), F.lit(0)) / F.col("__chars__").cast("double"),
+        ).drop(f"__top{n}__")
+
+    for n in sorted(MAX_DUP_NGRAM_CHAR_FRACTION):
+        pos_grams = base.select(
+            F.col(id_col),
+            F.posexplode(_positioned_grams(F.col("__toks__"), n)).alias("p0", "g"),
+        )
+        dup_g = (
+            pos_grams.groupBy(id_col, "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") >= 2)
+            .select(id_col, "g")
+        )
+        covered = (
+            pos_grams.join(dup_g, [id_col, "g"], "left_semi")
+            .select(
+                id_col,
+                F.explode(
+                    F.sequence(F.col("p0") + 1, F.col("p0") + n)
+                ).alias("pos"),
+            )
+            .distinct()
+        )
+        tok_lens = base.select(
+            F.col(id_col),
+            F.posexplode("__toks__").alias("p0", "t"),
+        ).select(id_col, (F.col("p0") + 1).alias("pos"), F.length("t").alias("len"))
+        cov_chars = (
+            covered.join(tok_lens, [id_col, "pos"])
+            .groupBy(id_col)
+            .agg(F.sum("len").alias(f"__cov{n}__"))
+        )
+        out = out.join(cov_chars, id_col, "left")
+        out = out.withColumn(
+            f"dup_{n}gram_char_fraction",
+            F.coalesce(F.col(f"__cov{n}__"), F.lit(0)) / F.col("__chars__").cast("double"),
+        ).drop(f"__cov{n}__")
+
+    passes = (
+        (F.col("dup_line_fraction") <= MAX_DUP_LINE_FRACTION)
+        & (F.col("dup_line_char_fraction") <= MAX_DUP_LINE_CHAR_FRACTION)
+        & (F.col("dup_para_fraction") <= MAX_DUP_PARA_FRACTION)
+        & (F.col("dup_para_char_fraction") <= MAX_DUP_PARA_CHAR_FRACTION)
+    )
+    for n, t in MAX_TOP_NGRAM_CHAR_FRACTION.items():
+        passes = passes & (F.col(f"top_{n}gram_char_fraction") <= t)
+    for n, t in MAX_DUP_NGRAM_CHAR_FRACTION.items():
+        passes = passes & (F.col(f"dup_{n}gram_char_fraction") <= t)
+    return out.drop("__toks__", "__chars__").withColumn(
+        "passes", F.coalesce(passes, F.lit(False))
+    )
+
+
+def gopher_repetition_filter(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Rows of ``df`` passing all Gopher repetition rules."""
+    keep = (
+        gopher_repetition_frame(df, id_col, text_col)
+        .where("passes")
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
