@@ -826,6 +826,43 @@ def q_gopher_repetition(spark, sf_dir):
     return gopher_repetition_frame(_t(spark, sf_dir, "documents"))
 
 
+def _c4_text(did: Column) -> Column:
+    """Deterministic line-structured page per doc: lines exercising
+    every C4 rule (terminal punct, min words, javascript, lorem
+    ipsum, curly brace) keyed off doc_id arithmetic."""
+    return F.concat_ws(
+        "\n",
+        F.concat(F.lit("This first sentence line number "), did, F.lit(" stays.")),
+        F.lit("short line."),  # < 5 words -> dropped
+        F.concat(F.lit("no terminal punctuation line "), did),  # dropped
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit("This Javascript line is dropped by the word rule."),
+        ).otherwise(F.lit("A second proper sentence line appears here!")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit("Sadly lorem ipsum filler text kills the whole page."),
+        ).otherwise(F.lit("A third complete sentence ends the page?")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.lit("This config { literal } line kills the page too."),
+        ).otherwise(F.lit("Closing remarks follow in this final line.")),
+    )
+
+
+def q_c4_clean(spark, sf_dir):
+    """C4 cleaning rules (functions/c4.py, Raffel et al. 2020 §2.2):
+    line gate (terminal punctuation + >=5 words + no 'javascript')
+    then page gate (>=3 sentences, no 'lorem ipsum', no curly brace)
+    over the cleaned text — per-row array expressions, zero shuffles."""
+    from web_mass_scraper_ocr_spark.functions.c4 import c4_clean_frame
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _c4_text(F.col("doc_id").cast("string")).alias("text")
+    )
+    return c4_clean_frame(d)
+
+
 PHRASE = "table table"  # repeated term: exercises overlap counting
 
 
@@ -2020,7 +2057,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_bucketed": q_embedding_neardup_bucketed,
         "semdedup": q_semdedup,
-        "url_resolve": q_url_resolve,
         "validate_url": q_validate_url,
         "validate_payload": q_validate_payload,
         "safe_filename": q_safe_filename,
@@ -2047,6 +2083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": q_corpus_diff,
         "gopher_quality": q_gopher_quality,
         "gopher_repetition": q_gopher_repetition,
+        "c4_clean": q_c4_clean,
         # --- driver window (~50) ends here.  53 queries need driver
         # verification this round but only 50 fit; the 3 triaged just
         # below the cut are (a) two brand-new ops whose local evidence
@@ -2066,6 +2103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "safe_key": q_safe_key,
         "json_encode": q_json_encode,
         "url_parse": q_url_parse,
+        "url_resolve": q_url_resolve,
         "decontaminate": q_decontaminate,
         "per_host_cap": q_per_host_cap,
         # r04-green, unchanged
@@ -2586,10 +2624,56 @@ SELECT *,
     AND {" AND ".join(_gr_pass)}, FALSE) AS passes
 FROM inner_q"""
 
+    # c4_clean oracle — pattern built piecewise (quote-in-class needs
+    # SQL '' doubling; keep it reviewable)
+    _term_sql = "[.!?][\"" + "''" + ")\\]]?$"
+    _c4_sql = f"""
+WITH u AS (
+  SELECT doc_id,
+    'This first sentence line number ' || CAST(doc_id AS VARCHAR) || ' stays.'
+    || chr(10) || 'short line.'
+    || chr(10) || 'no terminal punctuation line ' || CAST(doc_id AS VARCHAR)
+    || chr(10) || (CASE WHEN doc_id % 3 = 0
+         THEN 'This Javascript line is dropped by the word rule.'
+         ELSE 'A second proper sentence line appears here!' END)
+    || chr(10) || (CASE WHEN doc_id % 7 = 0
+         THEN 'Sadly lorem ipsum filler text kills the whole page.'
+         ELSE 'A third complete sentence ends the page?' END)
+    || chr(10) || (CASE WHEN doc_id % 11 = 0
+         THEN 'This config {{ literal }} line kills the page too.'
+         ELSE 'Closing remarks follow in this final line.' END) AS text
+  FROM documents
+),
+l AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                x -> x <> '') AS raw,
+    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                x -> x <> ''
+                  AND regexp_matches(x, '{_term_sql}')
+                  AND len(list_filter(string_split_regex(x, ' +'), w -> w <> '')) >= 5
+                  AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM u
+),
+c AS (
+  SELECT doc_id, raw, kept, array_to_string(kept, chr(10)) AS text_clean FROM l
+)
+SELECT doc_id, text_clean,
+  CAST(len(kept) AS BIGINT) AS n_lines_kept,
+  CAST(len(raw) - len(kept) AS BIGINT) AS n_lines_dropped,
+  CAST(len(list_filter(string_split_regex(text_clean, '[.!?]'),
+                       s -> trim(s) <> '')) AS BIGINT) AS n_sentences,
+  coalesce(len(list_filter(string_split_regex(text_clean, '[.!?]'),
+                           s -> trim(s) <> '')) >= 3
+    AND NOT contains(lower(text_clean), 'lorem ipsum')
+    AND NOT contains(text_clean, '{{'), FALSE) AS page_pass
+FROM c"""
+
     sql = {
         "text_hygiene": _hygiene_sql,
         "gopher_quality": _gq_sql,
         "gopher_repetition": _gr_sql,
+        "c4_clean": _c4_sql,
         "pricing_rollup": f"""
 SELECT l_returnflag, l_linestatus,
   CAST(sum(CAST(l_quantity AS DECIMAL(15,4))) AS DOUBLE) AS sum_qty,

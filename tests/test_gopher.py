@@ -81,3 +81,37 @@ def test_repetition_short_docs_zero_not_null(spark):
     assert r.dup_10gram_char_fraction == 0.0
     assert r.top_2gram_char_fraction == pytest.approx(9 / 17)
     assert r.passes is False
+
+
+def test_c4_line_and_page_rules(spark):
+    from web_mass_scraper_ocr_spark.functions.c4 import (
+        c4_clean_filter,
+        c4_clean_frame,
+    )
+
+    docs = [
+        (1, "A good long sentence lives right here.\n"
+            "Another fine sentence follows it today!\n"
+            "And one more rounds out the page?"),
+        (2, "too short.\nno punct line here at all\n"
+            "A Javascript heavy line gets dropped here.\n"
+            "Only this one proper sentence line survives today."),  # 1 sentence -> page fails
+        (3, "This page mentions lorem ipsum filler in a sentence.\n"
+            "A second proper sentence line appears here!\n"
+            "And a third complete sentence ends the page."),
+        (4, "This config { brace } sentence kills the page now.\n"
+            "A second proper sentence line appears here!\n"
+            "And a third complete sentence ends the page."),
+        (5, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r.doc_id: r for r in c4_clean_frame(df).collect()}
+    assert rows[1].page_pass and rows[1].n_lines_dropped == 0
+    assert rows[2].n_lines_kept == 1 and not rows[2].page_pass
+    assert not rows[3].page_pass  # lorem ipsum
+    assert not rows[4].page_pass  # curly brace
+    assert not rows[5].page_pass
+
+    kept = c4_clean_filter(df).collect()
+    assert [r.doc_id for r in kept] == [1]
+    assert "\n" in kept[0].text  # cleaned text substituted in

@@ -1,0 +1,93 @@
+"""C4 cleaning rules (Raffel et al. 2020, §2.2 "Colossal Clean
+Crawled Corpus") as Catalyst expression chains — the line- and
+page-level heuristics applied before any model-based filtering:
+
+line level (a line survives iff ALL hold):
+- ends in a terminal punctuation mark (. ! ? or closing quote),
+- has at least ``MIN_LINE_WORDS`` (5) words,
+- does not contain the word "javascript" (case-insensitive);
+
+page level (a page survives iff ALL hold):
+- at least ``MIN_SENTENCES`` (3) sentences across surviving lines,
+- does not contain "lorem ipsum" (case-insensitive),
+- does not contain a curly brace ("{" — code, not prose).
+
+(The paper's bad-words list is deliberately NOT shipped; plug a
+blocklist via the existing domain/text gates if policy requires it.)
+
+Everything is a per-row array expression — zero shuffles, zero UDFs;
+the oracle SQL is generated from these same constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MIN_LINE_WORDS = 5
+MIN_SENTENCES = 3
+TERMINAL_RE = r'[.!?]["\')\]]?$'
+_SENTENCE_SPLIT_RE = r"[.!?]"
+
+
+def _kept_lines(col: Column) -> Column:
+    lines = F.filter(
+        F.transform(F.split(col, "\n"), lambda l: F.trim(l)),
+        lambda l: l != F.lit(""),
+    )
+    return F.filter(
+        lines,
+        lambda l: l.rlike(TERMINAL_RE)
+        & (
+            F.size(F.filter(F.split(l, " +"), lambda w: w != F.lit("")))
+            >= MIN_LINE_WORDS
+        )
+        & ~F.lower(l).contains("javascript"),
+    )
+
+
+def c4_clean_frame(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, text_clean, n_lines_kept, n_lines_dropped, n_sentences,
+    page_pass): surviving lines re-joined with newlines; page_pass
+    applies the page-level rules over the CLEANED text (the paper's
+    order — line filtering first, then page screening)."""
+    raw_lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+        lambda l: l != F.lit(""),
+    )
+    kept = _kept_lines(F.col(text_col))
+    clean = F.array_join(kept, "\n")
+    n_sentences = F.size(
+        F.filter(
+            F.split(clean, _SENTENCE_SPLIT_RE),
+            lambda s: F.trim(s) != F.lit(""),
+        )
+    )
+    page_pass = (
+        (n_sentences >= MIN_SENTENCES)
+        & ~F.lower(clean).contains("lorem ipsum")
+        & ~clean.contains("{")
+    )
+    return df.select(
+        F.col(id_col),
+        clean.alias("text_clean"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        (F.size(raw_lines) - F.size(kept)).cast("long").alias("n_lines_dropped"),
+        n_sentences.cast("long").alias("n_sentences"),
+        F.coalesce(page_pass, F.lit(False)).alias("page_pass"),
+    )
+
+
+def c4_clean_filter(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Surviving pages with their cleaned text substituted in: the
+    C4 page gate applied, ``text_col`` replaced by the line-filtered
+    text, all other columns carried through."""
+    frame = c4_clean_frame(df, id_col, text_col).where("page_pass")
+    other = [c for c in df.columns if c != text_col]
+    return df.select(*other).join(
+        frame.select(id_col, F.col("text_clean").alias(text_col)), id_col
+    )
