@@ -1,0 +1,86 @@
+"""Scaling rows for the r5 filter/search additions: Gopher quality +
+repetition, C4 cleaning, phrase search, corpus diff — 1x vs 10x
+documents (same replication protocol as bench_dedup_scale.py).
+
+gopher_repetition is the heavy one (9 explode + hash-agg passes, one
+per n); the fixture's rep-prefix replicas keep every document's
+within-doc repetition structure identical across scales, so walls
+should track token volume linearly.
+
+Usage: python scripts/bench_filters_scale.py [replication ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from web_mass_scraper_ocr_spark.functions.c4 import c4_clean_frame
+from web_mass_scraper_ocr_spark.functions.gopher import (
+    gopher_quality_frame,
+    gopher_repetition_frame,
+)
+from web_mass_scraper_ocr_spark.operators.incremental import corpus_diff
+from web_mass_scraper_ocr_spark.operators.search import phrase_search
+from web_mass_scraper_ocr_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def replicate(docs, r: int):
+    if r == 1:
+        return docs
+    reps = F.explode(F.sequence(F.lit(0), F.lit(r - 1))).alias("rep")
+    return docs.select("doc_id", "text", reps).select(
+        (F.col("doc_id") * r + F.col("rep")).alias("doc_id"),
+        F.concat(
+            F.lit("rep"), F.col("rep").cast("string"), F.lit(" "), F.col("text")
+        ).alias("text"),
+    )
+
+
+def timed(label: str, df) -> None:
+    """Force with a noop WRITE, not count(): for frames whose payload
+    is computed columns (the gopher/c4 signal matrices), count() lets
+    Catalyst prune every signal column and the join aggregates feeding
+    them — a 50k-doc gopher_repetition "measured" 0.15 s via count()
+    vs 17.5 s genuinely computed.  The noop sink materializes every
+    output column (the same shape a real write has)."""
+    t0 = time.monotonic()
+    df.write.format("noop").mode("overwrite").save()
+    wall = round(time.monotonic() - t0, 2)
+    print(json.dumps({"stage": label, "wall_sec": wall}), flush=True)
+
+
+def main() -> None:
+    rs = [int(a) for a in sys.argv[1:]] or [1, 10]
+    spark = get_spark(master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    for r in rs:
+        docs = replicate(base, r).cache()
+        n = docs.count()
+        print(json.dumps({"scale": r, "docs": n}), flush=True)
+        timed(f"gopher_quality@{r}x", gopher_quality_frame(docs))
+        timed(f"gopher_repetition@{r}x", gopher_repetition_frame(docs))
+        timed(f"c4_clean@{r}x", c4_clean_frame(docs))
+        timed(f"phrase_search@{r}x", phrase_search(docs, "table table"))
+        new = docs.where(F.col("doc_id") % 7 != 0).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.lit("v2 "), F.col("text"))
+            ).otherwise(F.col("text")),
+        )
+        timed(f"corpus_diff@{r}x", corpus_diff(docs, new))
+        docs.unpersist()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
