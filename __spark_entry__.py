@@ -2553,17 +2553,22 @@ FROM sig"""
     ]
     _gr_joins, _gr_cols, _gr_pass = [], [], []
     for n, t in sorted(G.MAX_TOP_NGRAM_CHAR_FRACTION.items()):
+        # char share of the MOST FREQUENT n-gram (count desc, gram asc
+        # tie-break) — window-ranked here vs min_by-over-struct in Spark,
+        # independent formulations of the same argmax
         _gr_ctes.append(
             f"""g{n} AS (
-  SELECT doc_id, max(c * (length(g) - {n - 1})) AS v
-  FROM (SELECT doc_id, g, count(*) AS c
-        FROM (SELECT doc_id,
-                     array_to_string(toks[CAST(i AS INT):CAST(i + {n - 1} AS INT)], ' ') AS g
-              FROM (SELECT doc_id, toks,
-                           unnest(range(1, greatest(len(toks) - {n - 1}, 0) + 1)) AS i
-                    FROM base))
-        GROUP BY doc_id, g)
-  GROUP BY doc_id
+  SELECT doc_id, c * (length(g) - {n - 1}) AS v
+  FROM (SELECT doc_id, g, c,
+               row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+        FROM (SELECT doc_id, g, count(*) AS c
+              FROM (SELECT doc_id,
+                           array_to_string(toks[CAST(i AS INT):CAST(i + {n - 1} AS INT)], ' ') AS g
+                    FROM (SELECT doc_id, toks,
+                                 unnest(range(1, greatest(len(toks) - {n - 1}, 0) + 1)) AS i
+                          FROM base))
+              GROUP BY doc_id, g))
+  WHERE rn = 1
 )"""
         )
         _gr_joins.append(f"LEFT JOIN g{n} USING (doc_id)")

@@ -352,3 +352,28 @@ def test_mojibake_roundtrip_general_and_guarded(spark):
     assert rows[0].r == "αβγ δέλτα"
     assert rows[1].r == "数据 管道"
     assert rows[2].r == legit
+
+
+def test_mojibake_roundtrip_skips_mixed_rows(spark):
+    """A row carrying BOTH a mojibake signature and legitimate
+    non-Latin-1 text (CJK, emoji) passes through UNREPAIRED — the
+    whole-column Latin-1 re-encode would corrupt the clean portion
+    (ADVICE r5)."""
+    from pyspark.sql import functions as F
+
+    from web_mass_scraper_ocr_spark.functions.hygiene import (
+        _as_cp1252,
+        fix_mojibake_roundtrip,
+    )
+
+    moji = _as_cp1252("é".encode("utf-8"))  # mojibake signature
+    mixed_cjk = f"prefix {moji} 数据管道 suffix"
+    mixed_emoji = f"{moji} rocket \U0001f680 end"
+    pure = f"all {moji} latin1"
+    df = spark.createDataFrame(
+        [(mixed_cjk,), (mixed_emoji,), (pure,)], "s string"
+    )
+    rows = df.select(fix_mojibake_roundtrip(F.col("s")).alias("r")).collect()
+    assert rows[0].r == mixed_cjk  # untouched, CJK survives
+    assert rows[1].r == mixed_emoji  # untouched, emoji survives
+    assert rows[2].r == "all é latin1"  # pure row still repaired

@@ -115,3 +115,15 @@ def test_c4_line_and_page_rules(spark):
     kept = c4_clean_filter(df).collect()
     assert [r.doc_id for r in kept] == [1]
     assert "\n" in kept[0].text  # cleaned text substituted in
+
+
+def test_top_ngram_is_most_frequent_gram(spark):
+    """top_{n}gram_char_fraction gates the char share of the MOST
+    FREQUENT n-gram (Rae et al. A1.1) — a longer but less frequent
+    gram must NOT set the signal (ADVICE r5: the old max-of-products
+    form was strictly more aggressive)."""
+    # "x y" occurs 3x (2 token chars); the long grams occur once each
+    # (up to 34 token chars) — most-frequent wins: 3*2 / 40 total chars
+    doc = "x y x y x y verylonggramglyph verylonggramother"
+    r = gopher_repetition_frame(_frame(spark, [(1, doc)])).collect()[0]
+    assert r.top_2gram_char_fraction == pytest.approx(6 / 40)

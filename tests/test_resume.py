@@ -742,3 +742,43 @@ def test_cli_search_and_diff_smoke(spark, tmp_path):
     assert rc == 0
     out = _json.loads(buf.getvalue().strip().splitlines()[-1])
     assert (out["added"], out["removed"], out["changed"]) == (1, 1, 1)
+
+
+def test_table_merge_into_duplicate_key_targets_preserved(spark, tmp_path):
+    """SQL MERGE updates EACH matched target row: two duplicate-key
+    target rows matched by one source row both survive (with the
+    source values) — a left_semi from the source would collapse them
+    to one (ADVICE r5 medium)."""
+    from web_mass_scraper_ocr_spark.sources.tableio import Table
+
+    t = Table(tmp_path, "docs")
+    t.append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b1"), (2, "b2"), (3, "c")], "k long, v string"
+        )
+    )
+    res = t.merge_into(
+        spark,
+        spark.createDataFrame([(2, "B"), (9, "i")], "k long, v string"),
+        on="k",
+    )
+    assert res["rows_updated"] == 2  # both duplicate-key rows updated
+    assert res["rows_inserted"] == 1
+    got = sorted((r.k, r.v) for r in t.read(spark).collect())
+    assert got == [(1, "a"), (2, "B"), (2, "B"), (3, "c"), (9, "i")]
+
+
+def test_table_append_rejects_hive_layout(spark, tmp_path):
+    """append() on a hive-partitioned table raises (its commit-* files
+    would lack the partition columns and break basePath inference) —
+    mirroring the delete_where/compact layout guards (ADVICE r5)."""
+    import pytest
+
+    from web_mass_scraper_ocr_spark.sources.tableio import Table
+
+    hive = Table(tmp_path, "hive_t")
+    hive.overwrite_partitions(
+        spark.createDataFrame([(1, "x"), (2, "y")], "v long, p string"), ["p"]
+    )
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        hive.append(spark.createDataFrame([(3, "z")], "v long, p string"))

@@ -11,10 +11,11 @@ Two families:
   arrays) — zero shuffles, zero UDFs.
 - repetition rules (``gopher_repetition_signals``): duplicate line /
   paragraph fractions (count- and character-weighted) and n-gram
-  repetition — top n-gram character fraction (n=2..4) and duplicated
-  n-gram character coverage (n=5..10).  Lines/paragraph stats are
-  per-row array expressions; the n-gram coverage stats explode to
-  (doc, pos) once per n and aggregate back — shuffle keyed on doc id,
+  repetition — top n-gram character fraction (n=2..4, the char share
+  of the most frequent n-gram) and duplicated n-gram character
+  coverage (n=5..10).  Lines/paragraph stats are per-row array
+  expressions; the n-gram stats ride ONE n-tagged explode per family
+  (2 passes total) and aggregate back — shuffle keyed on doc id,
   volume linear in token count.
 
 Character fractions over tokens are computed on TOKEN characters
@@ -174,31 +175,41 @@ def _dup_stats(units: Column) -> tuple[Column, Column]:
     )
 
 
-def _positioned_grams(toks: Column, n: int) -> Column:
-    """Array of n-token grams of a token array (empty when too short;
-    sequence(1, 0) DESCENDS in Spark — the when-guard is required)."""
+def _positioned_gram_structs(toks: Column, n: int) -> Column:
+    """Array of (n, p0, g) structs — one per n-token gram of a token
+    array, with its 1-based start position (empty when too short;
+    sequence(1, 0) DESCENDS in Spark — the when-guard is required).
+    Tagging each gram with its n lets ALL n values ride ONE explode."""
     m = F.size(toks) - F.lit(n - 1)
+    empty = F.array().cast("array<struct<n:int,p0:int,g:string>>")
     return F.when(
         m >= 1,
         F.transform(
             F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
+            lambda i: F.struct(
+                F.lit(n).alias("n"),
+                i.alias("p0"),
+                F.array_join(F.slice(toks, i, n), " ").alias("g"),
+            ),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(empty)
 
 
 def gopher_repetition_frame(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(id, repetition signals..., passes).  Line/paragraph stats are
-    per-row array expressions (no shuffle).  Per n: top-n-gram char
-    fraction (n=2..4) = max over grams of count*gram_token_chars /
-    total token chars (the max-of-products form is tie-free, so no
-    argmax tie rule is needed); duplicated-n-gram coverage (n=5..10) =
+    per-row array expressions (no shuffle).  Top-n-gram char fraction
+    (n=2..4) = count*gram_token_chars of the MOST FREQUENT n-gram
+    (Rae et al. A1.1; ties broken deterministically count desc, gram
+    asc) / total token chars.  Duplicated-n-gram coverage (n=5..10) =
     token chars at positions covered by ANY gram occurring >= 2 times
-    in the doc / total token chars.  Each n is one explode + hash-agg
-    pass keyed on the doc id — linear in token volume, 9 passes total,
-    all joined back on id (nothing quadratic, nothing per-row Python).
+    in the doc / total token chars.  All n values of each family ride
+    ONE (n, p0, gram) explode — 2 explode passes total (was 9 before
+    the fusion), each linear in token volume, every aggregation keyed
+    on the doc id (nothing quadratic, nothing per-row Python); the
+    per-(id, n) results pivot back to columns via conditional
+    aggregates and join on id once per family.
     """
     base = df.select(
         F.col(id_col),
@@ -225,57 +236,95 @@ def gopher_repetition_frame(
         F.greatest(total_tok_chars, F.lit(1)).alias("__chars__"),
     )
 
-    for n in sorted(MAX_TOP_NGRAM_CHAR_FRACTION):
-        grams = base.select(
-            F.col(id_col), F.explode(_positioned_grams(F.col("__toks__"), n)).alias("g")
-        )
-        top = (
-            grams.groupBy(id_col, "g")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .groupBy(id_col)
-            .agg(
-                F.max(F.col("c") * (F.length("g") - F.lit(n - 1))).alias(
-                    f"__top{n}__"
+    # -- top-n-gram family (n=2..4): ONE explode tagged with n ---------
+    top_ns = sorted(MAX_TOP_NGRAM_CHAR_FRACTION)
+    tg = base.select(
+        F.col(id_col),
+        F.explode(
+            F.flatten(
+                F.array(
+                    *[_positioned_gram_structs(F.col("__toks__"), n) for n in top_ns]
                 )
             )
+        ).alias("s"),
+    ).select(id_col, F.col("s.n").alias("n"), F.col("s.g").alias("g"))
+    # most-frequent gram per (doc, n) — count desc, gram asc tie-break
+    # (min_by over the (-count, gram) struct); its char contribution is
+    # count * gram token chars (length minus the n-1 separators)
+    per_n = (
+        tg.groupBy(id_col, "n", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col, "n")
+        .agg(
+            F.min_by(
+                (F.col("c") * (F.length("g") - F.col("n") + 1)).cast("long"),
+                F.struct((-F.col("c")).alias("nc"), F.col("g").alias("g")),
+            ).alias("v")
         )
-        out = out.join(top, id_col, "left")
+    )
+    tops = per_n.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col("v"))).alias(f"__top{n}__")
+            for n in top_ns
+        ]
+    )
+    out = out.join(tops, id_col, "left")
+    for n in top_ns:
         out = out.withColumn(
             f"top_{n}gram_char_fraction",
             F.coalesce(F.col(f"__top{n}__"), F.lit(0)) / F.col("__chars__").cast("double"),
         ).drop(f"__top{n}__")
 
-    for n in sorted(MAX_DUP_NGRAM_CHAR_FRACTION):
-        pos_grams = base.select(
-            F.col(id_col),
-            F.posexplode(_positioned_grams(F.col("__toks__"), n)).alias("p0", "g"),
-        )
-        dup_g = (
-            pos_grams.groupBy(id_col, "g")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .where(F.col("c") >= 2)
-            .select(id_col, "g")
-        )
-        covered = (
-            pos_grams.join(dup_g, [id_col, "g"], "left_semi")
-            .select(
-                id_col,
-                F.explode(
-                    F.sequence(F.col("p0") + 1, F.col("p0") + n)
-                ).alias("pos"),
+    # -- dup-n-gram family (n=5..10): ONE explode tagged with n --------
+    dup_ns = sorted(MAX_DUP_NGRAM_CHAR_FRACTION)
+    pg = base.select(
+        F.col(id_col),
+        F.explode(
+            F.flatten(
+                F.array(
+                    *[_positioned_gram_structs(F.col("__toks__"), n) for n in dup_ns]
+                )
             )
-            .distinct()
+        ).alias("s"),
+    ).select(
+        id_col,
+        F.col("s.n").alias("n"),
+        F.col("s.p0").alias("p0"),
+        F.col("s.g").alias("g"),
+    )
+    dup_g = (
+        pg.groupBy(id_col, "n", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select(id_col, "n", "g")
+    )
+    covered = (
+        pg.join(dup_g, [id_col, "n", "g"], "left_semi")
+        .select(
+            id_col,
+            "n",
+            F.explode(F.sequence(F.col("p0"), F.col("p0") + F.col("n") - 1)).alias(
+                "pos"
+            ),
         )
-        tok_lens = base.select(
-            F.col(id_col),
-            F.posexplode("__toks__").alias("p0", "t"),
-        ).select(id_col, (F.col("p0") + 1).alias("pos"), F.length("t").alias("len"))
-        cov_chars = (
-            covered.join(tok_lens, [id_col, "pos"])
-            .groupBy(id_col)
-            .agg(F.sum("len").alias(f"__cov{n}__"))
+        .distinct()
+    )
+    tok_lens = base.select(
+        F.col(id_col),
+        F.posexplode("__toks__").alias("p0", "t"),
+    ).select(id_col, (F.col("p0") + 1).alias("pos"), F.length("t").alias("len"))
+    cov_chars = (
+        covered.join(tok_lens, [id_col, "pos"])
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.sum(F.when(F.col("n") == n, F.col("len"))).alias(f"__cov{n}__")
+                for n in dup_ns
+            ]
         )
-        out = out.join(cov_chars, id_col, "left")
+    )
+    out = out.join(cov_chars, id_col, "left")
+    for n in dup_ns:
         out = out.withColumn(
             f"dup_{n}gram_char_fraction",
             F.coalesce(F.col(f"__cov{n}__"), F.lit(0)) / F.col("__chars__").cast("double"),

@@ -128,10 +128,19 @@ def fix_mojibake_roundtrip(col: Column) -> Column:
     the exact inverse of the corruption, for ANY sequence, not just
     the table.  Applied ONLY to rows matching a mojibake signature
     (one of the UTF-8 lead-byte display chars followed by a
-    continuation-range display char) so legitimate text containing
-    those letters is never touched.  JVM translate/encode/decode, no
-    UDF.  Not SQL-oracle-able (no charset transcoding in the oracle
-    engine) — covered by pytest round-trip tests instead."""
+    continuation-range display char) AND containing nothing but
+    mojibake-displayable characters: after mapping cp1252 display
+    chars back to C1, every remaining codepoint must be <= U+00FF —
+    rows also carrying legitimate non-Latin-1 text (CJK, emoji) pass
+    through UNREPAIRED, because the whole-column ISO-8859-1 re-encode
+    would replace those clean codepoints before the UTF-8 re-decode
+    and corrupt them.  (Mixed rows are genuinely rare: the corruption
+    this inverts is a cp1252 mis-decode, which would have mangled any
+    real CJK/emoji in the same row anyway.  A substring-scoped repair
+    would need per-segment transcoding; use :func:`fix_mojibake`'s
+    table for those rows.)  JVM translate/encode/decode, no UDF.  Not
+    SQL-oracle-able (no charset transcoding in the oracle engine) —
+    covered by pytest round-trip tests instead."""
     # UTF-8 lead bytes 0xC2-0xEF display as the contiguous cp1252(=
     # latin1 there) range Â..ï; continuation bytes 0x80-0xBF display
     # as the cp1252 punctuation + latin1 symbol chars
@@ -139,9 +148,10 @@ def fix_mojibake_roundtrip(col: Column) -> Column:
         sorted(set(_as_cp1252(bytes([b])) for b in range(0x80, 0xC0)))
     )
     cls = "".join(c if c not in "[]\\^-" else "\\" + c for c in cont)
-    sig = col.rlike("[Â-ï][" + cls + "]")
-    fixed = F.decode(
-        F.encode(F.translate(col, _CP1252_SHOWN, _C1_RAW), "ISO-8859-1"),
-        "UTF-8",
-    )
+    translated = F.translate(col, _CP1252_SHOWN, _C1_RAW)
+    # all-Latin-1 guard: legit chars above U+00FF (incl. surrogate
+    # halves, so astral emoji match too) are NOT in _CP1252_SHOWN and
+    # survive the translate — their presence vetoes the repair
+    sig = col.rlike("[Â-ï][" + cls + "]") & ~translated.rlike("[^\\x00-\\xff]")
+    fixed = F.decode(F.encode(translated, "ISO-8859-1"), "UTF-8")
     return F.when(sig, fixed).otherwise(col)

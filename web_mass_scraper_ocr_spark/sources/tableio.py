@@ -181,6 +181,17 @@ class Table:
         # writer assumed, like compact()).
         for stale in self.dir.glob("tmp-append-*"):
             shutil.rmtree(stale, ignore_errors=True)
+        # layout guard (mirrors delete_where/compact): appending commit-*
+        # dirs under a hive-partitioned table would mix files WITHOUT the
+        # partition columns into a basePath whose other files infer them —
+        # subsequent reads break on partition-column inference
+        if self.data_dir.exists() and any(
+            p.is_dir() and "=" in p.name for p in self.data_dir.iterdir()
+        ):
+            raise ValueError(
+                f"table {self.name!r} is hive-partitioned (key=value layout); "
+                "append to it via overwrite_partitions, not append()"
+            )
         token = uuid.uuid4().hex[:12]
         staging = self.dir / f"tmp-append-{token}"
         df.write.mode("overwrite").parquet(str(staging))
@@ -484,7 +495,9 @@ class Table:
         UPDATE ... WHEN NOT MATCHED THEN INSERT ...``).
 
         ``on`` = equality key column(s).  ``when_matched``: ``"update"``
-        replaces the whole target row with the source row, ``"delete"``
+        replaces EACH matched target row with its source row's values
+        (multiplicity preserved — k duplicate-key target rows yield k
+        replacement rows, the SQL MERGE UPDATE semantic), ``"delete"``
         removes it, ``None`` leaves matched targets untouched
         (insert-only merge).  ``when_not_matched``: ``"insert"`` appends
         source rows whose key has no target match, ``None`` drops them.
@@ -589,15 +602,27 @@ class Table:
             # non-matched rows of affected files survive unchanged
             pieces.append(affected_df.join(src.select(*keys).distinct(), keys, "left_anti"))
             if when_matched == "update":
-                # replacement rows: the source rows whose key matched
-                pieces.append(src.join(tkeys.distinct(), keys, "left_semi"))
+                # replacement rows: ONE per matched TARGET row (inner join
+                # of the affected rows' keys to the source — the guard
+                # above ensures the source side is unique per matched key,
+                # so each duplicate-key target row yields exactly one
+                # replacement and multiplicity is preserved; a left_semi
+                # from the source would collapse k duplicate target rows
+                # into one)
+                pieces.append(
+                    affected_df.select(*keys).join(src, keys, "inner").select(*tcols)
+                )
                 rows_updated = rows_matched
             else:  # delete: matched rows simply don't reappear
                 rows_deleted = rows_matched
         inserts = None
         rows_inserted = 0
         if when_not_matched == "insert":
-            inserts = src.join(tkeys.distinct(), keys, "left_anti")
+            # materialize ONCE (localCheckpoint) before counting: the
+            # count and the staged write must see the SAME rows even for
+            # a non-deterministic source, and the anti-join shouldn't run
+            # twice
+            inserts = src.join(tkeys.distinct(), keys, "left_anti").localCheckpoint()
             rows_inserted = inserts.count()
             if rows_inserted:
                 pieces.append(inserts)
