@@ -418,6 +418,30 @@ def q_langid(spark, sf_dir):
     return d.select("doc_id", T.lang_guess(F.col("text")).alias("lang_guess"))
 
 
+def q_langid_ngram(spark, sf_dir):
+    """Char-3-gram NB language ID (functions/langid.py — the
+    fastText-langid stand-in CCNet/C4/RefinedWeb gate on): trains
+    en/de/fr/es from the public-domain LANGID_SEEDS in-plan (two
+    hash-aggs), scores via ONE doc-gram explode joined to the
+    vocabulary-sized (gram, lang) table, argmax per doc via
+    min_by(lang, (-score, lang)).  Documents are rewritten as HELD-OUT
+    sentences (never in the seeds) selected deterministically by
+    doc_id, so both engines classify identical text and the
+    classification must generalize.  Output id+lang+n_grams — no
+    float columns."""
+    from web_mass_scraper_ocr_spark.functions.langid import (
+        LANGID_HELDOUT,
+        langid_frame,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    langs = sorted(LANGID_HELDOUT)
+    flat = [LANGID_HELDOUT[lang][j] for lang in langs for j in range(3)]
+    idx = (F.col("doc_id") % 4) * 3 + F.floor(F.col("doc_id") / 4) % 3
+    txt = F.element_at(F.array(*[F.lit(s) for s in flat]), (idx + 1).cast("int"))
+    return langid_frame(d.select("doc_id", txt.alias("text")))
+
+
 def q_fingerprint(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint"))
@@ -2040,6 +2064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "langid": q_langid,
+        "langid_ngram": q_langid_ngram,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -2316,6 +2341,78 @@ SELECT doc_id,
        WHEN {hits['es']} = {best} THEN 'es'
        ELSE 'und' END AS lang_guess
 FROM documents"""
+
+
+def _langid_ngram_sql() -> str:
+    """Independent DuckDB twin of the char-3-gram NB langid: trains
+    the identical model from interpolated LANGID_SEEDS VALUES, builds
+    the same held-out doc text from doc_id, scores with the same
+    add-one NB decomposition, and ranks the argmax with a WINDOW
+    (score desc, lang asc) vs Spark's min_by-over-struct."""
+    from web_mass_scraper_ocr_spark.functions.langid import (
+        DEFAULT_NGRAM as N,
+        LANGID_HELDOUT,
+        LANGID_SEEDS,
+    )
+
+    esc = lambda s: s.replace("'", "''")  # noqa: E731
+    seed_vals = ",\n    ".join(f"('{l}', '{esc(t)}')" for l, t in LANGID_SEEDS)
+    langs = sorted(LANGID_HELDOUT)
+    flat = [LANGID_HELDOUT[lang][j] for lang in langs for j in range(3)]
+    sent_case = "\n         ".join(
+        f"WHEN {i} THEN '{esc(s)}'" for i, s in enumerate(flat)
+    )
+    norm = _CLEAN.format(c="lower({c})")
+    return f"""
+WITH seeds(lang, txt) AS (VALUES
+    {seed_vals}),
+sgrams AS (
+  SELECT lang, substr(s, CAST(i AS INT), {N}) AS g
+  FROM (SELECT lang, s, unnest(range(1, greatest(length(s) - {N - 1}, 0) + 1)) AS i
+        FROM (SELECT lang, {norm.format(c="txt")} AS s FROM seeds))
+),
+counts AS (SELECT lang, g, count(*) AS c FROM sgrams GROUP BY lang, g),
+vocab AS (SELECT count(DISTINCT g) AS v FROM sgrams),
+stats AS (
+  SELECT n.lang, n.n_lang, d.d
+  FROM (SELECT lang, count(*) AS n_lang FROM sgrams GROUP BY lang) n
+  JOIN (SELECT lang, count(*) AS d FROM seeds GROUP BY lang) d USING (lang)
+),
+dt AS (SELECT count(*) AS d_total FROM seeds),
+docs AS (
+  SELECT doc_id,
+         (CASE (doc_id % 4) * 3 + (doc_id // 4) % 3
+         {sent_case}
+         END) AS txt
+  FROM documents
+),
+dgrams AS (
+  SELECT doc_id, substr(s, CAST(i AS INT), {N}) AS g
+  FROM (SELECT doc_id, s, unnest(range(1, greatest(length(s) - {N - 1}, 0) + 1)) AS i
+        FROM (SELECT doc_id, {norm.format(c="txt")} AS s FROM docs))
+),
+dtotal AS (SELECT doc_id, count(*) AS tn FROM dgrams GROUP BY doc_id),
+matched AS (
+  SELECT dg.doc_id, c.lang, sum(ln(c.c + 1)) AS msum
+  FROM dgrams dg JOIN counts c ON dg.g = c.g
+  GROUP BY dg.doc_id, c.lang
+),
+scored AS (
+  SELECT d.doc_id, st.lang,
+         coalesce(m.msum, 0)
+           - coalesce(t.tn, 0) * ln(st.n_lang + v.v + 1)
+           + ln(st.d) - ln(dt.d_total) AS score,
+         coalesce(t.tn, 0) AS n_grams
+  FROM docs d
+  LEFT JOIN dtotal t USING (doc_id)
+  CROSS JOIN stats st CROSS JOIN vocab v CROSS JOIN dt
+  LEFT JOIN matched m ON m.doc_id = d.doc_id AND m.lang = st.lang
+)
+SELECT doc_id, lang, CAST(n_grams AS BIGINT) AS n_grams
+FROM (SELECT doc_id, lang, n_grams,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+      FROM scored)
+WHERE rn = 1"""
 
 
 def _transcript_cte() -> str:
@@ -2783,6 +2880,7 @@ SELECT doc_id,
 FROM documents""",
         "quality_score": _quality_sql(),
         "langid": _langid_sql(),
+        "langid_ngram": _langid_ngram_sql(),
         "fingerprint": f"SELECT doc_id, md5(lower({clean})) AS fingerprint FROM documents",
         "exact_dedup": f"""
 SELECT doc_id, lang FROM documents

@@ -1,0 +1,114 @@
+"""Char-n-gram NB language identification (functions/langid.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_mass_scraper_ocr_spark.functions.langid import (
+    LANGID_HELDOUT,
+    LANGID_SEEDS,
+    char_ngrams,
+    langid_filter,
+    langid_frame,
+    per_language_quality_filter,
+    train_langid,
+)
+
+
+def _heldout_frame(spark, extra=()):
+    rows, i = [], 0
+    for lang in sorted(LANGID_HELDOUT):
+        for s in LANGID_HELDOUT[lang]:
+            rows.append((i, lang, s))
+            i += 1
+    for truth, text in extra:
+        rows.append((i, truth, text))
+        i += 1
+    return spark.createDataFrame(rows, "doc_id long, truth string, text string")
+
+
+def test_char_ngrams_short_and_null(spark):
+    df = spark.createDataFrame(
+        [(1, "abcd"), (2, "ab"), (3, None), (4, "  a   b  ")], "i long, s string"
+    )
+    got = {
+        r.i: r.g
+        for r in df.select("i", char_ngrams(F.col("s"), 3).alias("g")).collect()
+    }
+    assert got[1] == ["abc", "bcd"]
+    assert got[2] == []  # shorter than n -> empty, not a crash
+    assert got[3] is None or got[3] == []  # NULL-safe
+    assert got[4] == ["a b"]  # whitespace-collapsed before gramming
+
+
+def test_heldout_sentences_classified(spark):
+    """Every held-out sentence (absent from the training seeds) is
+    assigned its true language — the generalization check."""
+    df = _heldout_frame(spark)
+    got = {r.doc_id: r.lang for r in langid_frame(df).collect()}
+    truth = {r.doc_id: r.truth for r in df.collect()}
+    assert got == truth
+
+
+def test_zero_gram_doc_prior_tiebreak(spark):
+    """Empty/too-short docs score prior-only; with the bundled equal-
+    size seeds all priors tie and the deterministic rule picks the
+    smallest language code ('de')."""
+    df = spark.createDataFrame([(1, ""), (2, None), (3, "ab")], "doc_id long, text string")
+    rows = {r.doc_id: r for r in langid_frame(df).collect()}
+    assert rows[1].lang == "de" and rows[1].n_grams == 0
+    assert rows[2].lang == "de" and rows[2].n_grams == 0
+
+
+def test_langid_filter_semi_join(spark):
+    df = _heldout_frame(spark)
+    kept = langid_filter(df, ["fr"], text_col="text").collect()
+    assert sorted(r.truth for r in kept) == ["fr"] * 3
+    assert set(df.columns) == set(kept[0].asDict().keys())  # df columns unchanged
+
+
+def test_train_langid_custom_seeds(spark):
+    """Training is generic over the seed frame — two synthetic
+    'languages' with disjoint alphabets separate perfectly."""
+    seeds = spark.createDataFrame(
+        [("aa", "abab abba baba abab ab"), ("zz", "zyzy zyyz yzzy zyzy zy")],
+        "lang string, text string",
+    )
+    model = train_langid(seeds)
+    df = spark.createDataFrame(
+        [(1, "abba abab"), (2, "yzzy zyzy")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.lang for r in langid_frame(df, model=model).collect()}
+    assert got == {1: "aa", 2: "zz"}
+
+
+def test_per_language_quality_filter_composition(spark):
+    """The CCNet composition: language from the NB classifier, quality
+    cutoff per LANGUAGE quantile — an absolute threshold that would
+    drop every 'low' doc keeps the top half of EACH language."""
+    rows = []
+    for i, lang in enumerate(sorted(LANGID_HELDOUT)):
+        for j in range(3):
+            # quality descends with j within each language; fr scores
+            # are uniformly lower than en — per-lang quantiles must
+            # not let en's scale push fr out entirely
+            base = 10.0 if lang in ("en", "de") else 1.0
+            rows.append((i * 3 + j, LANGID_HELDOUT[lang][j], base - j))
+    df = spark.createDataFrame(rows, "doc_id long, text string, q double")
+    kept = per_language_quality_filter(df, "q", q=0.5, text_col="text").collect()
+    by_lang = {}
+    for r in kept:
+        by_lang.setdefault(r.lang, []).append(r.q)
+    # every language survives with its own top half (percentile 0.5 of
+    # [base, base-1, base-2] = base-1 -> 2 of 3 kept per language)
+    assert set(by_lang) == set(LANGID_HELDOUT)
+    for lang, qs in by_lang.items():
+        assert len(qs) == 2, (lang, qs)
+
+
+def test_seed_inventory_shape():
+    langs = {l for l, _ in LANGID_SEEDS}
+    assert langs == set(LANGID_HELDOUT) == {"en", "de", "fr", "es"}
+    # held-out sentences must never leak into the seeds
+    seeds = {t for _, t in LANGID_SEEDS}
+    for sents in LANGID_HELDOUT.values():
+        assert not seeds.intersection(sents)

@@ -9,6 +9,14 @@ from .extract_udf import (
     extract_udf,
 )
 from .files import normalize_hostname, safe_filename, url_dirname
+from .langid import (
+    LANGID_SEEDS,
+    langid_filter,
+    langid_frame,
+    langid_scores,
+    per_language_quality_filter,
+    train_langid,
+)
 from .validate import (
     payload_invalid_reason,
     payload_validation,
@@ -32,6 +40,12 @@ from .text import (
 
 __all__ = [
     "unigram_surprisal",
+    "LANGID_SEEDS",
+    "langid_filter",
+    "langid_frame",
+    "langid_scores",
+    "per_language_quality_filter",
+    "train_langid",
     "EXTRACT_ARROW_SCHEMA",
     "EXTRACT_RESULT_SCHEMA",
     "clean_text_col",

@@ -1,0 +1,275 @@
+"""Char-n-gram Naive Bayes language identification (the fastText-langid
+stand-in every published pipeline gates on).
+
+CCNet, C4, and RefinedWeb all run a language classifier before any
+quality gate; fastText's langid model is the de-facto standard.  Its
+in-engine equivalent with no external model artifact is multinomial
+Naive Bayes over character n-grams — the same two-hash-agg training and
+explode + vocabulary-join scoring proven by ``functions.classify``
+(binary quality NB), generalized to K classes:
+
+    score(doc, lang) = log P(lang) + sum_g log P(g | lang)
+    P(g | lang)      = (count(g, lang) + 1) / (n_lang + V + 1)
+
+with V the global char-n-gram vocabulary size and add-one smoothing, so
+out-of-vocabulary grams score the finite floor 1/(n_lang + V + 1).  The
+sum decomposes as
+
+    sum_matched log(count+1)  -  total_grams * log(n_lang + V + 1)
+                              +  log d_lang - log d_total
+
+so scoring is ONE doc-gram explode joined against the VOCABULARY-sized
+(gram, lang) count table (unmatched grams contribute zero to the first
+term and ride the per-doc total in the second) — a single corpus scan,
+no window over the data, no Python.  The argmax per doc is one
+``min_by(lang, struct(-score, lang))`` hash aggregate: highest score
+wins, ties break to the lexicographically smallest language — the same
+deterministic tie rule the DuckDB oracle applies with a window rank.
+Outputs carry id + language (+ integer gram count) and never raw float
+scores, so the correctness gate hashes engine-independent values.
+
+Scale: the seed corpus is tiny and static (the trained tables are a
+few thousand rows — AQE broadcasts them); the corpus-sized explode is
+linear in characters and keyed on the doc id.  Classifying 100 TB is
+one scan, exactly like ``unigram_surprisal``.
+
+The bundled ``LANGID_SEEDS`` train en/de/fr/es from public-domain text
+(UDHR Article 1 translations plus generic composed sentences); real
+deployments pass their own labeled seed frame to :func:`train_langid`.
+``lang_guess`` (functions.text) remains as the zero-training stopword
+heuristic.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .text import clean_text_col
+
+# Public-domain seed corpus: UDHR Article 1 (the classic langid seed
+# text, translated by the UN) + generic composed sentences per
+# language.  Deterministic module constant so the correctness-gate
+# oracle trains the IDENTICAL model from interpolated SQL VALUES.
+LANGID_SEEDS: list[tuple[str, str]] = [
+    ("en", "All human beings are born free and equal in dignity and rights."),
+    ("en", "They are endowed with reason and conscience and should act towards one another in a spirit of brotherhood."),
+    ("en", "The quick brown fox jumps over the lazy dog while the children watch from the garden."),
+    ("en", "This is a simple sentence written in plain everyday English about the weather and the news."),
+    ("de", "Alle Menschen sind frei und gleich an Würde und Rechten geboren."),
+    ("de", "Sie sind mit Vernunft und Gewissen begabt und sollen einander im Geist der Brüderlichkeit begegnen."),
+    ("de", "Der schnelle braune Fuchs springt über den faulen Hund während die Kinder aus dem Garten zuschauen."),
+    ("de", "Dies ist ein einfacher Satz in gewöhnlichem Deutsch über das Wetter und die Nachrichten."),
+    ("fr", "Tous les êtres humains naissent libres et égaux en dignité et en droits."),
+    ("fr", "Ils sont doués de raison et de conscience et doivent agir les uns envers les autres dans un esprit de fraternité."),
+    ("fr", "Le renard brun rapide saute par-dessus le chien paresseux pendant que les enfants regardent depuis le jardin."),
+    ("fr", "Ceci est une phrase simple écrite en français courant sur la météo et les nouvelles."),
+    ("es", "Todos los seres humanos nacen libres e iguales en dignidad y derechos."),
+    ("es", "Dotados como están de razón y conciencia deben comportarse fraternalmente los unos con los otros."),
+    ("es", "El rápido zorro marrón salta sobre el perro perezoso mientras los niños miran desde el jardín."),
+    ("es", "Esta es una frase sencilla escrita en español corriente sobre el tiempo y las noticias."),
+]
+
+# Held-out sentences (NOT in the training seeds) for tests and the
+# deterministic demo/oracle query — classification must generalize.
+LANGID_HELDOUT: dict[str, list[str]] = {
+    "en": [
+        "The weather report for tomorrow promises bright sunshine and a gentle breeze along the northern coast.",
+        "Many people enjoy reading books about history and science during the long winter evenings.",
+        "The council announced that the new library will open to the public early next year.",
+    ],
+    "de": [
+        "Der Wetterbericht für morgen verspricht strahlenden Sonnenschein und eine leichte Brise an der nördlichen Küste.",
+        "Viele Menschen lesen gern Bücher über Geschichte und Wissenschaft an den langen Winterabenden.",
+        "Der Stadtrat kündigte an dass die neue Bibliothek Anfang nächsten Jahres für die Öffentlichkeit geöffnet wird.",
+    ],
+    "fr": [
+        "Le bulletin météo pour demain promet un soleil éclatant et une brise légère le long de la côte nord.",
+        "Beaucoup de gens aiment lire des livres sur l'histoire et la science pendant les longues soirées d'hiver.",
+        "Le conseil municipal a annoncé que la nouvelle bibliothèque ouvrira au public au début de l'année prochaine.",
+    ],
+    "es": [
+        "El informe del tiempo para mañana promete un sol radiante y una brisa ligera a lo largo de la costa norte.",
+        "A mucha gente le gusta leer libros sobre historia y ciencia durante las largas tardes de invierno.",
+        "El ayuntamiento anunció que la nueva biblioteca abrirá al público a principios del año próximo.",
+    ],
+}
+
+DEFAULT_NGRAM = 3
+
+
+def char_ngrams(col: Column, n: int = DEFAULT_NGRAM) -> Column:
+    """Array of character ``n``-grams of the lowercased
+    whitespace-normalized text (empty when shorter than ``n``;
+    sequence(1, 0) DESCENDS in Spark — the when-guard is required)."""
+    s = F.lower(clean_text_col(col))
+    m = F.length(s) - F.lit(n - 1)
+    return F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+            lambda i: s.substr(i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+@dataclass
+class LangIdModel:
+    """Trained model: a vocabulary-sized (gram, lang, log(count+1))
+    table + a |langs|-row stats frame (lang, oov_logp = -log(n_lang +
+    V + 1), prior log d_lang - log d_total) — both broadcast-sized."""
+
+    gram_logprob: DataFrame
+    lang_stats: DataFrame
+    n: int
+
+
+def train_langid(
+    seeds: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+) -> LangIdModel:
+    """Two hash-aggs over the labeled seed frame -> a LangIdModel.
+    The stats frame derives from the count table (|vocab|-sized
+    re-agg) plus one seed-sized doc-count agg, mirroring
+    classify.train_quality_classifier."""
+    grams = seeds.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(char_ngrams(F.col(text_col), n)).alias("g"),
+    )
+    counts = grams.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("c"))
+    vocab = counts.select("g").distinct().select(F.count(F.lit(1)).alias("v"))
+    docs = seeds.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    totals = counts.groupBy("lang").agg(F.sum("c").alias("n_lang"))
+    stats = (
+        totals.join(docs, "lang")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(
+            F.broadcast(docs.select(F.sum("d").alias("d_total")))
+        )
+        .select(
+            "lang",
+            (-F.log((F.col("n_lang") + F.col("v") + 1).cast("double"))).alias(
+                "oov_logp"
+            ),
+            (
+                F.log(F.col("d").cast("double"))
+                - F.log(F.col("d_total").cast("double"))
+            ).alias("prior"),
+        )
+    )
+    logprob = counts.select(
+        "lang", "g", F.log((F.col("c") + 1).cast("double")).alias("lc")
+    )
+    return LangIdModel(gram_logprob=logprob, lang_stats=stats, n=n)
+
+
+def _default_model(spark) -> LangIdModel:
+    seeds = spark.createDataFrame(LANGID_SEEDS, "lang string, text string")
+    return train_langid(seeds)
+
+
+def langid_scores(
+    df: DataFrame,
+    model: LangIdModel,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, lang, score, n_grams) for EVERY (doc, language) pair.
+    One doc-gram explode -> inner join the (gram, lang) table -> per
+    (doc, lang) sum of log(count+1); the doc x lang grid (broadcast
+    cross join against the |langs|-row stats) folds in the OOV floor
+    term and the prior, so languages with zero matched grams still
+    score.  Zero-gram docs score prior-only."""
+    dgrams = df.select(
+        F.col(id_col), F.explode(char_ngrams(F.col(text_col), model.n)).alias("g")
+    )
+    totals = dgrams.groupBy(id_col).agg(F.count(F.lit(1)).alias("__tn"))
+    matched = (
+        dgrams.join(model.gram_logprob, "g")
+        .groupBy(id_col, "lang")
+        .agg(F.sum("lc").alias("__msum"))
+    )
+    grid = (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .crossJoin(F.broadcast(model.lang_stats))
+    )
+    return (
+        grid.join(matched, [id_col, "lang"], "left")
+        .select(
+            F.col(id_col),
+            "lang",
+            (
+                F.coalesce(F.col("__msum"), F.lit(0.0))
+                + F.coalesce(F.col("__tn"), F.lit(0)) * F.col("oov_logp")
+                + F.col("prior")
+            ).alias("score"),
+            F.coalesce(F.col("__tn"), F.lit(0)).cast("long").alias("n_grams"),
+        )
+    )
+
+
+def langid_frame(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    model: LangIdModel | None = None,
+) -> DataFrame:
+    """(id, lang, n_grams): the argmax language per document under
+    ``model`` (default: the bundled en/de/fr/es seed model).  Highest
+    score wins; ties break to the smallest language code
+    (min_by over the (-score, lang) struct — deterministic, mirrored
+    by the oracle's window rank).  No float columns in the output."""
+    if model is None:
+        model = _default_model(df.sparkSession)
+    scores = langid_scores(df, model, id_col, text_col)
+    return scores.groupBy(id_col).agg(
+        F.min_by(
+            "lang", F.struct((-F.col("score")).alias("ns"), F.col("lang").alias("l"))
+        ).alias("lang"),
+        F.first("n_grams").alias("n_grams"),
+    )
+
+
+def langid_filter(
+    df: DataFrame,
+    langs: list[str] | str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    model: LangIdModel | None = None,
+) -> DataFrame:
+    """Rows of ``df`` classified into ``langs`` (the CCNet/C4 language
+    gate), via left_semi on the argmax frame — df columns unchanged."""
+    wanted = [langs] if isinstance(langs, str) else list(langs)
+    keep = (
+        langid_frame(df, id_col, text_col, model)
+        .where(F.col("lang").isin(wanted))
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def per_language_quality_filter(
+    df: DataFrame,
+    score_col: str,
+    q: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    model: LangIdModel | None = None,
+) -> DataFrame:
+    """The CCNet composition: classify language, then keep each doc
+    only if its quality score clears ITS LANGUAGE's q-quantile (an
+    absolute cutoff tuned for English over-filters low-resource
+    languages).  Adds the ``lang`` column; delegates the per-group
+    broadcast-cutoff shape to operators.sampling.quality_quantile_filter."""
+    from ..operators.sampling import quality_quantile_filter
+
+    labeled = df.join(
+        langid_frame(df, id_col, text_col, model).select(id_col, "lang"), id_col
+    )
+    return quality_quantile_filter(labeled, "lang", score_col, q)
