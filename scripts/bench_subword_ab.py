@@ -1,0 +1,88 @@
+"""A/B bench for the r6 subword-segmentation rewrite (VERDICT r5 #3):
+trie + per-executor-process memo ('trie', the default) vs the verbatim
+pre-r6 path ('legacy': per-batch memo, per-position longest-first
+substring scan, regex whitespace normalize) vs the trie-less scan with
+persistent memo ('scan', isolates trie-vs-scan from memo persistence).
+
+Protocol matches bench_filters_scale.py: sf0.1 documents replicated
+10x with a rep-prefix (every replica re-segments the same words, so
+the persistent word memo is allowed to do its job exactly as it would
+on a real Zipf corpus), noop-write forcing, pass 1 = cold workers,
+pass 2 = warm (memo persistence across ACTIONS, which per-batch memos
+cannot exploit).  Rows print as JSON lines; record trie_vs_legacy
+speedup in BENCH/BASELINE.md.
+
+Usage: python scripts/bench_subword_ab.py [replication]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from web_mass_scraper_ocr_spark.functions.tokenize import SubwordTokenizer, train_bpe, bpe_vocab
+from web_mass_scraper_ocr_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def replicate(docs, r: int):
+    if r == 1:
+        return docs
+    reps = F.explode(F.sequence(F.lit(0), F.lit(r - 1))).alias("rep")
+    return docs.select("doc_id", "text", reps).select(
+        (F.col("doc_id") * r + F.col("rep")).alias("doc_id"),
+        F.concat(
+            F.lit("rep"), F.col("rep").cast("string"), F.lit(" "), F.col("text")
+        ).alias("text"),
+    )
+
+
+def timed(label: str, df) -> float:
+    t0 = time.monotonic()
+    df.write.format("noop").mode("overwrite").save()
+    wall = round(time.monotonic() - t0, 2)
+    print(json.dumps({"stage": label, "wall_sec": wall}), flush=True)
+    return wall
+
+
+def main() -> None:
+    r = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    big = replicate(docs, r).localCheckpoint()
+    n = big.count()
+    print(json.dumps({"stage": "setup", "docs": n, "replication": r}), flush=True)
+
+    # a realistic induced vocab (same fixture every run -> deterministic)
+    merges = train_bpe(docs.limit(2000), "text", n_merges=200)
+    vocab = bpe_vocab(merges)
+    print(json.dumps({"stage": "vocab", "pieces": len(vocab)}), flush=True)
+
+    walls: dict[str, list[float]] = {}
+    for impl in ("legacy", "scan", "trie"):
+        tk = SubwordTokenizer(vocab, impl=impl)
+        toks = big.select("doc_id", tk.tokens(F.col("text")).alias("toks"))
+        cnts = big.select("doc_id", tk.count(F.col("text")).alias("n"))
+        walls[impl] = [
+            timed(f"{impl}_tokens_cold", toks),
+            timed(f"{impl}_tokens_warm", toks),
+            timed(f"{impl}_count_warm", cnts),
+        ]
+
+    speedup = {
+        "tokens_cold": round(walls["legacy"][0] / walls["trie"][0], 2),
+        "tokens_warm": round(walls["legacy"][1] / walls["trie"][1], 2),
+        "count_warm": round(walls["legacy"][2] / walls["trie"][2], 2),
+    }
+    print(json.dumps({"stage": "trie_vs_legacy_speedup", **speedup}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
