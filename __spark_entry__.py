@@ -1579,12 +1579,40 @@ def _synth_host():
     )
 
 
+def _synth_psl_host():
+    """Hosts exercising the r6 full-PSL forms on the documents table:
+    wildcard suffix hit (a.{src}.ck registers {src}.ck), bare wildcard
+    suffix ({src}.ck IS a public suffix -> NULL), exception rule
+    (www.ck / www.www.ck -> www.ck), the Japanese-city exception
+    (city.kawasaki.jp keeps itself), a wildcard base too short for the
+    star (kawasaki.jp -> plain jp rule), and a sub-sub-domain under
+    the wildcard (a.b.{src}.ck -> b.{src}.ck)."""
+    i = F.col("doc_id") % 6
+    src = F.col("source")
+    return (
+        F.when(i == 0, F.concat(F.lit("a."), src, F.lit(".ck")))
+        .when(i == 1, F.concat(src, F.lit(".ck")))
+        .when(i == 2, F.lit("www.www.ck"))
+        .when(i == 3, F.lit("city.kawasaki.jp"))
+        .when(i == 4, F.lit("kawasaki.jp"))
+        .otherwise(F.concat(F.lit("a.b."), src, F.lit(".ck")))
+    )
+
+
 _SYNTH_HOST_SQL = """CASE doc_id % 5
   WHEN 0 THEN 'blog.' || source || '.co.uk'
   WHEN 1 THEN 'www.' || source || '.co.uk'
   WHEN 2 THEN source || '.co.uk'
   WHEN 3 THEN 'cdn.' || source || '.org'
   ELSE source || '.unknowntld' END"""
+
+_SYNTH_PSL_HOST_SQL = """CASE doc_id % 6
+  WHEN 0 THEN 'a.' || source || '.ck'
+  WHEN 1 THEN source || '.ck'
+  WHEN 2 THEN 'www.www.ck'
+  WHEN 3 THEN 'city.kawasaki.jp'
+  WHEN 4 THEN 'kawasaki.jp'
+  ELSE 'a.b.' || source || '.ck' END"""
 
 
 def q_registered_domain(spark, sf_dir):
@@ -1599,6 +1627,24 @@ def q_registered_domain(spark, sf_dir):
     host = _synth_host()
     return d.select(
         "doc_id", host.alias("host"), registered_domain(host).alias("reg_domain")
+    )
+
+
+def q_psl_domain(spark, sf_dir):
+    """Full-PSL eTLD+1 (r6): wildcard (``*.ck``) and exception
+    (``!www.ck``, ``!city.kawasaki.jp``) rules through the BROADCAST
+    suffix-table join form (functions/files.py registered_domains —
+    the 9k-rule scale shape), over hosts synthesized to hit every
+    rule form.  The oracle regenerates the same when-chain from the
+    same snapshot via the independent InSet formulation, so the two
+    forms cross-check each other on top of the DuckDB value gate."""
+    from web_mass_scraper_ocr_spark.functions.files import registered_domains
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _synth_psl_host().alias("host")
+    )
+    return registered_domains(d, "doc_id", "host", out_col="reg_domain").select(
+        "doc_id", "host", "reg_domain"
     )
 
 
@@ -2097,6 +2143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "nb_classifier": q_nb_classifier,
         "registered_domain": q_registered_domain,
+        "psl_domain": q_psl_domain,
         "temperature_mixture": q_temperature_mixture,
         "domain_blocklist": q_domain_blocklist,
         "bm25_search": q_bm25_search,
@@ -2262,23 +2309,39 @@ bpe_counts AS (
 
 def _regdom_case() -> str:
     """The registered_domain when-chain as DuckDB SQL, generated from
-    the SAME public-suffix snapshot (guaranteed parity).  Expects
-    columns ``labs`` (VARCHAR[], dot-split lowercased host) and ``n``
-    (len(labs)) in scope."""
-    from web_mass_scraper_ocr_spark.functions.files import PUBLIC_SUFFIXES
+    the SAME public-suffix snapshot (guaranteed parity), including the
+    r6 full-PSL wildcard/exception semantics: exception branches first
+    (they prevail), then effective-suffix-length branches merging
+    plain rules (m labels) with wildcard bases (m-1 labels), then the
+    PSL default rule.  Expects columns ``labs`` (VARCHAR[], dot-split
+    lowercased host) and ``n`` (len(labs)) in scope."""
+    from web_mass_scraper_ocr_spark.functions.files import (
+        PUBLIC_SUFFIXES,
+        _parse_psl,
+    )
 
-    by_k: dict[int, list[str]] = {}
-    for s in PUBLIC_SUFFIXES:
-        by_k.setdefault(s.count(".") + 1, []).append(s)
+    plain, wild, exc = _parse_psl(PUBLIC_SUFFIXES)
+
+    def last(k: int) -> str:
+        return f"array_to_string(list_slice(labs, n - {k - 1}, n), '.')"
+
     branches = []
-    for k in sorted(by_k, reverse=True):
-        inlist = ", ".join(f"'{s}'" for s in sorted(by_k[k]))
-        last_k = f"array_to_string(list_slice(labs, n - {k - 1}, n), '.')"
+    for k in sorted(exc, reverse=True):
+        inlist = ", ".join(f"'{s}'" for s in sorted(exc[k]))
+        branches.append(f"WHEN n >= {k} AND {last(k)} IN ({inlist}) THEN {last(k)}")
+    for m in sorted(set(plain) | {k + 1 for k in wild}, reverse=True):
+        conds = []
+        if m in plain:
+            inlist = ", ".join(f"'{s}'" for s in sorted(plain[m]))
+            conds.append(f"(n >= {m} AND {last(m)} IN ({inlist}))")
+        if m - 1 in wild:
+            inlist = ", ".join(f"'{s}'" for s in sorted(wild[m - 1]))
+            conds.append(f"(n >= {m} AND {last(m - 1)} IN ({inlist}))")
         reg = (
-            f"CASE WHEN n >= {k + 1} THEN "
-            f"array_to_string(list_slice(labs, n - {k}, n), '.') END"
+            f"CASE WHEN n >= {m + 1} THEN "
+            f"array_to_string(list_slice(labs, n - {m}, n), '.') END"
         )
-        branches.append(f"WHEN n >= {k} AND {last_k} IN ({inlist}) THEN {reg}")
+        branches.append(f"WHEN {' OR '.join(conds)} THEN {reg}")
     default = "CASE WHEN n >= 2 THEN array_to_string(list_slice(labs, n - 1, n), '.') END"
     return "CASE " + " ".join(branches) + f" ELSE {default} END"
 
@@ -2907,6 +2970,17 @@ WHERE common_shingles::DOUBLE / (sa.set_size + sb.set_size - common_shingles)::D
         "registered_domain": f"""
 WITH h AS (
   SELECT doc_id, {_SYNTH_HOST_SQL} AS host FROM documents
+),
+lab AS (
+  SELECT doc_id, host,
+         string_split(lower(regexp_replace(host, '\\.$', '')), '.') AS labs,
+         len(string_split(lower(regexp_replace(host, '\\.$', '')), '.')) AS n
+  FROM h
+)
+SELECT doc_id, host, {_regdom_case()} AS reg_domain FROM lab""",
+        "psl_domain": f"""
+WITH h AS (
+  SELECT doc_id, {_SYNTH_PSL_HOST_SQL} AS host FROM documents
 ),
 lab AS (
   SELECT doc_id, host,

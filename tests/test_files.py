@@ -187,6 +187,20 @@ def test_registered_domain_rules(request):
         "x.y.unknowntld": "y.unknowntld",
         "single": None,
         "sub.host.com.au": "host.com.au",
+        # --- full PSL semantics (r6): the publicsuffix.org test
+        # vectors for wildcard + exception rules (*.ck / !www.ck,
+        # *.kawasaki.jp / !city.kawasaki.jp)
+        "ck": None,                      # rule *.ck can't match 1 label
+        "test.ck": None,                 # host IS a (wildcard) suffix
+        "b.test.ck": "b.test.ck",
+        "a.b.test.ck": "b.test.ck",
+        "www.ck": "www.ck",              # exception rule
+        "www.www.ck": "www.ck",
+        "kawasaki.jp": "kawasaki.jp",    # wildcard too long; plain jp
+        "x.kawasaki.jp": None,           # host IS x.kawasaki.jp suffix
+        "y.x.kawasaki.jp": "y.x.kawasaki.jp",
+        "city.kawasaki.jp": "city.kawasaki.jp",   # exception
+        "z.city.kawasaki.jp": "city.kawasaki.jp",
     }
     df = spark.createDataFrame(
         [(i, h) for i, (h, _) in enumerate(cases.items())], "id long, host string"
@@ -217,6 +231,10 @@ def test_registered_domains_join_form_matches_column_form(request):
         "a.b.c.example.com", "example.com", "com", "foo.unknowntld",
         "single", "CDN.Example.COM.", "x.github.io", "deep.sub.host.gov.au",
         None, "",
+        # r6 wildcard/exception forms agree across both shapes too
+        "ck", "test.ck", "b.test.ck", "a.b.test.ck", "www.ck",
+        "www.www.ck", "kawasaki.jp", "x.kawasaki.jp", "y.x.kawasaki.jp",
+        "city.kawasaki.jp", "z.city.kawasaki.jp",
     ]
     df = spark.createDataFrame(
         [(i, h) for i, h in enumerate(hosts)], "id long, host string"
