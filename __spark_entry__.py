@@ -746,6 +746,8 @@ def q_url_parse(spark, sf_dir):
 
 
 WINNOW_K, WINNOW_W = 4, 5
+WINNOW_PAIR_MIN_SHARED = 2   # MOSS-style evidence bar for a pair
+WINNOW_PAIR_DF_CAP = 5       # boilerplate-fingerprint cap (fires at sf0.01)
 
 
 def q_winnow(spark, sf_dir):
@@ -759,6 +761,27 @@ def q_winnow(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return winnow_fingerprints(d, k=WINNOW_K, w=WINNOW_W)
+
+
+def q_winnow_pairs(spark, sf_dir):
+    """Winnowing's consumer (r6, VERDICT r5 #6 — operators/dedup.py
+    winnow_overlap_pairs): partial-overlap pairs from shared selected
+    fingerprints with matched token spans — the clone detector MinHash
+    misses (a 200-token run inside two otherwise-different 1000-token
+    docs is Jaccard ~0.11).  Boilerplate fingerprints (doc frequency >
+    cap) drop BEFORE the fp self-join, the same scale guard as the
+    Jaccard shingle-df cap; the oracle rebuilds every winnow window
+    brute-force and replays the cap + pair join."""
+    from web_mass_scraper_ocr_spark.operators.dedup import winnow_overlap_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(
+        d,
+        k=WINNOW_K,
+        w=WINNOW_W,
+        min_shared=WINNOW_PAIR_MIN_SHARED,
+        max_fp_df=WINNOW_PAIR_DF_CAP,
+    )
 
 
 def _hygiene_prefixes():
@@ -2150,6 +2173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_pairs": q_edit_distance_pairs,
         "cluster_reps": q_cluster_representatives,
         "winnow": q_winnow,
+        "winnow_pairs": q_winnow_pairs,
         "phrase_search": q_phrase_search,
         "text_hygiene": q_text_hygiene,
         "corpus_diff": q_corpus_diff,
@@ -2236,6 +2260,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _CLEAN_TEXT = _CLEAN.format(c="text")
 _TOKENS = f"string_split(lower({_CLEAN_TEXT}), ' ')"
+
+# winnowing fingerprint selection (brute-force window rebuild), shared
+# by the 'winnow' and 'winnow_pairs' oracles — ends at CTE ``sel``
+# holding (doc_id, pos, fp) pre-DISTINCT
+_WINNOW_FPS_CTE = f"""WITH t AS (
+  SELECT doc_id, list_filter({_TOKENS}, x -> x <> '') AS toks FROM documents
+),
+g0 AS (
+  SELECT doc_id, len(toks) - {WINNOW_K - 1} AS m, toks FROM t
+),
+h AS (
+  SELECT doc_id, m, pos,
+         CAST(concat('0x', substr(md5(array_to_string(toks[CAST(pos AS INT):CAST(pos + {WINNOW_K - 1} AS INT)], ' ')), 1, 13)) AS BIGINT) AS fp
+  FROM (
+    SELECT doc_id, m, toks, unnest(range(1, CAST(m AS INT) + 1)) AS pos
+    FROM g0 WHERE m >= 1
+  )
+),
+starts AS (
+  SELECT doc_id, pos AS start FROM h WHERE pos <= greatest(m - {WINNOW_W - 1}, 1)
+),
+members AS (
+  SELECT s.doc_id, s.start, h.pos, h.fp
+  FROM starts s JOIN h ON h.doc_id = s.doc_id
+   AND h.pos BETWEEN s.start AND s.start + {WINNOW_W - 1}
+),
+mins AS (SELECT doc_id, start, min(fp) AS mh FROM members GROUP BY 1, 2),
+sel AS (
+  SELECT m2.doc_id, max(m2.pos) AS pos, m1.mh AS fp
+  FROM mins m1 JOIN members m2
+    ON m2.doc_id = m1.doc_id AND m2.start = m1.start AND m2.fp = m1.mh
+  GROUP BY m2.doc_id, m2.start, m1.mh
+)"""
 _STOP = {
     lang: r"(^|[ \t\r\n])(" + "|".join(words) + r")([ \t\r\n]|$)"
     for lang, words in T.STOPWORDS.items()
@@ -3656,37 +3713,25 @@ FROM t
 WHERE len(list_filter(range(1, len(toks) - {len(PHRASE.split())} + 2),
       p -> array_to_string(toks[CAST(p AS INT):CAST(p + {len(PHRASE.split()) - 1} AS INT)], ' ')
            = '{PHRASE}')) > 0""",
-        "winnow": f"""
-WITH t AS (
-  SELECT doc_id, list_filter({_TOKENS}, x -> x <> '') AS toks FROM documents
-),
-g0 AS (
-  SELECT doc_id, len(toks) - {WINNOW_K - 1} AS m, toks FROM t
-),
-h AS (
-  SELECT doc_id, m, pos,
-         CAST(concat('0x', substr(md5(array_to_string(toks[CAST(pos AS INT):CAST(pos + {WINNOW_K - 1} AS INT)], ' ')), 1, 13)) AS BIGINT) AS fp
-  FROM (
-    SELECT doc_id, m, toks, unnest(range(1, CAST(m AS INT) + 1)) AS pos
-    FROM g0 WHERE m >= 1
-  )
-),
-starts AS (
-  SELECT doc_id, pos AS start FROM h WHERE pos <= greatest(m - {WINNOW_W - 1}, 1)
-),
-members AS (
-  SELECT s.doc_id, s.start, h.pos, h.fp
-  FROM starts s JOIN h ON h.doc_id = s.doc_id
-   AND h.pos BETWEEN s.start AND s.start + {WINNOW_W - 1}
-),
-mins AS (SELECT doc_id, start, min(fp) AS mh FROM members GROUP BY 1, 2),
-sel AS (
-  SELECT m2.doc_id, max(m2.pos) AS pos, m1.mh AS fp
-  FROM mins m1 JOIN members m2
-    ON m2.doc_id = m1.doc_id AND m2.start = m1.start AND m2.fp = m1.mh
-  GROUP BY m2.doc_id, m2.start, m1.mh
-)
+        "winnow": f"""{_WINNOW_FPS_CTE}
 SELECT DISTINCT doc_id, CAST(pos AS INT) AS pos, fp FROM sel""",
+        "winnow_pairs": f"""{_WINNOW_FPS_CTE},
+fps AS (SELECT DISTINCT doc_id, pos, fp FROM sel),
+kept AS (
+  SELECT * FROM fps WHERE fp NOT IN (
+    SELECT fp FROM fps GROUP BY fp
+    HAVING count(DISTINCT doc_id) > {WINNOW_PAIR_DF_CAP}
+  )
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       count(DISTINCT a.fp) AS n_shared,
+       CAST(min(a.pos) AS INT) AS a_start,
+       CAST(max(a.pos) + {WINNOW_K - 1} AS INT) AS a_end,
+       CAST(min(b.pos) AS INT) AS b_start,
+       CAST(max(b.pos) + {WINNOW_K - 1} AS INT) AS b_end
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(DISTINCT a.fp) >= {WINNOW_PAIR_MIN_SHARED}""",
         "canonical_url": r"""
 WITH u AS (
   SELECT doc_id,

@@ -961,3 +961,71 @@ def test_corpus_diff_duplicate_ids_raise(spark):
     new = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="duplicate"):
         corpus_diff(old, new)
+
+
+def test_winnow_overlap_pairs_catches_what_minhash_misses(spark):
+    """r6 winnow consumer: two 1000-token docs sharing ONE 200-token
+    run (whole-doc Jaccard ~0.11) are INVISIBLE to MinHash at the 0.5
+    threshold but guaranteed by winnowing — and the reported spans
+    bracket the true run positions in each doc."""
+    import random as _random
+
+    from web_mass_scraper_ocr_spark.operators.dedup import (
+        minhash_near_duplicates,
+        winnow_overlap_pairs,
+    )
+
+    rng = _random.Random(7)
+    vocab = [f"w{i}" for i in range(50000)]
+    shared = [rng.choice(vocab) for _ in range(200)]
+    # doc 1: run at tokens 401..600; doc 2: run at tokens 101..300
+    doc_a = [rng.choice(vocab) for _ in range(400)] + shared + [
+        rng.choice(vocab) for _ in range(400)
+    ]
+    doc_b = [rng.choice(vocab) for _ in range(100)] + shared + [
+        rng.choice(vocab) for _ in range(700)
+    ]
+    other = [rng.choice(vocab) for _ in range(1000)]
+    df = spark.createDataFrame(
+        [(1, " ".join(doc_a)), (2, " ".join(doc_b)), (3, " ".join(other))],
+        "doc_id long, text string",
+    )
+    # MinHash at a sane threshold: no pair (true Jaccard ~ 200/1800)
+    mh = minhash_near_duplicates(df, "doc_id", "text", threshold=0.5).collect()
+    assert mh == []
+    k, w = 4, 5
+    pairs = winnow_overlap_pairs(df, k=k, w=w, min_shared=2).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    p = pairs[0]
+    # spans bracket the run: selected grams start within the run and
+    # the span cannot extend past its boundaries
+    assert 401 <= p.a_start <= p.a_end <= 600
+    assert 101 <= p.b_start <= p.b_end <= 300
+    # the run is 200 tokens at ~2/(w+1) selection density: expect many
+    # shared prints, and spans covering most of the run
+    assert p.n_shared >= 20
+    assert p.a_end - p.a_start >= 150 and p.b_end - p.b_start >= 150
+
+
+def test_winnow_overlap_pairs_fp_df_cap_and_min_shared(spark):
+    """max_fp_df drops boilerplate fingerprints BEFORE the self-join;
+    min_shared gates pair emission."""
+    from web_mass_scraper_ocr_spark.operators.dedup import winnow_overlap_pairs
+
+    boiler = "all rights reserved copyright two thousand twenty four acme corp"
+    bodies = {
+        1: "alpha beta gamma delta epsilon zeta eta theta " + boiler,
+        2: "one two three four five six seven eight nine ten " + boiler,
+        3: "red orange yellow green blue indigo violet ultra " + boiler,
+        4: "red orange yellow green blue indigo violet ultra " + boiler,
+    }
+    df = spark.createDataFrame(
+        list(bodies.items()), "doc_id long, text string"
+    )
+    # uncapped: the shared boilerplate tail links every doc pair
+    uncapped = winnow_overlap_pairs(df, k=3, w=3, min_shared=1)
+    assert uncapped.count() == 6
+    # cap at df<=2: boilerplate prints (selected by all 4 docs) drop,
+    # only the genuinely-cloned 3-4 body survives
+    capped = winnow_overlap_pairs(df, k=3, w=3, min_shared=1, max_fp_df=2)
+    assert [(p.id_a, p.id_b) for p in capped.collect()] == [(3, 4)]

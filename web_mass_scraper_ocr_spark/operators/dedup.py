@@ -967,3 +967,69 @@ def winnow_fingerprints(
         )
         .distinct()
     )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 5,
+    min_shared: int = 2,
+    max_fp_df: int | None = None,
+) -> DataFrame:
+    """The winnowing CONSUMER (r6, VERDICT r5 #6): partial-overlap /
+    clone pairs from shared :func:`winnow_fingerprints`, with matched
+    position spans — the detector MinHash cannot be.  Whole-doc
+    Jaccard of two 1000-token docs sharing one 200-token run is ~0.11
+    (invisible at any sane MinHash threshold); winnowing guarantees
+    every shared run of >= w + k - 1 tokens contributes identical
+    selected fingerprints to both docs, so the run surfaces here no
+    matter how different the surrounding text is.
+
+    Output per (id_a, id_b) pair (id_a < id_b): ``n_shared`` distinct
+    shared fingerprints (>= ``min_shared`` — 1 fingerprint can be a
+    hash-coincidence-free real k-gram match but 2+ selected prints is
+    the MOSS-style evidence bar), and the matched TOKEN span in each
+    doc (``a_start``..``a_end``, 1-based, end = last matched gram
+    start + k - 1): the span a reviewer or a span-remover inspects.
+
+    Scale shape: the only pairwise stage is an equi-join of the
+    fingerprint table to itself ON fp — volume is sum of per-fp
+    doc-count squared, NOT corpus^2.  ``max_fp_df`` is the same scale
+    guard as ``max_shingle_df`` on the Jaccard path: a fingerprint
+    selected by more than that many docs is boilerplate (nav chrome,
+    license headers), contributes O(df^2) join rows, and is dropped
+    BEFORE the join (one hash-agg doc-frequency pass).  Fingerprint
+    volume itself is ~2/(w+1) of gram volume by the winnowing
+    density bound.
+    """
+    fps = winnow_fingerprints(df, id_col=id_col, text_col=text_col, k=k, w=w)
+    if max_fp_df is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count_distinct(F.col(id_col)).alias("__df__"))
+            .where(F.col("__df__") > max_fp_df)
+            .select("fp")
+        )
+        fps = fps.join(hot, "fp", "left_anti")
+    a = fps.select(
+        F.col(id_col).alias("id_a"), F.col("pos").alias("pos_a"), "fp"
+    )
+    b = fps.select(
+        F.col(id_col).alias("id_b"), F.col("pos").alias("pos_b"), "fp"
+    )
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count_distinct("fp").alias("n_shared"),
+            F.min("pos_a").alias("a_start"),
+            (F.max("pos_a") + F.lit(k - 1)).alias("a_end"),
+            F.min("pos_b").alias("b_start"),
+            (F.max("pos_b") + F.lit(k - 1)).alias("b_end"),
+        )
+        .where(F.col("n_shared") >= min_shared)
+    )
