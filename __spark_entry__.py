@@ -1478,9 +1478,14 @@ def q_multimodal_frames(spark, sf_dir):
 
 
 def q_scrub_pii(spark, sf_dir):
-    """Training-corpus hygiene: mask emails / IPv4s / phone runs with
-    typed placeholders plus audit counts (PII never ships to a training
-    set).  Synthesized PII appended per doc so every pattern fires."""
+    """Training-corpus hygiene: mask emails / IPv4s / API-key-shaped
+    secrets / Luhn-VALID card numbers / mod-97-valid IBANs / dashed
+    SSNs / phone runs with typed placeholders plus audit counts (PII
+    never ships to a training set).  Synthesized PII appended per doc
+    so every pattern fires; the card and IBAN lines carry one
+    checksum-VALID and one checksum-INVALID candidate each, proving
+    the aggregate-fold validation gates the mask (the invalid card
+    falls through to the conservative phone pass)."""
     d = _t(spark, sf_dir, "documents")
     did = F.col("doc_id").cast("string")
     pii = F.concat(
@@ -1488,6 +1493,11 @@ def q_scrub_pii(spark, sf_dir):
         F.lit(" contact user"), did, F.lit("@example.com or +1 (555) 123-"),
         F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
         F.lit(" ip 10.0.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(" card 4111 1111 1111 1111 notcard 4111111111111112"),
+        F.lit(" iban GB82WEST12345698765432 notiban GB82WEST12345698765431"),
+        F.lit(" ssn "), F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-45-6789 token ghp_"),
+        F.lpad((F.col("doc_id") % 100000).cast("string"), 20, "0"),
     )
     scrubbed = T.scrub_pii(pii)
     counts = T.pii_counts(pii)
@@ -1496,6 +1506,10 @@ def q_scrub_pii(spark, sf_dir):
         F.md5(scrubbed).alias("scrub_md5"),
         counts["n_emails"].cast("long").alias("n_emails"),
         counts["n_ipv4s"].cast("long").alias("n_ipv4s"),
+        counts["n_api_keys"].cast("long").alias("n_api_keys"),
+        counts["n_ccs"].cast("long").alias("n_ccs"),
+        counts["n_ibans"].cast("long").alias("n_ibans"),
+        counts["n_ssns"].cast("long").alias("n_ssns"),
         counts["n_phones"].cast("long").alias("n_phones"),
     )
 
@@ -2260,6 +2274,112 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _CLEAN_TEXT = _CLEAN.format(c="text")
 _TOKENS = f"string_split(lower({_CLEAN_TEXT}), ' ')"
+
+def _cc_valid_cands_sql(src: str) -> str:
+    """Sorted distinct CC_RE matches of ``src`` that pass the Luhn
+    checksum — DuckDB twin of text.luhn_valid via an index lambda
+    (position-from-right parity drives the doubling)."""
+    digits = "regexp_extract_all(replace(replace(c, ' ', ''), '-', ''), '[0-9]')"
+    contrib = (
+        f"CASE WHEN (len({digits}) - i) % 2 = 1 THEN "
+        f"CASE WHEN CAST(d AS INT)*2 > 9 THEN CAST(d AS INT)*2 - 9 "
+        f"ELSE CAST(d AS INT)*2 END ELSE CAST(d AS INT) END"
+    )
+    return (
+        f"list_filter(list_sort(list_distinct(regexp_extract_all({src}, '{T.CC_RE}'))), "
+        f"c -> (list_sum(list_transform({digits}, (d, i) -> {contrib})) % 10 = 0))"
+    )
+
+
+def _iban_valid_cands_sql(src: str) -> str:
+    """Sorted distinct IBAN_RE matches of ``src`` passing ISO 7064
+    mod-97 — DuckDB twin of text.iban_valid: fold the rearranged
+    char list with a VARCHAR-carried remainder (list_reduce keeps one
+    type, so the accumulator rides as text)."""
+    fold = (
+        "CAST(list_reduce(list_prepend('0', string_split(concat(substr(c, 5), "
+        "substr(c, 1, 4)), '')), (acc, ch) -> CAST((CASE WHEN ch BETWEEN '0' AND '9' "
+        "THEN CAST(acc AS BIGINT)*10 + (ascii(ch)-48) "
+        "ELSE CAST(acc AS BIGINT)*100 + (ascii(ch)-55) END) % 97 AS VARCHAR)) "
+        "AS BIGINT) = 1"
+    )
+    return (
+        f"list_filter(list_sort(list_distinct(regexp_extract_all({src}, '{T.IBAN_RE}'))), "
+        f"c -> ({fold}))"
+    )
+
+
+def _fold_replace_sql(src: str, cands: str, token: str) -> str:
+    """Replace each candidate literal in ``src`` with ``token`` via
+    list_reduce over the src-prepended candidate list (empty list ->
+    src unchanged) — DuckDB twin of text._mask_validated's fold."""
+    return (
+        f"list_reduce(list_prepend({src}, {cands}), "
+        f"(acc, c) -> replace(acc, c, '{token}'))"
+    )
+
+
+def _occurrences_sql(src: str, cands: str) -> str:
+    """Total occurrence count of every candidate in ``src``."""
+    return (
+        f"COALESCE(CAST(list_sum(list_transform({cands}, c -> "
+        f"(len({src}) - len(replace({src}, c, ''))) / len(c))) AS BIGINT), 0)"
+    )
+
+
+def _scrub_pii_sql() -> str:
+    """The full seven-class scrub as staged DuckDB CTEs, generated
+    from the SAME regex constants and checksum definitions as the
+    Spark path (order: email, IP, API key, Luhn-valid card,
+    mod-97-valid IBAN, SSN, phone)."""
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         concat(text, ' contact user', CAST(doc_id AS VARCHAR), '@example.com or +1 (555) 123-',
+                lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                ' ip 10.0.0.', CAST(doc_id % 256 AS VARCHAR),
+                ' card 4111 1111 1111 1111 notcard 4111111111111112',
+                ' iban GB82WEST12345698765432 notiban GB82WEST12345698765431',
+                ' ssn ', lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'),
+                '-45-6789 token ghp_', lpad(CAST(doc_id % 100000 AS VARCHAR), 20, '0')) AS pii
+  FROM documents
+),
+m1 AS (
+  SELECT doc_id, pii,
+         regexp_replace(regexp_replace(pii,
+             '{T.EMAIL_RE}', '<EMAIL>', 'g'),
+             '{T.IPV4_RE}', '<IP>', 'g') AS m_ip
+  FROM p
+),
+m2 AS (
+  SELECT *, regexp_replace(m_ip, '{T.APIKEY_RE}', '<API_KEY>', 'g') AS m_key FROM m1
+),
+m3 AS (
+  SELECT *, {_cc_valid_cands_sql('m_key')} AS cc_ok FROM m2
+),
+m4 AS (
+  SELECT *, {_fold_replace_sql('m_key', 'cc_ok', '<CREDIT_CARD>')} AS m_cc FROM m3
+),
+m5 AS (
+  SELECT *, {_iban_valid_cands_sql('m_cc')} AS iban_ok FROM m4
+),
+m6 AS (
+  SELECT *, {_fold_replace_sql('m_cc', 'iban_ok', '<IBAN>')} AS m_iban FROM m5
+),
+m7 AS (
+  SELECT *, regexp_replace(m_iban, '{T.SSN_RE}', '<SSN>', 'g') AS m_ssn FROM m6
+)
+SELECT doc_id,
+       md5(regexp_replace(m_ssn, '{T.PHONE_RE}', '<PHONE>', 'g')) AS scrub_md5,
+       CAST(len(regexp_extract_all(pii, '{T.EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(pii, '{T.IPV4_RE}')) AS BIGINT) AS n_ipv4s,
+       CAST(len(regexp_extract_all(m_ip, '{T.APIKEY_RE}')) AS BIGINT) AS n_api_keys,
+       {_occurrences_sql('m_key', 'cc_ok')} AS n_ccs,
+       {_occurrences_sql('m_cc', 'iban_ok')} AS n_ibans,
+       CAST(len(regexp_extract_all(m_iban, '{T.SSN_RE}')) AS BIGINT) AS n_ssns,
+       CAST(len(regexp_extract_all(m_ssn, '{T.PHONE_RE}')) AS BIGINT) AS n_phones
+FROM m7"""
+
 
 # winnowing fingerprint selection (brute-force window rebuild), shared
 # by the 'winnow' and 'winnow_pairs' oracles — ends at CTE ``sel``
@@ -3945,27 +4065,7 @@ SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
        md5(substr(text, CAST(frame_idx * 256 + 1 AS INT), 256)) AS frame_md5,
        CAST(length(substr(text, CAST(frame_idx * 256 + 1 AS INT), 256)) AS BIGINT) AS frame_bytes
 FROM f""",
-        "scrub_pii": f"""
-WITH p AS (
-  SELECT doc_id,
-         concat(text, ' contact user', CAST(doc_id AS VARCHAR), '@example.com or +1 (555) 123-',
-                lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
-                ' ip 10.0.0.', CAST(doc_id % 256 AS VARCHAR)) AS pii
-  FROM documents
-),
-m AS (
-  SELECT doc_id, pii,
-         regexp_replace(regexp_replace(pii,
-             '{T.EMAIL_RE}', '<EMAIL>', 'g'),
-             '{T.IPV4_RE}', '<IP>', 'g') AS masked
-  FROM p
-)
-SELECT doc_id,
-       md5(regexp_replace(masked, '{T.PHONE_RE}', '<PHONE>', 'g')) AS scrub_md5,
-       CAST(len(regexp_extract_all(pii, '{T.EMAIL_RE}')) AS BIGINT) AS n_emails,
-       CAST(len(regexp_extract_all(pii, '{T.IPV4_RE}')) AS BIGINT) AS n_ipv4s,
-       CAST(len(regexp_extract_all(masked, '{T.PHONE_RE}')) AS BIGINT) AS n_phones
-FROM m""",
+        "scrub_pii": _scrub_pii_sql(),
         "ngram_stats": f"""
 WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
 grams AS (

@@ -189,31 +189,156 @@ EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
 # is to over-mask, and the bias is surfaced by the n_phones audit count.
 PHONE_RE = r"\+?[0-9](?:[ ().\-]{0,3}[0-9]){6,14}"
 IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+# r6 classes (VERDICT r5 #8 — the published-recipe coverage: BigCode/
+# StarCoder PII + detect-secrets shapes).  All lookaround-free so the
+# RE2 oracle matches identically.
+# SSN: dashed form only — an undashed 9-digit run is phone-ambiguous
+# and falls to the (conservative) phone pass instead.
+SSN_RE = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+# candidate card numbers: 13-19 digits with optional single space/dash
+# separators; masked ONLY when the Luhn checksum validates (shape alone
+# over-masks order ids / timestamps, which a date bias does not excuse
+# at 16 digits).  Invalid candidates fall through to the phone pass.
+CC_RE = r"\b[0-9](?:[ \-]?[0-9]){12,18}\b"
+# candidate IBANs: country code + 2 check digits + 11-30 alphanumeric
+# BBAN chars; masked ONLY when the ISO 7064 mod-97 checksum == 1.
+IBAN_RE = r"\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\b"
+# secret/API-key-shaped tokens, by well-known public prefix: OpenAI-
+# style sk-, GitHub PATs (ghp_/gho_/ghs_/ghr_), Slack xox?-, AWS
+# access-key ids (AKIA/ASIA), Stripe-style sk_live_/pk_live_, JWTs
+# (three base64url segments, first decoding to '{"' -> 'eyJ').
+APIKEY_RE = (
+    r"\b(?:sk-[A-Za-z0-9]{20,}"
+    r"|gh[posr]_[A-Za-z0-9]{20,}"
+    r"|xox[baprs]-[A-Za-z0-9\-]{10,}"
+    r"|(?:AKIA|ASIA)[0-9A-Z]{16}"
+    r"|[sp]k_live_[A-Za-z0-9]{10,}"
+    r"|eyJ[A-Za-z0-9_\-]{10,}\.[A-Za-z0-9_\-]{10,}\.[A-Za-z0-9_\-]{5,})\b"
+)
+
+
+def luhn_valid(cand: Column) -> Column:
+    """Luhn checksum (ISO/IEC 7812) of a digit run with optional
+    space/dash separators, as a pure Catalyst AGGREGATE FOLD over the
+    digit array — from the right, every second digit doubles (minus 9
+    when > 9); valid iff the sum is divisible by 10."""
+    ds = F.filter(
+        F.split(F.regexp_replace(cand, r"[ \-]", ""), ""), lambda x: x != ""
+    )
+    n = F.size(ds)
+    total = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            (n - i) % 2 == 1,  # position from the right is even
+            F.when(
+                (F.element_at(ds, i).cast("int") * 2) > 9,
+                F.element_at(ds, i).cast("int") * 2 - 9,
+            ).otherwise(F.element_at(ds, i).cast("int") * 2),
+        ).otherwise(F.element_at(ds, i).cast("int")),
+    )
+    return total % 10 == 0
+
+
+def iban_valid(cand: Column) -> Column:
+    """ISO 7064 mod-97 IBAN checksum as a Catalyst aggregate fold:
+    move the first 4 chars to the end, map letters A-Z to 10-35, and
+    fold the resulting digit string mod 97 one char at a time
+    (digit: acc*10+d; letter: acc*100+val — both mod 97 each step, so
+    the accumulator never exceeds 97*100).  Valid iff the remainder
+    is 1."""
+    rearranged = F.concat(F.substring(cand, 5, 1_000_000), F.substring(cand, 1, 4))
+    chars = F.filter(F.split(rearranged, ""), lambda x: x != "")
+    acc = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda a, ch: F.when(
+            ch.between("0", "9"), (a * 10 + (F.ascii(ch) - 48)) % 97
+        ).otherwise((a * 100 + (F.ascii(ch) - 55)) % 97),
+    )
+    return acc == 1
+
+
+def _mask_validated(col: Column, pattern: str, valid_fn, token: str) -> Column:
+    """Replace every DISTINCT pattern match that passes ``valid_fn``
+    with ``token`` — checksum-gated masking as a pure expression chain:
+    regexp_extract_all -> array_distinct -> filter(checksum) ->
+    aggregate-fold of literal replace()s.  No UDF, no explode.
+    Candidates are SORTED before the fold: when one candidate is a
+    substring of another, fold order changes the output, and the
+    DuckDB oracle's list_distinct does not preserve match order —
+    sorted order is the one both engines reproduce."""
+    cands = F.array_sort(
+        F.filter(
+            F.array_distinct(F.regexp_extract_all(col, F.lit(pattern), 0)),
+            valid_fn,
+        )
+    )
+    return F.aggregate(
+        cands, col, lambda acc, c: F.replace(acc, c, F.lit(token))
+    )
 
 
 def scrub_pii(col: Column) -> Column:
-    """Mask emails -> <EMAIL>, then IPv4s -> <IP>, then phone-number
-    runs -> <PHONE> (order matters: emails and IPs contain digit runs a
-    phone pass would otherwise mangle).  See ``PHONE_RE`` for the
-    documented date-over-masking bias."""
+    """Mask emails -> <EMAIL>, IPv4s -> <IP>, API-key-shaped secrets ->
+    <API_KEY>, Luhn-VALID card numbers -> <CREDIT_CARD>, mod-97-VALID
+    IBANs -> <IBAN>, dashed SSNs -> <SSN>, then phone-number runs ->
+    <PHONE> last (order matters: every earlier class contains digit
+    runs the phone pass would otherwise mangle; checksum-invalid card
+    candidates deliberately fall through to the conservative phone
+    pass).  See ``PHONE_RE`` for the documented date-over-masking
+    bias."""
     out = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
     out = F.regexp_replace(out, IPV4_RE, "<IP>")
+    out = F.regexp_replace(out, APIKEY_RE, "<API_KEY>")
+    out = _mask_validated(out, CC_RE, luhn_valid, "<CREDIT_CARD>")
+    out = _mask_validated(out, IBAN_RE, iban_valid, "<IBAN>")
+    out = F.regexp_replace(out, SSN_RE, "<SSN>")
     return F.regexp_replace(out, PHONE_RE, "<PHONE>")
 
 
 def pii_counts(col: Column) -> dict[str, Column]:
     """How many of each PII shape a text contains (audit columns):
-    n_emails, n_ipv4s, n_phones.  Phones are counted on the email/IP-
-    masked text — the same runs :func:`scrub_pii`'s phone pass actually
-    replaces (counting on raw text would double-count digit runs inside
-    emails and IPs)."""
-    masked = F.regexp_replace(
+    n_emails, n_ipv4s, n_api_keys, n_ccs (Luhn-valid only), n_ibans
+    (mod-97-valid only), n_ssns, n_phones.  Each class is counted on
+    the text as masked by every EARLIER pass — the same occurrences
+    :func:`scrub_pii` actually replaces (counting on raw text would
+    double-count digit runs inside emails, IPs, and card numbers)."""
+    m_ip = F.regexp_replace(
         F.regexp_replace(col, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
     )
+    m_key = F.regexp_replace(m_ip, APIKEY_RE, "<API_KEY>")
+    cc_valid = F.filter(
+        F.array_distinct(F.regexp_extract_all(m_key, F.lit(CC_RE), 0)), luhn_valid
+    )
+    m_cc = _mask_validated(m_key, CC_RE, luhn_valid, "<CREDIT_CARD>")
+    iban_ok = F.filter(
+        F.array_distinct(F.regexp_extract_all(m_cc, F.lit(IBAN_RE), 0)), iban_valid
+    )
+    m_iban = _mask_validated(m_cc, IBAN_RE, iban_valid, "<IBAN>")
+    m_ssn = F.regexp_replace(m_iban, SSN_RE, "<SSN>")
     return {
         "n_emails": F.regexp_count(col, F.lit(EMAIL_RE)),
         "n_ipv4s": F.regexp_count(col, F.lit(IPV4_RE)),
-        "n_phones": F.regexp_count(masked, F.lit(PHONE_RE)),
+        "n_api_keys": F.regexp_count(m_ip, F.lit(APIKEY_RE)),
+        # occurrence counts of the distinct validated candidates
+        "n_ccs": F.aggregate(
+            cc_valid,
+            F.lit(0.0),
+            lambda acc, c: acc
+            + (F.length(m_key) - F.length(F.replace(m_key, c, F.lit(""))))
+            / F.length(c),
+        ).cast("int"),
+        "n_ibans": F.aggregate(
+            iban_ok,
+            F.lit(0.0),
+            lambda acc, c: acc
+            + (F.length(m_cc) - F.length(F.replace(m_cc, c, F.lit(""))))
+            / F.length(c),
+        ).cast("int"),
+        "n_ssns": F.regexp_count(m_iban, F.lit(SSN_RE)),
+        "n_phones": F.regexp_count(m_ssn, F.lit(PHONE_RE)),
     }
 
 
