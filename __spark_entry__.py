@@ -1783,12 +1783,14 @@ def q_train_bpe(spark, sf_dir):
     word-frequency table, then each merge round is a pair-count
     hash-agg over that bounded table + a 1-row top-pair driver read +
     an aggregate-fold merge apply.  Deterministic (integer counts,
-    count-desc/lexicographic ties) but iterative, so — like the
-    sketch queries — it carries no single-statement SQL twin and takes
-    the rows-only gate; the merge-by-merge semantics are pinned by the
-    hand-computed classic example in tests/test_tokenize.py, and the
-    induced pieces drive SubwordTokenizer (whose greedy segmentation
-    IS value-oracled via the `tokenize` recursive-CTE twin)."""
+    count-desc/lexicographic ties) and iterative — and since r6
+    VALUE-ORACLED anyway: the DuckDB twin is GENERATED SQL replaying
+    the identical merge loop round by round (see _train_bpe_sql),
+    demoting the rows-only set to the two sketches.  Merge-by-merge
+    semantics are additionally pinned by the hand-computed classic
+    example in tests/test_tokenize.py, and the induced pieces drive
+    SubwordTokenizer (value-oracled via the `tokenize` recursive-CTE
+    twin)."""
     from web_mass_scraper_ocr_spark.functions.tokenize import train_bpe
 
     d = _t(spark, sf_dir, "documents")
@@ -2274,6 +2276,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _CLEAN_TEXT = _CLEAN.format(c="text")
 _TOKENS = f"string_split(lower({_CLEAN_TEXT}), ' ')"
+
+def _train_bpe_sql(n_merges: int, min_freq: int = 2) -> str:
+    """DuckDB twin of train_bpe (VERDICT r5 #7 — the rows-only gate
+    demoted): GENERATED SQL replaying the identical merge loop round
+    by round.  Words are encoded as chr(31)-wrapped symbol strings
+    (each symbol owns a leading AND trailing separator, so the
+    left-to-right non-overlapping merge is one literal replace():
+    'a a a a' under (a,a) correctly becomes [aa][aa], which a shared
+    single separator would break).  Each round is a MATERIALIZED pair
+    of CTEs — materialization is load-bearing: inlined CTEs would
+    duplicate w_{{i-1}} (referenced by both p_i and w_i) and blow the
+    plan up 2^rounds — p_i picking the top pair with the same
+    count-desc/left-asc/right-asc tie-break and min-frequency stop
+    (an empty p_i leaves every later round a no-op via the chr(1)
+    identity replace), w_i applying the merge.  The fixture text
+    carries no chr(31)/chr(1) (asserted cheap at generation sites);
+    symbols are substrings of whitespace words, so the separators
+    cannot collide."""
+    SEP = "chr(31)"
+    parts = [f"""WITH w0 AS MATERIALIZED (
+  SELECT {SEP} || array_to_string(string_split(word, ''), {SEP} || {SEP}) || {SEP} AS syms_str,
+         CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(list_filter({_TOKENS}, x -> x <> '')) AS word FROM documents)
+  GROUP BY word
+)"""]
+    for i in range(1, n_merges + 1):
+        prev = f"w{i - 1}"
+        parts.append(f"""p{i} AS MATERIALIZED (
+  SELECT l, r FROM (
+    SELECT pr[1] AS l, pr[2] AS r, sum(freq) AS c
+    FROM (
+      SELECT unnest(list_zip(list_slice(li, 1, len(li) - 1), list_slice(li, 2, len(li)))) AS pr, freq
+      FROM (SELECT string_split(trim(syms_str, {SEP}), {SEP} || {SEP}) AS li, freq FROM {prev})
+    )
+    GROUP BY 1, 2
+  ) WHERE c >= {min_freq}
+  ORDER BY c DESC, l ASC, r ASC LIMIT 1
+)""")
+        parts.append(f"""w{i} AS MATERIALIZED (
+  SELECT replace(syms_str,
+                 coalesce((SELECT {SEP} || l || {SEP} || {SEP} || r || {SEP} FROM p{i}), chr(1)),
+                 coalesce((SELECT {SEP} || l || r || {SEP} FROM p{i}), chr(1))) AS syms_str,
+         freq
+  FROM {prev}
+)""")
+    unions = "\nUNION ALL ".join(
+        f'SELECT CAST({i} AS INT) AS rank, l AS "left", r AS "right", l || r AS piece FROM p{i}'
+        for i in range(1, n_merges + 1)
+    )
+    return ",\n".join(parts) + "\n" + unions
+
 
 def _cc_valid_cands_sql(src: str) -> str:
     """Sorted distinct CC_RE matches of ``src`` that pass the Luhn
@@ -3587,6 +3640,7 @@ SELECT doc_id, shard,
        CAST(start // 512 AS BIGINT) AS bin,
        CAST(start % 512 AS BIGINT) AS bin_offset
 FROM o""",
+        "train_bpe": _train_bpe_sql(TRAIN_BPE_MERGES),
         "tokenize": f"""
 WITH RECURSIVE {_bpe_seg_cte()}
 SELECT doc_id,
