@@ -1685,6 +1685,31 @@ def q_psl_domain(spark, sf_dir):
     )
 
 
+DSIR_BUCKETS = 2048
+DSIR_K = 50
+
+
+def q_dsir(spark, sf_dir):
+    """DSIR data selection (operators/dsir.py, Xie et al. NeurIPS'23):
+    resample K raw-corpus docs toward a curated target's hashed
+    uni+bigram distribution — featurize (one explode + hash-agg per
+    corpus, md5 buckets), Laplace-smoothed log-likelihood-ratio table
+    (bucket-bounded, broadcast), per-doc importance weight (one
+    hash-agg sum), Gumbel-top-k resampling (md5-deterministic,
+    TakeOrdered).  Target = the 'src0' slice of documents; source =
+    the rest — the paper's curated-vs-crawl split on this fixture."""
+    from web_mass_scraper_ocr_spark.operators.dsir import dsir_select
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_select(
+        d.where(F.col("source") != "src0"),
+        d.where(F.col("source") == "src0"),
+        DSIR_K,
+        n_buckets=DSIR_BUCKETS,
+        seed="dsir",
+    )
+
+
 def q_per_host_cap(spark, sf_dir):
     """Domain balancing (operators/sampling.py per_host_cap) keyed on
     the REGISTERED domain (eTLD+1, r5 re-key per C4/RefinedWeb: blog.X
@@ -2183,6 +2208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classifier": q_nb_classifier,
         "registered_domain": q_registered_domain,
         "psl_domain": q_psl_domain,
+        "dsir": q_dsir,
         "temperature_mixture": q_temperature_mixture,
         "domain_blocklist": q_domain_blocklist,
         "bm25_search": q_bm25_search,
@@ -3641,6 +3667,43 @@ SELECT doc_id, shard,
        CAST(start % 512 AS BIGINT) AS bin_offset
 FROM o""",
         "train_bpe": _train_bpe_sql(TRAIN_BPE_MERGES),
+        "dsir": f"""
+WITH toks AS (
+  SELECT doc_id, source, list_filter({_TOKENS}, x -> x <> '') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, source, unnest(list_concat(t,
+    list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                   i -> array_to_string(list_slice(t, i, i + 1), ' '))
+  )) AS gram FROM toks
+),
+feats AS (
+  SELECT doc_id, source,
+         CAST(CAST(concat('0x', substr(md5(gram), 1, 13)) AS BIGINT) % {DSIR_BUCKETS} AS INT) AS bucket,
+         count(*) AS cnt
+  FROM grams GROUP BY 1, 2, 3
+),
+src_tot AS (SELECT bucket, sum(cnt) AS s FROM feats WHERE source <> 'src0' GROUP BY 1),
+tgt_tot AS (SELECT bucket, sum(cnt) AS t FROM feats WHERE source = 'src0' GROUP BY 1),
+gn AS (SELECT (SELECT sum(s) FROM src_tot) AS sn, (SELECT sum(t) FROM tgt_tot) AS tn),
+ratio AS (
+  SELECT COALESCE(src_tot.bucket, tgt_tot.bucket) AS bucket,
+         ln(CAST(COALESCE(t, 0) + 1 AS DOUBLE)) - ln(CAST(tn + {DSIR_BUCKETS} AS DOUBLE))
+         - ln(CAST(COALESCE(s, 0) + 1 AS DOUBLE)) + ln(CAST(sn + {DSIR_BUCKETS} AS DOUBLE)) AS llr
+  FROM src_tot FULL JOIN tgt_tot ON src_tot.bucket = tgt_tot.bucket, gn
+),
+w AS (
+  SELECT f.doc_id, sum(f.cnt * r.llr) AS weight
+  FROM feats f JOIN ratio r ON f.bucket = r.bucket
+  WHERE f.source <> 'src0'
+  GROUP BY 1
+),
+gk AS (
+  SELECT doc_id, weight,
+         weight - ln(-ln((CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'dsir')), 1, 13)) AS BIGINT) + 0.5) / 4503599627370496.0)) AS key
+  FROM w
+)
+SELECT doc_id, weight FROM gk ORDER BY key DESC, doc_id ASC LIMIT {DSIR_K}""",
         "tokenize": f"""
 WITH RECURSIVE {_bpe_seg_cte()}
 SELECT doc_id,

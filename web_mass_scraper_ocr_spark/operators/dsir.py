@@ -1,0 +1,200 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al.,
+NeurIPS 2023): select raw-corpus documents whose hashed-n-gram
+distribution looks like a small TARGET (curated) corpus.
+
+The published recipe: featurize every document into counts over B
+hash buckets of its uni+bigrams; fit two bag-of-buckets unigram models
+(target and raw, Laplace-smoothed); each raw doc's importance weight
+is its feature-count-weighted log-likelihood ratio; resample k docs
+without replacement with probability proportional to the importance
+weights (Gumbel top-k).  GPT-3/Pile-style NB classifier gating
+(functions/classify.py) keeps docs that LOOK curated; DSIR instead
+matches the target DISTRIBUTION — the two compose (classifier gate
+then DSIR resample) exactly as the paper positions them.
+
+Scale shape — why this holds at 100 TB:
+- featurization is one explode + hash-agg per corpus, keyed by
+  (doc, bucket); bucket ids are md5-derived (52-bit, exact in a
+  double) so every engine — and the DuckDB oracle — hashes
+  identically, with no RNG or dictionary state;
+- both bucket-distribution tables are <= n_buckets rows regardless of
+  corpus size, so the log-ratio table BROADCASTS into the per-doc
+  scoring join (never a shuffle keyed on the corpus);
+- per-doc weights are one hash-agg sum; selection is the
+  Efraimidis-Spirakis/Gumbel top-k via orderBy().limit(k) — Spark's
+  TakeOrdered (per-partition partial top-k + k-row driver merge),
+  never a global sort.
+
+Reference behavioral parity: the reference app has no data-selection
+stage (it scrapes everything, /root/reference/src/scraper_app/main.py);
+this module is part of the LLM-training-pipeline surface the engine
+adds on top, like the Gopher/C4/CCNet filters beside it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import clean_text_col
+
+__all__ = [
+    "hashed_ngram_counts",
+    "dsir_weights",
+    "dsir_select",
+]
+
+
+def _bucket(col, n_buckets: int):
+    """md5-derived hash bucket of a gram: 52 bits (13 hex chars) so the
+    value is exact in a double and bit-reproducible in the DuckDB
+    oracle; modulo n_buckets."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 13), 16, 10).cast("long")
+        % F.lit(n_buckets)
+    ).cast("int")
+
+
+def hashed_ngram_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    ns: tuple[int, ...] = (1, 2),
+) -> DataFrame:
+    """(id, bucket, cnt): hashed uni+bigram counts per document (the
+    DSIR featurizer).  One combined-array build + ONE explode + one
+    hash-agg; grams ride whitespace tokens of the lowercased
+    normalized text (the engine's token contract)."""
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    toks = F.filter(
+        F.split(F.lower(clean_text_col(F.col(text_col))), " "),
+        lambda t: t != F.lit(""),
+    )
+    gram_arrays = []
+    for n in ns:
+        if n == 1:
+            gram_arrays.append(toks)
+        else:
+            gram_arrays.append(
+                F.filter(
+                    F.transform(
+                        toks,
+                        lambda _, i: F.array_join(F.slice(toks, i + 1, n), " "),
+                    ),
+                    lambda _, i: i < F.size(toks) - (n - 1),
+                )
+            )
+    combined = gram_arrays[0]
+    for g in gram_arrays[1:]:
+        combined = F.concat(combined, g)
+    return (
+        df.select(F.col(id_col), F.explode(combined).alias("__gram__"))
+        .select(id_col, _bucket(F.col("__gram__"), n_buckets).alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _bucket_totals(feats: DataFrame) -> DataFrame:
+    """(bucket, total) over a corpus' features — <= n_buckets rows."""
+    return feats.groupBy("bucket").agg(F.sum("cnt").alias("total"))
+
+
+def dsir_weights(
+    source: DataFrame,
+    target: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    ns: tuple[int, ...] = (1, 2),
+) -> DataFrame:
+    """(id, weight): per-source-doc importance weight — the
+    feature-count-weighted log-likelihood ratio between the
+    Laplace-smoothed target and source bucket distributions
+    (log lambda_target[b] - log lambda_source[b], summed over the
+    doc's buckets with multiplicity).  Both distribution tables are
+    bucket-bounded and broadcast into the scoring join."""
+    src_feats = hashed_ngram_counts(source, id_col, text_col, n_buckets, ns)
+    tgt_feats = hashed_ngram_counts(target, id_col, text_col, n_buckets, ns)
+    src_tot = _bucket_totals(src_feats)
+    tgt_tot = _bucket_totals(tgt_feats)
+    # grand totals: two 1-row frames, crossJoin-broadcast like the LM
+    # normalizers (a 1-row read, not corpus state)
+    src_n = src_tot.agg(F.sum("total").alias("__src_n__"))
+    tgt_n = tgt_tot.agg(F.sum("total").alias("__tgt_n__"))
+    ratio = (
+        src_tot.select("bucket", F.col("total").alias("__s__"))
+        .join(
+            tgt_tot.select("bucket", F.col("total").alias("__t__")),
+            "bucket",
+            "full",
+        )
+        .select(
+            "bucket",
+            F.coalesce(F.col("__s__"), F.lit(0)).alias("s_cnt"),
+            F.coalesce(F.col("__t__"), F.lit(0)).alias("t_cnt"),
+        )
+        .crossJoin(F.broadcast(src_n))
+        .crossJoin(F.broadcast(tgt_n))
+        .select(
+            "bucket",
+            (
+                F.log((F.col("t_cnt") + 1).cast("double"))
+                - F.log((F.col("__tgt_n__") + F.lit(n_buckets)).cast("double"))
+                - F.log((F.col("s_cnt") + 1).cast("double"))
+                + F.log((F.col("__src_n__") + F.lit(n_buckets)).cast("double"))
+            ).alias("llr"),
+        )
+    )
+    return (
+        src_feats.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("cnt") * F.col("llr")).alias("weight"))
+    )
+
+
+def dsir_select(
+    source: DataFrame,
+    target: DataFrame,
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    ns: tuple[int, ...] = (1, 2),
+    seed: str = "",
+) -> DataFrame:
+    """Importance-RESAMPLE ``k`` source docs: Gumbel-top-k on the
+    importance weights (key = weight + Gumbel(0,1) derived from
+    md5(id||seed) — equivalent to sampling without replacement with
+    probability proportional to exp(weight), the paper's resampling
+    step, and hash-deterministic like weighted_sample).  Returns the
+    selected (id, weight) — join back to the source frame for
+    payloads (ids are the contract, bodies never ride the top-k)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    weights = dsir_weights(
+        source, target,
+        id_col=id_col, text_col=text_col, n_buckets=n_buckets, ns=ns,
+    )
+    # (0,1) strictly — +0.5 keeps u away from both endpoints so the
+    # double log is always finite
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed))), 1, 13
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(float(2**52))
+    gumbel = -F.log(-F.log(u))
+    return (
+        weights.withColumn("__gk__", F.col("weight") + gumbel)
+        .orderBy(F.col("__gk__").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "weight")
+    )
