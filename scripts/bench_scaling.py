@@ -92,8 +92,44 @@ def run_level(cores: int, input_path: Path, mode: str) -> dict:
     return json.loads(lines[-1])
 
 
+# Canary auto-gate (r6, VERDICT r5 #2): a ladder is only worth
+# recording on a quiet host — r5 measured the SAME code at 0.558 and
+# 0.789 efficiency purely by hypervisor condition.  Best-known quiet
+# reading is 684 all-core Mops (2026-08-17 evening); require within 5%
+# of it and <1% steal, else refuse (pass --force to record anyway,
+# clearly labeled).
+CANARY_MIN_MOPS = 650.0
+CANARY_MAX_STEAL = 1.0
+
+
+def canary_gate(force: bool) -> dict:
+    from bench import host_canary
+
+    canary = host_canary(max(LEVELS))
+    ok = (
+        canary["allcore_mops"] >= CANARY_MIN_MOPS
+        and canary["steal_pct"] < CANARY_MAX_STEAL
+    )
+    print(json.dumps({"host_canary_pregate": canary, "quiet_host": ok}))
+    if not ok and not force:
+        print(
+            json.dumps(
+                {
+                    "refused": "host not quiet enough for a ladder "
+                    f"(need >= {CANARY_MIN_MOPS} all-core Mops and "
+                    f"< {CANARY_MAX_STEAL}% steal); retry later or --force"
+                }
+            )
+        )
+        sys.exit(3)
+    return canary
+
+
 def main() -> None:
-    replication = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    args = [a for a in sys.argv[1:] if a != "--force"]
+    force = "--force" in sys.argv[1:]
+    replication = int(args[0]) if args else 128
+    canary_gate(force)
     prepare_inputs(replication)
     ladders = {
         "clustered": {c: run_level(c, INPUT_CLUSTERED, "clustered") for c in LEVELS},
