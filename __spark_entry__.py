@@ -1689,6 +1689,17 @@ DSIR_BUCKETS = 2048
 DSIR_K = 50
 
 
+def q_token_entropy(spark, sf_dir):
+    """Per-doc Shannon entropy of the doc's own token distribution
+    (functions/text.py token_entropy) — the gibberish/keyword-stuffing
+    signal: repetition-degenerate docs score near 0 bits regardless of
+    corpus statistics (unigram_surprisal's complement, which scores
+    under the CORPUS model).  One explode + two hash aggs, no joins
+    beyond the left join restoring token-less docs."""
+    d = _t(spark, sf_dir, "documents")
+    return T.token_entropy(d, "doc_id", "text")
+
+
 def q_dsir(spark, sf_dir):
     """DSIR data selection (operators/dsir.py, Xie et al. NeurIPS'23):
     resample K raw-corpus docs toward a curated target's hashed
@@ -2176,6 +2187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "psl_domain": q_psl_domain,
         "dsir": q_dsir,
+        "token_entropy": q_token_entropy,
         "winnow_pairs": q_winnow_pairs,
         "langid_ngram": q_langid_ngram,
         "clean_text": q_clean_text,
@@ -2222,10 +2234,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "tfidf_terms": q_tfidf_terms,
         "dup_spans": q_dup_spans,
-        # --- driver window (~50) ends here.  25 more r04-era rows
-        # did not fit; they are FIRST in line for the r07 window (the
-        # below-cut set is all green in the committed local gate run,
-        # scripts/check_correctness.py, every round).
+        # --- driver window (~50) ends here (token_entropy, added
+        # late in r6, slots in above and pushes dup_spans just below
+        # the cut).  dup_spans + 25 more r04-era rows are FIRST in
+        # line for the r07 window (the below-cut set is all green in
+        # the committed local gate run, scripts/check_correctness.py,
+        # every round).
         "substring_dedup": q_substring_dedup,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
@@ -3665,6 +3679,28 @@ SELECT doc_id, shard,
        CAST(start % 512 AS BIGINT) AS bin_offset
 FROM o""",
         "train_bpe": _train_bpe_sql(TRAIN_BPE_MERGES),
+        "token_entropy": f"""
+WITH per_tok AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(list_filter({_TOKENS}, x -> x <> '')) AS tok
+        FROM documents)
+  GROUP BY 1, 2
+),
+ent AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         log2(sum(c)) - sum(c * log2(c)) / sum(c) AS entropy_bits
+  FROM per_tok GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(n_tokens, 0) AS n_tokens,
+       COALESCE(n_distinct, 0) AS n_distinct,
+       COALESCE(entropy_bits, 0.0) AS entropy_bits,
+       CASE WHEN COALESCE(n_tokens, 0) >= 2
+            THEN COALESCE(entropy_bits, 0.0) / log2(COALESCE(n_tokens, 0))
+       END AS entropy_norm
+FROM documents d LEFT JOIN ent ON d.doc_id = ent.doc_id""",
         "dsir": f"""
 WITH toks AS (
   SELECT doc_id, source, list_filter({_TOKENS}, x -> x <> '') AS t FROM documents

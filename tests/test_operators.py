@@ -1029,3 +1029,36 @@ def test_winnow_overlap_pairs_fp_df_cap_and_min_shared(spark):
     # only the genuinely-cloned 3-4 body survives
     capped = winnow_overlap_pairs(df, k=3, w=3, min_shared=1, max_fp_df=2)
     assert [(p.id_a, p.id_b) for p in capped.collect()] == [(3, 4)]
+
+
+def test_token_entropy_limits_and_edges(spark):
+    """Entropy 0 for one repeated token, log2(n) for all-distinct,
+    0-token and NULL docs keep rows, norm NULL below 2 tokens."""
+    import math
+
+    from web_mass_scraper_ocr_spark.functions.text import token_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),              # degenerate -> 0 bits
+            (2, "a b c d e f g h"),                  # all distinct -> log2 8
+            (3, "x x y y"),                          # uniform over 2 -> 1 bit
+            (4, ""),                                 # token-less
+            (5, None),                               # NULL text
+            (6, "solo"),                             # 1 token: norm NULL
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in token_entropy(df, "doc_id", "text").collect()}
+    assert got[1].entropy_bits == 0.0 and got[1].entropy_norm == 0.0
+    assert abs(got[2].entropy_bits - 3.0) < 1e-12 and abs(got[2].entropy_norm - 1.0) < 1e-12
+    assert abs(got[3].entropy_bits - 1.0) < 1e-12
+    assert got[4].n_tokens == 0 and got[4].entropy_bits == 0.0
+    assert got[5].n_tokens == 0
+    assert got[6].n_tokens == 1 and got[6].entropy_norm is None
+    assert len(got) == 6
+    # sanity vs a hand-computed skewed distribution: 3x 'a', 1x 'b'
+    df2 = spark.createDataFrame([(9, "a a a b")], "doc_id long, text string")
+    h = token_entropy(df2, "doc_id", "text").first().entropy_bits
+    expect = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
+    assert abs(h - expect) < 1e-12

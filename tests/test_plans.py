@@ -216,3 +216,29 @@ def test_corpus_diff_shuffles_signatures_not_bodies(spark):
 
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1)
+
+
+def test_dsir_broadcasts_ratio_and_takes_ordered(spark):
+    """DSIR's LLR table (bucket-bounded) must broadcast into the
+    scoring join, and the Gumbel top-k must be TakeOrdered — never a
+    shuffle keyed on the corpus or a global sort."""
+    plan = _plan(entrymod.queries()["dsir"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_winnow_pairs_no_cartesian(spark):
+    """The winnow pair stage is an fp equi-join + hash agg — a refactor
+    must never degrade it to a cartesian/nested-loop product."""
+    plan = _plan(entrymod.queries()["winnow_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_psl_rule_table_broadcasts(spark):
+    """registered_domains' rule table (<= 9k rows at full PSL) must
+    broadcast; the prevailing-rule pick is one hash aggregate, not a
+    window sort."""
+    plan = _plan(entrymod.queries()["psl_domain"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan

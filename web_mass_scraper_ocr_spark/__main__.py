@@ -209,6 +209,38 @@ def main(argv: list[str] | None = None) -> int:
                      help="optional parquet path for the full diff")
     pdf.add_argument("--master", default=None)
 
+    psel = sub.add_parser(
+        "select",
+        help="DSIR data selection: resample k docs from --input toward "
+             "the --target corpus' hashed-n-gram distribution",
+    )
+    psel.add_argument("--input", required=True)
+    psel.add_argument("--target", required=True)
+    psel.add_argument("--output", default=None,
+                      help="optional parquet path for the selected rows")
+    psel.add_argument("--k", type=int, default=1000)
+    psel.add_argument("--buckets", type=int, default=4096)
+    psel.add_argument("--seed", default="")
+    psel.add_argument("--id-col", default="doc_id")
+    psel.add_argument("--text-col", default="text")
+    psel.add_argument("--master", default=None)
+
+    pov = sub.add_parser(
+        "overlap",
+        help="winnowing overlap pairs: partial-overlap/clone pairs with "
+             "matched token spans (the detector MinHash misses)",
+    )
+    pov.add_argument("--input", required=True)
+    pov.add_argument("--output", default=None)
+    pov.add_argument("--k", type=int, default=4, help="gram size")
+    pov.add_argument("--window", type=int, default=5, help="winnow window")
+    pov.add_argument("--min-shared", type=int, default=2)
+    pov.add_argument("--max-fp-df", type=int, default=None,
+                     help="drop fingerprints selected by more docs than this")
+    pov.add_argument("--id-col", default="doc_id")
+    pov.add_argument("--text-col", default="text")
+    pov.add_argument("--master", default=None)
+
     args = parser.parse_args(argv)
     spark = get_spark(master=args.master)
 
@@ -441,6 +473,46 @@ def main(argv: list[str] | None = None) -> int:
             )
             rows = [[r[args.id_col], r.score] for r in hits.collect()]
             print(json.dumps({"mode": "bm25", "query": args.query, "hits": rows}))
+        return 0
+
+    if args.cmd == "select":
+        from .operators.dsir import dsir_select
+
+        src = spark.read.parquet(args.input)
+        tgt = spark.read.parquet(args.target)
+        picked = dsir_select(
+            src, tgt, args.k,
+            id_col=args.id_col, text_col=args.text_col,
+            n_buckets=args.buckets, seed=args.seed,
+        )
+        if args.output:
+            src.join(picked.select(args.id_col), args.id_col).write.mode(
+                "overwrite"
+            ).parquet(args.output)
+        n = picked.count()
+        print(json.dumps({
+            "input": args.input, "target": args.target, "output": args.output,
+            "selected": n, "k": args.k, "buckets": args.buckets,
+        }))
+        return 0
+
+    if args.cmd == "overlap":
+        from .operators.dedup import winnow_overlap_pairs
+
+        pairs = winnow_overlap_pairs(
+            spark.read.parquet(args.input),
+            id_col=args.id_col, text_col=args.text_col,
+            k=args.k, w=args.window,
+            min_shared=args.min_shared, max_fp_df=args.max_fp_df,
+        )
+        if args.output:
+            pairs.write.mode("overwrite").parquet(args.output)
+            pairs = spark.read.parquet(args.output)
+        n = pairs.count()
+        print(json.dumps({
+            "input": args.input, "output": args.output, "pairs": n,
+            "k": args.k, "w": args.window, "min_shared": args.min_shared,
+        }))
         return 0
 
     if args.cmd == "diff":

@@ -644,3 +644,56 @@ def unigram_surprisal(df, id_col: str, text_col: str, tokenizer=None):
             F.avg("surprisal").alias("mean_surprisal"),
         )
     )
+
+
+def token_entropy(df, id_col: str, text_col: str, tokenizer=None):
+    """Per-document Shannon entropy of the doc's OWN token distribution
+    (bits/token), plus the normalized form — the classic gibberish /
+    keyword-stuffing signal (a doc repeating one token has entropy 0;
+    all-distinct tokens score log2 n).  Distinct from
+    :func:`unigram_surprisal`, which scores docs under the CORPUS
+    unigram model: surprisal flags docs full of rare-in-corpus tokens,
+    entropy flags docs with degenerate internal structure regardless
+    of what the rest of the corpus looks like.
+
+    Returns (id, n_tokens, n_distinct, entropy_bits, entropy_norm)
+    with entropy_norm = entropy / log2(n_tokens) in [0, 1] (NULL for
+    docs with < 2 tokens, where the normalizer degenerates).
+    Token-less docs keep a row (n_tokens 0, entropy 0) so quality
+    gates compose over the whole input.
+
+    Shape: one explode + two hash aggs keyed on the doc id — no joins,
+    no windows, linear in token volume (the same budget as every
+    Gopher repetition pass).
+    """
+    from .tokenize import resolve_tokenizer
+
+    toks = resolve_tokenizer(tokenizer).tokens(F.col(text_col))
+    per_tok = (
+        df.select(F.col(id_col), F.explode(toks).alias("__tok__"))
+        .groupBy(id_col, "__tok__")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ent = per_tok.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        # H = log2(N) - (1/N) * sum(c * log2 c): one pass, no p column
+        (
+            F.log2(F.sum("c"))
+            - F.sum(F.col("c") * F.log2("c")) / F.sum("c")
+        ).alias("entropy_bits"),
+    )
+    base = df.select(F.col(id_col))
+    out = base.join(ent, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+        F.coalesce(F.col("n_distinct"), F.lit(0)).alias("n_distinct"),
+        F.coalesce(F.col("entropy_bits"), F.lit(0.0)).alias("entropy_bits"),
+    )
+    return out.withColumn(
+        "entropy_norm",
+        F.when(
+            F.col("n_tokens") >= 2,
+            F.col("entropy_bits") / F.log2(F.col("n_tokens")),
+        ),
+    )
