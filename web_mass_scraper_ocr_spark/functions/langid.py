@@ -180,19 +180,30 @@ def langid_scores(
     text_col: str = "text",
 ) -> DataFrame:
     """(id, lang, score, n_grams) for EVERY (doc, language) pair.
-    One doc-gram explode -> inner join the (gram, lang) table -> per
-    (doc, lang) sum of log(count+1); the doc x lang grid (broadcast
-    cross join against the |langs|-row stats) folds in the OOV floor
-    term and the prior, so languages with zero matched grams still
-    score.  Zero-gram docs score prior-only."""
+    One doc-gram explode -> PRE-AGGREGATE to (doc, gram, count) ->
+    inner join the (gram, lang) table -> per (doc, lang) sum of
+    count * log(count+1); the doc x lang grid (broadcast cross join
+    against the |langs|-row stats) folds in the OOV floor term and the
+    prior, so languages with zero matched grams still score.
+    Zero-gram docs score prior-only.
+
+    The pre-aggregation (r6) is the scale lever: char 3-grams repeat
+    heavily within a doc (Zipf), so the vocabulary join consumes
+    distinct (doc, gram) pairs instead of every gram INSTANCE — and
+    since the join fans out once per language sharing the gram, the
+    reduction multiplies.  Both consumers (totals and matched) derive
+    from the same pre-agg subtree, so the physical plan computes its
+    exchange once (ReusedExchange).  The model table is an explicit
+    broadcast — it is a bounded model artifact, never data."""
     dgrams = df.select(
         F.col(id_col), F.explode(char_ngrams(F.col(text_col), model.n)).alias("g")
     )
-    totals = dgrams.groupBy(id_col).agg(F.count(F.lit(1)).alias("__tn"))
+    pre = dgrams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("__c"))
+    totals = pre.groupBy(id_col).agg(F.sum("__c").alias("__tn"))
     matched = (
-        dgrams.join(model.gram_logprob, "g")
+        pre.join(F.broadcast(model.gram_logprob), "g")
         .groupBy(id_col, "lang")
-        .agg(F.sum("lc").alias("__msum"))
+        .agg(F.sum(F.col("__c") * F.col("lc")).alias("__msum"))
     )
     grid = (
         df.select(id_col)
