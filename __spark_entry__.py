@@ -2154,7 +2154,8 @@ def q_streaming_extract(spark, sf_dir):
     src, out, ckpt = work / "src", work / "out", work / "ckpt"
     derive_transcripts(spark, sf_dir).write.parquet(str(src))
     q = stream_extraction(spark, src, out, ckpt)
-    q.awaitTermination(300)
+    if not q.awaitTermination(600):
+        raise TimeoutError("streaming_extract drain did not finish in 600s")
     got = spark.read.parquet(str(out))
     return got.select(
         "conv_id", "turn_idx", "turn_rank", "content_kind", "clean_text", "status",

@@ -26,7 +26,7 @@ def input_dir(spark, tmp_path):
 
 def _drain(spark, input_dir, out, ckpt):
     q = stream_extraction(spark, input_dir, out, ckpt, cfg=CFG)
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream drain timed out"
     assert not q.isActive
 
 
@@ -105,7 +105,7 @@ def test_foreachbatch_rank_continues_across_batches(spark, tmp_path):
     q = stream_extraction(
         spark, src, out, ckpt, cfg=CFG, max_files_per_trigger=1
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream drain timed out"
     rows = spark.read.parquet(str(out)).collect()
     assert len({r.batch_id for r in rows}) == 2  # really two micro-batches
     got = {(r.conv_id, r.turn_idx): r.turn_rank for r in rows}
@@ -174,7 +174,7 @@ def test_stateful_turn_rank_across_batches(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(600), "stream drain timed out"
 
     drain()
     # second batch, same conversation: ranks must CONTINUE (3, 4), not restart
@@ -207,7 +207,10 @@ def test_stateful_turn_rank_ttl_evicts_idle_conversation(spark, tmp_path):
     import time as _time
     from datetime import datetime
 
-    from web_mass_scraper_ocr_spark.streaming.stateful import streaming_turn_rank
+    from web_mass_scraper_ocr_spark.streaming.stateful import (
+        drain_available,
+        streaming_turn_rank,
+    )
 
     schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
     t0 = datetime(2026, 1, 1)
@@ -236,7 +239,13 @@ def test_stateful_turn_rank_ttl_evicts_idle_conversation(spark, tmp_path):
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(120)
+            # NOT awaitTermination: with a TTL, processing-time timers
+            # keep the availableNow trigger alive forever ("no new
+            # data but cleaning up state" batches) — the r6-diagnosed
+            # hang this test used to mask by timing out silently and
+            # LEAKING the running query.  Pending timers fire at the
+            # start of the next drain (restart semantics).
+            drain_available(q)
 
         def result():
             return {
@@ -300,7 +309,7 @@ def test_stateful_turn_rank_tws_across_batches(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(600), "stream drain timed out"
 
     write_batch([("c1", 0, "user", "a", "", t0), ("c1", 1, "user", "b", "", t0)])
     drain()
@@ -368,7 +377,7 @@ def test_stream_stream_range_join_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream drain timed out"
     got = {
         (r.click_id, r.purchase_id_r) for r in spark.read.parquet(str(out)).collect()
     }
@@ -405,7 +414,7 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream drain timed out"
     got = sorted(
         (r.conv_id, r.turn_idx) for r in spark.read.parquet(str(out)).collect()
     )
@@ -427,13 +436,13 @@ def test_stream_extraction_all_filtered_first_batch(spark, tmp_path):
     ).coalesce(1).write.mode("append").parquet(str(src))
 
     q = stream_extraction(spark, src, out, ckpt, cfg=CFG)
-    q.awaitTermination(120)  # must not raise
+    assert q.awaitTermination(600), "stream drain timed out"  # must not raise
 
     spark.createDataFrame(
         [("c1", 2, "user", "real text", "plain", t0)], schema
     ).coalesce(1).write.mode("append").parquet(str(src))
     q = stream_extraction(spark, src, out, ckpt, cfg=CFG)
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream drain timed out"
     rows = spark.read.parquet(str(out)).collect()
     assert [(r.conv_id, r.turn_idx, r.turn_rank) for r in rows] == [("c1", 2, 1)]
 
@@ -462,7 +471,7 @@ def test_rank_state_snapshots_pruned(spark, tmp_path):
             os.utime(dest, (base + i, base + i))
 
     q = stream_extraction(spark, src, out, ckpt, cfg=CFG, max_files_per_trigger=1)
-    q.awaitTermination(180)
+    assert q.awaitTermination(600), "stream drain timed out"
     versions = sorted(p.name for p in (ckpt / "rank_state").iterdir())
     assert len(versions) <= 3, versions
     assert "v4" in versions  # the latest always survives
@@ -488,7 +497,7 @@ def test_stream_dedup_ingest_cross_batch(spark, tmp_path):
         q = stream_dedup_ingest(
             spark, src, out, ckpt, max_files_per_trigger=1
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(600), "stream drain timed out"
 
     write_batch(
         [
@@ -615,7 +624,7 @@ def test_stream_neardup_within_batch_policy_matches_batch_greedy(spark, tmp_path
     src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
     df.coalesce(1).write.parquet(str(src))
     q = stream_neardup_ingest(spark, src, out, ckpt, **kw)
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream drain timed out"
     stream_survivors = {r.doc_id for r in spark.read.parquet(str(out)).collect()}
     assert stream_survivors == batch_survivors
 
@@ -638,7 +647,7 @@ def test_stream_dedup_ingest_compacts_index(spark, tmp_path):
         q = stream_dedup_ingest(
             spark, src, out, ckpt, max_files_per_trigger=1, compact_every=2
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(600), "stream drain timed out"
 
     # 5 single-file batches; dup of doc 0 planted in batches 2 and 4
     for i in range(5):
@@ -693,7 +702,7 @@ def test_stream_neardup_ingest_cross_batch(spark, tmp_path):
             spark, src, out, ckpt,
             threshold=0.5, max_files_per_trigger=1, compact_every=2,
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(600), "stream drain timed out"
 
     write_batch(
         [

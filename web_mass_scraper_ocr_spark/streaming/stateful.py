@@ -78,7 +78,19 @@ def streaming_turn_rank(
     was down is evicted even if its next turn arrives in the restarted
     run.  Reprocess in batch when globally consistent ranks matter.
     ``None`` (default) keeps state forever — correct for bounded
-    drains and replays."""
+    drains and replays.
+
+    DRAIN CAVEAT (found r6 when the tests started ASSERTING
+    termination instead of timing out silently): with a TTL set, an
+    ``availableNow`` trigger NEVER terminates — processing-time
+    timers make Spark schedule "no new data but cleaning up state"
+    batches forever, because each empty batch advances the
+    processing-time clock the next pending timer is measured against.
+    A bounded drain of a TTL'd stream must therefore use
+    :func:`drain_available` (processAllAvailable + stop), not bare
+    ``awaitTermination``; pending timers then fire at the start of
+    the NEXT drain (the restart semantics documented above).  The
+    ``None``-TTL form terminates normally."""
     if state_ttl_ms is None:
         fn, timeout = _rank_group, GroupStateTimeout.NoTimeout
     else:
@@ -150,3 +162,43 @@ def streaming_turn_rank_tws(transcript_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeMode="None",
     )
+
+
+def drain_available(q, timeout: int = 600) -> None:
+    """Drain a streaming query that may carry processing-time timers:
+    wait until the sources are exhausted, then stop and wait for clean
+    termination.  Raises TimeoutError instead of returning silently —
+    a drain that 'finishes' with the query still running is how the
+    availableNow+ProcessingTimeTimeout hang stayed invisible until r6
+    (leaked queries kept burning cores through later work).
+
+    Implementation note: ``processAllAvailable()`` CANNOT be used here
+    — under processing-time timers the endless state-cleanup batches
+    never let its no-new-data latch settle, so it hangs exactly like
+    ``awaitTermination``.  Instead poll the query: sources are drained
+    once a COMPLETED batch reports zero input rows with no data
+    available (data batches run first under availableNow, so the
+    first empty batch implies every input file was consumed and
+    committed).  A query that terminates on its own (no timers) exits
+    the poll via ``isActive``."""
+    import time as _time
+
+    deadline = _time.monotonic() + timeout
+    while _time.monotonic() < deadline:
+        if not q.isActive:
+            break
+        st = q.status
+        lp = q.lastProgress
+        if (
+            not st["isDataAvailable"]
+            and lp is not None
+            and lp.get("numInputRows", 0) == 0
+        ):
+            break
+        _time.sleep(0.5)
+    else:
+        q.stop()
+        raise TimeoutError(f"stream sources not drained within {timeout}s")
+    q.stop()
+    if not q.awaitTermination(60):
+        raise TimeoutError("stream did not terminate within 60s of stop()")
