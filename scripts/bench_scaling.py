@@ -129,7 +129,7 @@ def main() -> None:
     args = [a for a in sys.argv[1:] if a != "--force"]
     force = "--force" in sys.argv[1:]
     replication = int(args[0]) if args else 128
-    canary_gate(force)
+    canary_pre = canary_gate(force)
     prepare_inputs(replication)
     ladders = {
         "clustered": {c: run_level(c, INPUT_CLUSTERED, "clustered") for c in LEVELS},
@@ -153,7 +153,24 @@ def main() -> None:
     from bench import host_canary
 
     canary = host_canary(max(LEVELS))
-    print(json.dumps({"host_canary": canary}))
+    print(json.dumps({"host_canary_post": canary}))
+    # POST-run gate (r6): the host can degrade MID-ladder — the first
+    # r6 attempt pre-gated at 723 Mops / 0.2% steal and finished at
+    # 629 / 3.4%, uniformly slowing every level (efficiencies read
+    # 0.695/0.634, far off this code's quiet-host history).  A ladder
+    # whose closing canary fails the same gate is not evidence: refuse
+    # to write the file and exit 4 so a retry loop tries again.
+    post_ok = (
+        canary["allcore_mops"] >= CANARY_MIN_MOPS
+        and canary["steal_pct"] < CANARY_MAX_STEAL
+    )
+    if not post_ok and not force:
+        print(json.dumps({
+            "refused": "host degraded mid-run (post canary "
+            f"{canary['allcore_mops']} Mops, {canary['steal_pct']}% steal); "
+            "results printed above but NOT recorded; retry"
+        }))
+        sys.exit(4)
 
     def table(results: dict) -> str:
         return "\n".join(
@@ -176,10 +193,14 @@ cache-priming input scan), median of 3 measured runs.
 
 Measured {ts}; input = sf0.1-derived transcripts, text fattened to
 ~3KB payloads, replicated to {turns:,} turns (HTML/PDF/OCR/plain mix).
-Host canary at measurement time (pure-CPU reference — walls across
-rounds are comparable only at similar readings): single-core
-{canary["single_mops"]} Mops/s, all-core {canary["allcore_mops"]}
-Mops/s aggregate, {canary["steal_pct"]}% hypervisor steal under load.
+Host canary BRACKETING the run (pure-CPU reference — walls across
+rounds are comparable only at similar readings): pre-run
+{canary_pre["allcore_mops"]} all-core Mops/s at
+{canary_pre["steal_pct"]}% steal; post-run
+{canary["allcore_mops"]} Mops/s at {canary["steal_pct"]}% steal
+(single-core {canary["single_mops"]}).  Both readings must clear the
+quiet-host gate (>= {CANARY_MIN_MOPS} Mops, < {CANARY_MAX_STEAL}%
+steal) for the file to be written at all.
 
 ## Production mode: `ordering_mode="clustered"` (zero-shuffle)
 
@@ -243,6 +264,12 @@ shuffle before the kernel.
   0.816), has never measured below 0.82 on a quiet host, and centers
   ~0.9; at ~8-14 s 32-core walls a ±1 s swing moves the 8->32 ratio
   by ~0.1, which is why every per-level wall sample is printed above.
+- r6 attempt log: first quiet window pre-gated 723 Mops / 0.2%
+  steal but the host degraded MID-RUN (post canary 629 / 3.4%) —
+  every level slowed uniformly, pairs read 0.695/0.634, and the run
+  was refused by the (then-new) post-run gate rather than recorded;
+  14 earlier same-day attempts were refused by the pre-gate
+  (595-637 Mops, 1.5-10% steal all day).
 - The stage barrier of the shuffle (map stage must finish before the
   kernel stage starts) plus reduce-side JVM work sharing the pinned
   cores with the Python workers is what separates the two modes; at
