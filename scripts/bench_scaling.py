@@ -235,13 +235,20 @@ shuffle before the kernel.
 ## Notes
 
 - **Primary evidence: the production (clustered) 4 -> 16 pair.**  The
-  8 -> 32 pair can saturate a whole-box ceiling: at 32 of 32 cores the
+  8 -> 32 pair saturates a whole-box ceiling: at 32 of 32 cores the
   top level no longer has 4x the bottom level's resources — it shares
   cores with the OS and the harness, and memory bandwidth is box-wide,
-  not per-level.  Raw multiprocessing of the identical kernel code
-  (zero Spark) flattens the same way at full-box width.  On a real
-  cluster, 4N executors mean 4x of EVERY resource (cores, memory
-  bandwidth, NICs, disks) — the regime the 4 -> 16 pair emulates.
+  not per-level.  **Measured control (r6, scripts/bench_box_ceiling.py,
+  canary 664->671 Mops / 1.1-1.8% steal)**: the IDENTICAL extraction
+  kernel under raw multiprocessing — zero Spark, zero JVM, per-worker
+  parquet reads, same taskset pinning — reaches 8 -> 32 efficiency
+  **0.718** (4: 18,375 rows/s, 8: 32,922, 16: 55,556, 32: 94,535).
+  The box itself cannot scale this kernel past ~0.72 from 8 to 32
+  cores; the engine's ladder reading (0.75-0.88 across quiet-host
+  rounds) is AT or ABOVE its own zero-overhead control, so the
+  shortfall is hardware ceiling, not plan.  On a real cluster, 4N
+  executors mean 4x of EVERY resource (cores, memory bandwidth, NICs,
+  disks) — the regime the 4 -> 16 pair emulates.
 - **Measured history on this host** (clustered 4->16 / 8->32 per
   ladder): r2 brackets 0.898/0.69, 0.99/0.661; r3 under concurrent
   load 0.852/0.70; r3 quiet host 0.889/0.81; r4 quiet host, two
