@@ -271,6 +271,14 @@ shuffle before the kernel.
   0.816), has never measured below 0.82 on a quiet host, and centers
   ~0.9; at ~8-14 s 32-core walls a ±1 s swing moves the 8->32 ratio
   by ~0.1, which is why every per-level wall sample is printed above.
+  r6: after 15 gate-refused attempts across a noisy day (595-637
+  Mops, 1.5-10% steal) and one mid-run-degraded attempt discarded by
+  the new post-gate (0.695/0.634 at a 723->629 bracket), the first
+  certified-quiet double-gated ladder read **0.979 / 0.752** at a
+  700.7->725.9 Mops / 0.4->0.1% steal bracket, peak 78,765 turns/sec
+  — and the zero-Spark kernel control (bullet above) capped the box
+  itself at 0.718 for 8->32, putting the engine ABOVE its own
+  hardware ceiling control.
 - r6 attempt log: first quiet window pre-gated 723 Mops / 0.2%
   steal but the host degraded MID-RUN (post canary 629 / 3.4%) —
   every level slowed uniformly, pairs read 0.695/0.634, and the run
