@@ -1,0 +1,100 @@
+"""Scaling rows for the r6 operators: DSIR selection, winnowing
+overlap pairs, token entropy, seven-class PII scrub — 1x vs 10x
+documents, same replication protocol as bench_dedup_scale.py (each
+sf0.1 doc replicated R times with a ``rep<r>`` prefix).
+
+The rep-prefix replicas give winnow_overlap_pairs the same dup-clique
+worst case the LSH/edit-distance rows measure: every replica pair of a
+doc shares ~its whole fingerprint set, so emitted pair volume grows
+~R^2/2 per doc while fingerprint volume grows linearly — the fp-df cap
+row shows the boilerplate guard bounding exactly that blowup.  DSIR's
+distribution tables stay n_buckets-bounded at any scale; the corpus
+side is one featurize + one broadcast-join score pass.
+
+Usage: python scripts/bench_r6_scale.py [replication ...]
+Writes one JSON line per (stage, scale); paste into
+BENCH/DEDUP_SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from web_mass_scraper_ocr_spark.functions.text import scrub_pii, token_entropy
+from web_mass_scraper_ocr_spark.operators.dedup import winnow_overlap_pairs
+from web_mass_scraper_ocr_spark.operators.dsir import dsir_select
+from web_mass_scraper_ocr_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def replicate(docs, r: int):
+    if r == 1:
+        return docs
+    reps = F.explode(F.sequence(F.lit(0), F.lit(r - 1))).alias("rep")
+    return docs.select("doc_id", "text", "source", reps).select(
+        (F.col("doc_id") * r + F.col("rep")).alias("doc_id"),
+        F.concat(
+            F.lit("rep"), F.col("rep").cast("string"), F.lit(" "), F.col("text")
+        ).alias("text"),
+        "source",
+    )
+
+
+def timed(label: str, df) -> None:
+    t0 = time.monotonic()
+    df.write.format("noop").mode("overwrite").save()
+    wall = round(time.monotonic() - t0, 2)
+    print(json.dumps({"stage": label, "wall_sec": wall}), flush=True)
+
+
+def main() -> None:
+    reps = [int(a) for a in sys.argv[1:]] or [1, 10]
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    # full sf0.1 table (5k docs) — NO limit(): a LIMIT collapses to
+    # one partition and localCheckpoint freezes that, so every
+    # downstream stage runs single-task (the first version of this
+    # script measured 37 s for a 3 s dsir_select exactly this way)
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    for r in reps:
+        docs = replicate(base, r).repartition(64).localCheckpoint()
+        n = docs.count()
+        print(json.dumps({"scale": r, "docs": n}), flush=True)
+
+        tgt = docs.where(F.col("source") == "src0")
+        src = docs.where(F.col("source") != "src0")
+        timed(f"dsir_select_{r}x", dsir_select(src, tgt, 1000, seed="s"))
+
+        pairs = winnow_overlap_pairs(docs, min_shared=2, max_fp_df=2 * r)
+        t0 = time.monotonic()
+        n_pairs = pairs.count()  # pair count IS the result size metric
+        print(
+            json.dumps(
+                {
+                    "stage": f"winnow_pairs_{r}x",
+                    "wall_sec": round(time.monotonic() - t0, 2),
+                    "pairs": n_pairs,
+                }
+            ),
+            flush=True,
+        )
+
+        timed(f"token_entropy_{r}x", token_entropy(docs, "doc_id", "text"))
+        timed(
+            f"scrub_pii_{r}x",
+            docs.select("doc_id", scrub_pii(F.col("text")).alias("s")),
+        )
+
+
+if __name__ == "__main__":
+    main()
