@@ -1,0 +1,102 @@
+"""Extra benchmarks for optimization work (guide §1.4) — bench.py is
+FROZEN for driver measurement, so per-query isolation, repeated
+timings, and plan capture live here.
+
+Usage:
+    python bench_extra.py [--reps N] [--sf DIR] [--explain OUTDIR] [query ...]
+
+Times each named query (default: all) with the noop sink, prints one
+JSON line per query {name, min, med, max, samples}, and optionally
+writes .explain("formatted") to OUTDIR/<query>.txt.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _repin(cpus: int) -> None:
+    if os.environ.get("SPARK_GRAFT_BENCH_PINNED") == "1":
+        return
+    taskset = shutil.which("taskset")
+    if not taskset:
+        return
+    ncores = os.cpu_count() or cpus
+    top = min(cpus, ncores) - 1
+    os.environ["SPARK_GRAFT_BENCH_PINNED"] = "1"
+    os.execvp(taskset, [taskset, "-c", f"0-{top}", sys.executable, *sys.argv])
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("queries", nargs="*")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--explain", default=None, help="dir for explain('formatted') dumps")
+    ap.add_argument("--no-warm", action="store_true")
+    args = ap.parse_args()
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    _repin(cpus)
+
+    import __spark_entry__ as entrymod
+    from web_mass_scraper_ocr_spark.session import get_spark
+
+    spark = get_spark(app_name="bench_extra", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qmap = entrymod.queries()
+    names = args.queries or list(qmap)
+    unknown = [n for n in names if n not in qmap]
+    if unknown:
+        sys.exit(f"unknown queries: {unknown}")
+
+    if not args.no_warm:
+        force(entrymod.derive_transcripts(spark, args.sf).limit(1000))
+
+    if args.explain:
+        os.makedirs(args.explain, exist_ok=True)
+
+    out = {}
+    for name in names:
+        if args.explain:
+            import contextlib
+            import io
+
+            df = qmap[name](spark, args.sf)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            with open(os.path.join(args.explain, f"{name}.txt"), "w") as fh:
+                fh.write(buf.getvalue())
+        samples = []
+        for _ in range(args.reps):
+            spark.sparkContext.setJobDescription(f"bench_extra:{name}")
+            t0 = time.monotonic()
+            force(qmap[name](spark, args.sf))
+            samples.append(round(time.monotonic() - t0, 3))
+            spark.sparkContext.setJobDescription(None)
+        s = sorted(samples)
+        med = s[len(s) // 2] if len(s) % 2 else (s[len(s) // 2 - 1] + s[len(s) // 2]) / 2
+        rec = {"name": name, "min": s[0], "med": round(med, 3), "max": s[-1],
+               "samples": samples}
+        out[name] = rec
+        print(json.dumps(rec), flush=True)
+    print(json.dumps({"total_med": round(sum(r["med"] for r in out.values()), 3),
+                      "n": len(out)}), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -217,6 +217,27 @@ def test_train_bpe_min_frequency_stops(request):
     assert train_bpe(corpus, "text", n_merges=3) == []
 
 
+def test_train_bpe_onepass_equals_distributed_rounds(request):
+    # r7: the fast single-task in-memory merge loop (default for bounded
+    # vocabularies) must compute the IDENTICAL merge table as the
+    # distributed round-per-job path on a corpus with overlapping pairs,
+    # count ties, and an early min-frequency stop
+    spark = request.getfixturevalue("spark")
+    corpus = spark.createDataFrame(
+        [
+            ("low " * 5 + "lower " * 2,),
+            ("newest " * 6 + "widest " * 3,),
+            ("aaaa aaa banana bandana",),
+            ("tie tee tie tee",),  # count ties exercise (l, r) ordering
+        ],
+        "text string",
+    )
+    fast = train_bpe(corpus, "text", n_merges=12)
+    rounds = train_bpe(corpus, "text", n_merges=12, max_onepass_words=0)
+    assert fast == rounds
+    assert len(fast) > 0
+
+
 ADVERSARIAL = [
     (1, "The quickest tokenizers tokenize tokens"),
     (2, "zzz"),
