@@ -105,30 +105,54 @@ def _fan_out_small_input(df: DataFrame) -> DataFrame:
     return df
 
 
+def gram_array(toks: Column, n: int) -> Column:
+    """Array of n-token grams (joined with a space) of a token array,
+    in position order, EMPTY when the doc has fewer than n tokens.
+
+    Built by zipping n shifted slices of the token array instead of a
+    ``transform(sequence(...), i -> slice(toks, i, n))`` loop: higher-
+    order-function ARGUMENTS are evaluated once per row while lambda
+    BODIES re-evaluate any embedded subtree per element, so the slice
+    form re-ran the whole tokenization O(grams) times per row
+    (measured ~2x on the MinHash chain; quadratic in pathological
+    nestings).  ``sequence(1, 0)`` DESCENDING is also avoided outright
+    — the CASE guard keeps the zip branch unevaluated for short docs.
+    """
+    n_gr = F.size(toks) - F.lit(n - 1)
+    arr = F.slice(toks, 1, n_gr)
+    for j in range(1, n):
+        arr = F.zip_with(
+            arr, F.slice(toks, j + 1, n_gr), lambda x, y: F.concat_ws(" ", x, y)
+        )
+    return F.when(n_gr >= 1, arr).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_array(text_col: Column, n: int = 3) -> Column:
+    """DISTINCT n-token shingle array of one text value — the IN-ROW
+    form of the shingle set (r7): building the set per row means
+    consumers that only need per-doc set statistics (sizes, MinHash
+    mins) never explode or shuffle at all, and the exploded form
+    needs no post-explode ``distinct`` exchange.
+
+    Tokens = lowercase whitespace-split of normalized text; shingle =
+    n consecutive tokens joined with a space (:func:`gram_array`).
+    Built-ins only, no UDF.
+    """
+    toks = F.split(F.lower(clean_text_col(text_col)), " ")
+    return F.array_distinct(gram_array(toks, n))
+
+
 def token_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct n-token shingles per doc: (id, shingle).
 
-    Tokens = lowercase whitespace-split of normalized text; shingle =
-    n consecutive tokens joined with a space.  Built-ins only
-    (split + transform over slice), no UDF.
+    The per-doc set is built IN-ROW (:func:`shingle_array`) and then
+    exploded, so no post-explode ``distinct`` exchange is needed
+    (duplicates can only occur within one document; ``id_col`` is a
+    key).  Built-ins only, no UDF.
     """
     df = _fan_out_small_input(df)
-    toks = F.split(F.lower(clean_text_col(F.col(text_col))), " ")
-    n_sh = F.size(toks) - F.lit(n - 1)
-    # sequence(1, 0) DESCENDS in Spark ([1, 0] — not empty), feeding
-    # slice a start of 0; docs shorter than n tokens must yield an
-    # EMPTY shingle array instead (latent until n grew past the
-    # shortest doc — surfaced by the r5 n=8 decontamination default)
-    shingles = F.when(
-        n_sh >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n_sh, F.lit(1))),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return (
-        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
-        .distinct()
+    return df.select(
+        F.col(id_col), F.explode(shingle_array(F.col(text_col), n)).alias("shingle")
     )
 
 
@@ -223,7 +247,15 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(informative, "shingle", "left_semi")
-    sizes = shingle_set_sizes(sh, id_col)
+        # sizes must count the POST-CAP universe -> grouped re-agg
+        sizes = shingle_set_sizes(sh, id_col)
+    else:
+        # exact semantics: full set sizes come straight from the in-row
+        # shingle_array (zero-shuffle, r7)
+        sizes = df.select(
+            F.col(id_col),
+            F.size(shingle_array(F.col(text_col), n)).alias("set_size"),
+        )
 
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -262,20 +294,45 @@ def minhash_signature(
 
     Base hash = first 8 hex chars of md5(shingle) as a 32-bit int
     (md5 so the DuckDB oracle reproduces it bit-for-bit), reduced mod P;
-    family = affine permutations (a_i*h + b_i) mod P.  One explode + one
-    grouped agg; products stay < 2^62, no overflow.
+    family = affine permutations (a_i*h + b_i) mod P.  Since r7 this is
+    a PURE PROJECTION: the shingle set is built in-row
+    (:func:`shingle_array`), hashed once into an array, and each mh_i
+    is an ``array_min`` over the affine-permuted array — zero shuffles
+    (the old form paid an explode + distinct exchange + grouped agg).
+    Products stay < 2^62, no overflow.  Docs with no shingles drop, as
+    the exploded form dropped them.
     """
-    sh = token_shingles(df, id_col, text_col, n)
-    h = (
-        F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
-        % F.lit(MINHASH_PRIME)
+    df = _fan_out_small_input(df)
+    # docs with zero shingles (fewer than n tokens) drop, as the old
+    # exploded form dropped them.  The predicate is the CHEAP
+    # equivalent (size(tokens) >= n <=> >= 1 shingle) so that when the
+    # optimizer pushes it below the fan-out exchange into the scan
+    # stage it costs one split per row there — filtering on the hashed
+    # array itself measured 6x slower because the pushed-down predicate
+    # re-ran the whole md5 chain in the (single-task, pre-fan-out) scan.
+    df = df.where(
+        F.size(F.split(F.lower(clean_text_col(F.col(text_col))), " ")) >= n
     )
-    sh = sh.withColumn("h", h)
-    aggs = [
-        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh_{i}")
+    base = F.transform(
+        shingle_array(F.col(text_col), n),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+        % F.lit(MINHASH_PRIME),
+    )
+    # PLAN-SHAPE NOTE (load-bearing, see winnow_fingerprints): __h is
+    # computed in its OWN projection and referenced as a plain column
+    # by the k array_min expressions (16 references), so CollapseProject
+    # keeps the md5 chain evaluating exactly once per row.
+    hashed = df.select(F.col(id_col), base.alias("__h"))
+    cols = [
+        F.array_min(
+            F.transform(
+                F.col("__h"),
+                lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME),
+            )
+        ).alias(f"mh_{i}")
         for i, (a, b) in enumerate(minhash_params(num_hashes))
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return hashed.select(F.col(id_col), *cols)
 
 
 def lsh_candidate_pairs(
@@ -307,9 +364,22 @@ def lsh_candidate_pairs(
                 F.md5(F.concat_ws("|", *cols)).alias("band_key"),
             )
         )
-    exploded = sig.select(
-        F.col(id_col), F.explode(F.array(*bands)).alias("band")
-    ).select(id_col, F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key"))
+    exploded = (
+        sig.select(F.col(id_col), F.explode(F.array(*bands)).alias("band"))
+        .select(
+            id_col,
+            F.col("band.band_idx").alias("band_idx"),
+            F.col("band.band_key").alias("band_key"),
+        )
+        # materialize the band table ON the join key: the signature is a
+        # pure projection since r7 (no exchange of its own), so without
+        # this the self-join would recompute the whole hashing chain for
+        # EACH side; with it, one exchange is computed once, reused by
+        # both sides (ReusedExchange), and the equi-join needs no
+        # further shuffle because both sides already hash-partition on
+        # (band_idx, band_key)
+        .repartition("band_idx", "band_key")
+    )
 
     a = exploded.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
     b = exploded.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
@@ -337,7 +407,12 @@ def minhash_near_duplicates(
     10^9-doc scale."""
     cands = lsh_candidate_pairs(df, id_col, text_col, n, num_hashes, band_size)
     sh = token_shingles(df, id_col, text_col, n)
-    sizes = shingle_set_sizes(sh, id_col)
+    # full (uncapped) per-doc set sizes: in-row size(shingle_array)
+    # instead of a grouped re-agg of the exploded form (one less
+    # exchange; the sizes frame is doc-count-sized either way)
+    sizes = df.select(
+        F.col(id_col), F.size(shingle_array(F.col(text_col), n)).alias("set_size")
+    )
     common = (
         cands.join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
         .join(sh.select(F.col(id_col).alias("id_b"), "shingle"), ["id_b", "shingle"])
@@ -707,22 +782,27 @@ def _positioned_windows(df: DataFrame, id_col: str, text_col: str, n: int) -> Da
     occurrence."""
     df = _fan_out_small_input(df)
     toks = F.split(F.lower(clean_text_col(F.col(text_col))), " ")
-    n_win = F.size(toks) - F.lit(n - 1)
-    # sequence(1, 0) descends (see token_shingles) — short docs must
-    # yield zero windows
+    # windows here are LONG (n ~ 50), so the zip_with construction of
+    # gram_array would copy O(n^2) chars per window; instead stage the
+    # token array as a COLUMN (referenced >= 2x below, so the optimizer
+    # cannot inline the split back into the per-window lambda — the
+    # plan-shape rule of winnow_fingerprints) and slice it per window:
+    # tokenization once per row, O(n) copying per window.
+    staged = df.select(F.col(id_col), toks.alias("__toks__"))
+    n_win = F.size(F.col("__toks__")) - F.lit(n - 1)
     wins = F.when(
         n_win >= 1,
         F.transform(
             F.sequence(F.lit(1), F.greatest(n_win, F.lit(1))),
             lambda i: F.struct(
                 (i - 1).alias("start"),
-                F.md5(F.array_join(F.slice(toks, i, n), " ")).alias("whash"),
+                F.md5(F.array_join(F.slice(F.col("__toks__"), i, n), " ")).alias(
+                    "whash"
+                ),
             ),
         ),
-    ).otherwise(
-        F.array().cast("array<struct<start:int,whash:string>>")
-    )
-    return df.select(F.col(id_col), F.explode(wins).alias("w")).select(
+    ).otherwise(F.array().cast("array<struct<start:int,whash:string>>"))
+    return staged.select(F.col(id_col), F.explode(wins).alias("w")).select(
         id_col, F.col("w.start").alias("start"), F.col("w.whash").alias("whash")
     )
 
@@ -915,10 +995,13 @@ def winnow_fingerprints(
     with fewer than ``w`` grams select the rightmost minimum of what
     they have (one window over the whole doc).
 
-    Scale shape: gram hashing is a per-doc JVM expression chain; the
-    window min is ONE pass ordered by position WITHIN each doc
-    partition (hash-partitioned by id — no global sort, no self-join);
-    output is ~2/(w+1) of gram volume.
+    Scale shape (r7): the ENTIRE selection is a per-row expression
+    chain — gram hashing into an array, each window's min as an
+    ``array_min`` over an array slice, per-doc dedup via
+    ``array_distinct`` — so the operator is a pure projection with
+    ZERO shuffles (the old form exploded every gram, paid a
+    hash-partitioned window sort, and a global distinct exchange).
+    Output volume is ~2/(w+1) of gram volume, post-explode.
     """
     if k < 1 or w < 1:
         raise ValueError("k and w must be >= 1")
@@ -927,45 +1010,50 @@ def winnow_fingerprints(
         F.split(F.lower(clean_text_col(F.col(text_col))), " "),
         lambda t: t != F.lit(""),
     )
-    n_gr = F.size(toks) - F.lit(k - 1)
-    grams = F.when(
-        n_gr >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n_gr, F.lit(1))),
-            lambda i: F.array_join(F.slice(toks, i, k), " "),
+    grams = gram_array(toks, k)
+    # (h, np) structs in gram order: min -> lowest hash, tie -> most
+    # negative np = RIGHTMOST position (the winnowing tie rule)
+    fps = F.transform(
+        grams,
+        lambda g, i: F.struct(
+            F.conv(F.substring(F.md5(g), 1, 13), 16, 10).cast("long").alias("h"),
+            (-(i + F.lit(1))).cast("int").alias("np"),
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    positioned = df.select(
-        F.col(id_col),
-        F.greatest(n_gr, F.lit(0)).alias("__m__"),
-        F.posexplode(grams).alias("__p0__", "__gram__"),
-    ).select(
-        id_col,
-        "__m__",
-        (F.col("__p0__") + 1).alias("pos"),
-        F.conv(F.substring(F.md5(F.col("__gram__")), 1, 13), 16, 10)
-        .cast("long")
-        .alias("fp"),
     )
-    from pyspark.sql.window import Window
-
-    win = (
-        Window.partitionBy(id_col)
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, w - 1)
-    )
-    sel = F.min(F.struct(F.col("fp").alias("h"), (-F.col("pos")).alias("np"))).over(
-        win
-    )
+    # PLAN-SHAPE NOTE (load-bearing): __fps__ must be a MATERIALIZED
+    # column by the time the per-window lambda slices it.  If the alias
+    # were inlined into the lambda (CollapseProject does this when an
+    # alias is referenced once), the whole token->gram->md5 chain would
+    # re-evaluate PER WINDOW — O(m^2) hashing, measured 9x slower.  The
+    # first select below computes __fps__ alone; every later expression
+    # references it (and __nw__) as plain columns, each >= 2 times, so
+    # the optimizer keeps the projections separate.
+    base = df.select(F.col(id_col), fps.alias("__fps__"))
+    m = F.size(F.col("__fps__"))
+    # windows start at 1..max(m-w+1, 1) (a doc shorter than one window
+    # selects the min of what it has); zero grams -> zero windows
+    n_win = F.when(m >= 1, F.greatest(m - F.lit(w - 1), F.lit(1))).otherwise(F.lit(0))
+    staged = base.select(F.col(id_col), F.col("__fps__"), n_win.alias("__nw__"))
+    # the sequence is guarded by the CASE (sequence(1, 0) DESCENDS):
+    # zero-window docs yield an empty array, which explode drops — no
+    # row filter needed (a filter between the projections would let
+    # predicate pushdown + project collapsing re-inline __fps__)
+    selected = F.when(
+        F.col("__nw__") >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.col("__nw__")),
+                lambda i: F.array_min(F.slice(F.col("__fps__"), i, w)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<struct<h:bigint,np:int>>"))
     return (
-        positioned.withColumn("__sel__", sel)
-        .where(F.col("pos") <= F.greatest(F.col("__m__") - F.lit(w - 1), F.lit(1)))
+        staged.select(F.col(id_col), F.explode(selected).alias("__sel__"))
         .select(
             id_col,
             (-F.col("__sel__.np")).cast("int").alias("pos"),
             F.col("__sel__.h").alias("fp"),
         )
-        .distinct()
     )
 
 

@@ -25,6 +25,7 @@ from ..functions.text import fingerprint
 from .dedup import (
     jaccard_verified_pairs,
     minhash_signature,
+    shingle_array,
     shingle_set_sizes,
     token_shingles,
 )
@@ -143,15 +144,22 @@ def incremental_lsh_near_duplicates(
     )
     cand_corpus_ids = cands.select(F.col("corpus_id").alias(id_col)).distinct()
     new_sh = token_shingles(new_df, id_col, text_col, n)
+    # uncapped per-doc set sizes come from the in-row shingle_array
+    # (zero-shuffle, r7) whenever the text is at hand; only a prebuilt
+    # exploded shingle frame still needs the grouped re-agg
+    new_sizes = new_df.select(
+        F.col(id_col), F.size(shingle_array(F.col(text_col), n)).alias("set_size")
+    )
     if corpus_shingles is not None:
         corp_sh = corpus_shingles.join(cand_corpus_ids, id_col, "left_semi")
+        corp_sizes = shingle_set_sizes(corp_sh, id_col)
     else:
-        corp_sh = token_shingles(
-            corpus.join(cand_corpus_ids, id_col, "left_semi"),
-            id_col, text_col, n,
+        cand_docs = corpus.join(cand_corpus_ids, id_col, "left_semi")
+        corp_sh = token_shingles(cand_docs, id_col, text_col, n)
+        corp_sizes = cand_docs.select(
+            F.col(id_col),
+            F.size(shingle_array(F.col(text_col), n)).alias("set_size"),
         )
-    new_sizes = shingle_set_sizes(new_sh, id_col)
-    corp_sizes = shingle_set_sizes(corp_sh, id_col)
     common = (
         cands.join(
             new_sh.select(F.col(id_col).alias("new_id"), "shingle"), "new_id"
