@@ -45,25 +45,36 @@ def _symmetric_edges(pairs: DataFrame, src: str, dst: str) -> DataFrame:
     return fwd.union(rev).where(F.col("a") != F.col("b")).distinct()
 
 
-def _large_star(sym: DataFrame) -> DataFrame:
+def _large_star(directed: DataFrame) -> DataFrame:
     """For each center u: connect every strictly-larger neighbor to
-    min(N(u) ∪ {u}).  Input and output are SYMMETRIC edge lists."""
+    min(N(u) ∪ {u}).  Input: DIRECTED (larger -> smaller) distinct
+    edges; output: DIRECTED (larger -> smaller) edges, possibly with
+    duplicates (deduped by the small-star that always follows — one
+    distinct exchange per round instead of three, r7).
+
+    The in-round symmetrization is a plain union (no distinct: the
+    forward and reversed halves of a directed edge set cannot collide),
+    and the output needs no re-symmetrization because every emitted
+    edge (b, m) already has m = min(N(u) ∪ {u}) <= u < b."""
+    sym = directed.union(
+        directed.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
     nbr_min = sym.groupBy("a").agg(F.min("b").alias("_mn"))
     m = F.least(F.col("a"), F.col("_mn"))
-    out = (
+    return (
         sym.join(nbr_min, "a")
         .where(F.col("b") > F.col("a"))
         .select(F.col("b").alias("a"), m.alias("b"))
         .where(F.col("a") != F.col("b"))
     )
-    return _symmetric_edges(out, "a", "b")
 
 
-def _small_star(sym: DataFrame) -> DataFrame:
+def _small_star(directed: DataFrame) -> DataFrame:
     """For each center u: connect u and all its strictly-smaller
-    neighbors to the minimum of that set.  Returns the DIRECTED
-    (larger -> smaller) edge list the next large-star re-symmetrizes."""
-    directed = sym.where(F.col("b") < F.col("a"))
+    neighbors to the minimum of that set.  Input: DIRECTED (larger ->
+    smaller) edges, duplicates tolerated (the grouped min ignores them
+    and the final distinct collapses them); output: the DIRECTED
+    distinct edge list the next large-star consumes."""
     mn = directed.groupBy("a").agg(F.min("b").alias("_m"))
     to_center = directed.join(mn, "a").select(
         F.col("b").alias("x"), F.col("_m").alias("m")
@@ -97,35 +108,77 @@ def connected_components(
     Raises RuntimeError if not converged after ``max_iterations``
     rounds rather than returning silently-wrong partial labels.
     """
-    vertices = _symmetric_edges(pairs, src, dst).select(
-        F.col("a").alias("id")
-    ).distinct()
+    # start from the directed (larger -> smaller) form small-star emits,
+    # built directly as distinct (max, min) pairs — same set as
+    # symmetrize-then-filter at half the pre-distinct volume (r7)
+    edges = (
+        pairs.select(
+            F.greatest(F.col(src), F.col(dst)).alias("a"),
+            F.least(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
 
-    # start from the directed (larger -> smaller) form small-star emits
-    sym = _symmetric_edges(pairs, src, dst)
-    edges = sym.where(F.col("b") < F.col("a")).localCheckpoint(eager=True)
+    # (count, hash-sum) edge-set signature: both edge sets are
+    # distinct, so equal signatures mean equal sets up to a ~2^-64
+    # xxhash64 sum collision — and a collision could only END one round
+    # early on a set of identical size, which the fixed-point property
+    # makes observable in tests, not silent corruption of labels for
+    # converged inputs.  Since r7 the signature rides the CHECKPOINT
+    # materialization as an observe() metric (one job per round instead
+    # of two); the explicit aggregate remains as the fallback when the
+    # async metric does not arrive (e.g. a zero-task plan).
+    _sig_cols = lambda: (  # noqa: E731 - two tiny aggregate exprs
+        F.count(F.lit(1)).alias("n"),
+        # decimal(38,0) carrier: a long sum of 64-bit hashes
+        # overflows under ANSI mode
+        F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+    )
 
     def _signature(df: DataFrame) -> tuple:
-        # (count, hash-sum) edge-set signature: one partial-aggregated
-        # scan instead of two exceptAll shuffles per round.  Both edge
-        # sets are distinct, so equal signatures mean equal sets up to
-        # a ~2^-64 xxhash64 sum collision — and a collision could only
-        # END one round early on a set of identical size, which the
-        # fixed-point property makes observable in tests, not silent
-        # corruption of labels for converged inputs.
-        row = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            # decimal(38,0) carrier: a long sum of 64-bit hashes
-            # overflows under ANSI mode
-            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
-        ).first()
+        row = df.agg(*_sig_cols()).first()
         return (row["n"], row["h"])
 
-    sig = _signature(edges)
+    def _checkpoint_with_signature(df: DataFrame) -> tuple[DataFrame, tuple]:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        chk = df.observe(obs, *_sig_cols()).localCheckpoint(eager=True)
+        # obs.get blocks until the listener delivers; the job has
+        # already run (eager checkpoint), so wait briefly off-thread
+        # and fall back to the explicit aggregate on a miss.  Values
+        # are kept RAW (n int, h Decimal) — float-rounding a 38-digit
+        # decimal could alias two different edge sets.
+        import threading
+
+        box: list[dict] = []
+
+        def _read() -> None:
+            try:
+                box.append(dict(obs.get))
+            except Exception:
+                pass
+
+        t = threading.Thread(target=_read, daemon=True, name="cc-sig-wait")
+        t.start()
+        t.join(30.0)
+        if box:
+            return chk, (box[0]["n"], box[0]["h"])
+        return chk, _signature(chk)
+
+    edges, sig = _checkpoint_with_signature(edges)
+    # vertex set from the CHECKPOINTED edges (not a re-scan of pairs):
+    # every vertex of the loop-free symmetric graph appears as a or b
+    vertices = (
+        edges.select(F.col("a").alias("id"))
+        .union(edges.select(F.col("b").alias("id")))
+        .distinct()
+    )
     for round_no in range(1, max_iterations + 1):
-        new_edges = _small_star(_large_star(_symmetric_edges(edges, "a", "b")))
-        new_edges = new_edges.localCheckpoint(eager=True)
-        new_sig = _signature(new_edges)
+        new_edges, new_sig = _checkpoint_with_signature(
+            _small_star(_large_star(edges))
+        )
         changed = new_sig != sig
         edges, sig = new_edges, new_sig
         if round_counter is not None:
