@@ -632,19 +632,26 @@ def semantic_dedup(
     — raise ``n_cells`` (or pass a k-means-refined centroid frame,
     similarity.kmeans_refine) rather than letting one hot cell go
     O(n^2).  ``None`` disables for deliberate small sweeps."""
-    from .similarity import cosine, ivf_assign, select_centroids
+    from .similarity import ivf_assign, norm, select_centroids
 
     if centroids is None:
         centroids = select_centroids(df, n_cells, id_col, vec_col)
-    cent = centroids.select(
-        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("__cent_vec")
-    )
+    # the centroid-similarity priority IS the winning assignment cosine
+    # (bit-identical), so ivf_assign emits it directly — no re-join
+    # against the centroid frame, no cosine recompute (r7).  The norm
+    # column feeds the hoisted pair cosine below.  The frame is
+    # persisted because FOUR branches consume it (the cell-size guard,
+    # both pair-join sides, and the final anti-join) — without it each
+    # branch re-runs the O(n * k) assignment; the guard collect below
+    # doubles as the materialization job.
+    from pyspark import StorageLevel
+
     assigned = (
-        ivf_assign(df, centroids, id_col, vec_col, nprobe=1)
+        ivf_assign(df, centroids, id_col, vec_col, nprobe=1, include_cos=True)
         .withColumnRenamed("centroid_id", "cell_id")
-        .join(F.broadcast(cent), "cell_id")
-        .withColumn("__prio", cosine(F.col(vec_col), F.col("__cent_vec")))
-        .drop("__cent_vec")
+        .withColumnRenamed("cos", "__prio")
+        .withColumn("__n", norm(F.col(vec_col)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     if max_cell_rows is not None:
         over = (
@@ -667,13 +674,17 @@ def semantic_dedup(
         F.col(id_col).alias("__id_a"),
         F.col(vec_col).alias("__vec_a"),
         F.col("__prio").alias("__prio_a"),
+        F.col("__n").alias("__n_a"),
     )
     right = assigned.select(
         "cell_id",
         F.col(id_col).alias("__id_b"),
         F.col(vec_col).alias("__vec_b"),
         F.col("__prio").alias("__prio_b"),
+        F.col("__n").alias("__n_b"),
     )
+    from .similarity import dot
+
     dropped = (
         left.join(right, "cell_id")
         .where(F.col("__id_a") != F.col("__id_b"))
@@ -684,7 +695,13 @@ def semantic_dedup(
                 & (F.col("__id_b") < F.col("__id_a"))
             )
         )
-        .where(cosine(F.col("__vec_a"), F.col("__vec_b")) >= threshold)
+        # hoisted-norm cosine: same sqrt values and division as
+        # cosine(a, b), but the per-PAIR fold is just the dot product
+        .where(
+            dot(F.col("__vec_a"), F.col("__vec_b"))
+            / (F.col("__n_a") * F.col("__n_b"))
+            >= threshold
+        )
         .select(F.col("__id_a").alias(id_col))
         .distinct()
     )

@@ -80,6 +80,7 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
+    include_cos: bool = False,
 ) -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest centroids (cosine
     desc, tie -> lower centroid id).  Centroids are broadcast.
@@ -87,20 +88,63 @@ def ivf_assign(
     ``nprobe=1`` (the default, used for CORPUS assignment — a vector
     lives in exactly one cell) returns one row per vector; ``nprobe>1``
     (used for QUERY assignment — multi-probe search) returns one row
-    per (vector, probed cell)."""
-    cent = centroids.select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+    per (vector, probed cell).  ``include_cos=True`` additionally emits
+    the winning ``cos`` column (bit-identical to recomputing the cosine
+    against the chosen centroid — it IS that value), so consumers like
+    SemDeDup's centroid-similarity priority need no re-join.
+
+    r7 cost shape: vector and centroid norms are hoisted OUT of the
+    per-pair cosine (same sqrt values, same final division — the
+    aggregate-fold per PAIR is now just the dot product, a 3x cut in
+    interpreted higher-order-function work), and the nprobe=1 argmax is
+    one hash aggregate (map-side partial min_by) instead of a
+    row_number window sort."""
+    cent = F.broadcast(
+        centroids.select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("cent_vec"),
+            norm(F.col(vec_col)).alias("__cn"),
+        )
     )
-    scored = corpus.crossJoin(F.broadcast(cent)).withColumn(
-        "cos", cosine(F.col(vec_col), F.col("cent_vec"))
+    corp = corpus.select(
+        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__vn")
     )
+    scored = corp.crossJoin(cent).withColumn(
+        "cos",
+        dot(F.col(vec_col), F.col("cent_vec"))
+        / (F.col("__vn") * F.col("__cn")),
+    )
+    extra = ["cos"] if include_cos else []
+    if nprobe == 1:
+        # argmax per vector: min over (-cos, centroid_id) — identical
+        # selection to the row_number window (cos desc, id asc) for
+        # non-NaN cosines, as one partial-aggregated hash agg
+        key = F.struct(
+            (-F.col("cos")).alias("nc"), F.col("centroid_id").alias("c")
+        )
+        win = scored.groupBy(id_col).agg(
+            F.min_by(
+                F.struct(
+                    F.col("centroid_id").alias("cid"), F.col("cos").alias("cos")
+                ),
+                key,
+            ).alias("__w"),
+            # every row of the group carries the same vector
+            F.first(vec_col).alias(vec_col),
+        )
+        return win.select(
+            id_col,
+            vec_col,
+            F.col("__w.cid").alias("centroid_id"),
+            *[F.col(f"__w.{c}").alias(c) for c in extra],
+        )
     w = Window.partitionBy(id_col).orderBy(
         F.col("cos").desc(), F.col("centroid_id").asc()
     )
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= nprobe)
-        .select(id_col, vec_col, "centroid_id")
+        .select(id_col, vec_col, "centroid_id", *extra)
     )
 
 
