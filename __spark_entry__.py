@@ -52,8 +52,20 @@ _CLEAN = "trim(regexp_replace({c}, '[ \\t\\r\\n]+', ' ', 'g'))"
 _FACT_TABLES = {"lineitem", "orders", "events", "documents"}
 
 
+# Schema memo per parquet path (metadata only, never row data): a
+# fresh spark.read.parquet pays ~70 ms of driver-side footer sampling
+# per call to infer the schema; supplying it skips that while the scan
+# itself still lists and reads the files on every action (guide §6 —
+# the same class of metadata caching as the file-index cache).
+_SCHEMA_MEMO: dict[str, object] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    schema = _SCHEMA_MEMO.get(path)
+    if schema is None:
+        schema = _SCHEMA_MEMO[path] = spark.read.parquet(path).schema
+    df = spark.read.schema(schema).parquet(path)
     if name in _FACT_TABLES:
         # shared probe: file count + sampled-size estimate of scan
         # partitions, no plan-to-RDD conversion (dedup.py docstring)

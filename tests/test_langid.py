@@ -112,3 +112,31 @@ def test_seed_inventory_shape():
     seeds = {t for _, t in LANGID_SEEDS}
     for sents in LANGID_HELDOUT.values():
         assert not seeds.intersection(sents)
+
+
+def test_default_model_literal_equals_inplan_training(spark):
+    # r7: _default_model builds the seed model as literal frames with
+    # driver-side counting/log math; it must equal the in-plan
+    # train_langid on the same seeds BIT-FOR-BIT (floats included),
+    # otherwise argmax ties could flip between the two forms.
+    from web_mass_scraper_ocr_spark.functions.langid import (
+        LANGID_SEEDS,
+        _default_model,
+        train_langid,
+    )
+
+    lit = _default_model(spark)
+    trained = train_langid(
+        spark.createDataFrame(LANGID_SEEDS, "lang string, text string")
+    )
+
+    def rows(df, cols):
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    assert rows(lit.gram_logprob, ["lang", "g", "lc"]) == rows(
+        trained.gram_logprob, ["lang", "g", "lc"]
+    )
+    assert rows(lit.lang_stats, ["lang", "oov_logp", "prior"]) == rows(
+        trained.lang_stats, ["lang", "oov_logp", "prior"]
+    )
+    assert lit.n == trained.n

@@ -101,17 +101,22 @@ DEFAULT_NGRAM = 3
 
 def char_ngrams(col: Column, n: int = DEFAULT_NGRAM) -> Column:
     """Array of character ``n``-grams of the lowercased
-    whitespace-normalized text (empty when shorter than ``n``;
-    sequence(1, 0) DESCENDS in Spark — the when-guard is required)."""
+    whitespace-normalized text (empty when shorter than ``n``).
+
+    Built by zipping ``n`` shifted slices of the character array (r7):
+    higher-order-function ARGUMENTS evaluate once per row, while the
+    old ``transform(sequence(...), i -> s.substr(i, n))`` lambda
+    re-ran the whole lower/clean normalization per gram — O(len^2)
+    character work per document, measured 4x slower.  The CASE guard
+    keeps the zip branch unevaluated for short docs (``sequence(1, 0)``
+    DESCENDS in Spark)."""
     s = F.lower(clean_text_col(col))
-    m = F.length(s) - F.lit(n - 1)
-    return F.when(
-        m >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
-            lambda i: s.substr(i, F.lit(n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    chars = F.split(s, "")
+    m = F.size(chars) - F.lit(n - 1)
+    arr = F.slice(chars, 1, m)
+    for j in range(1, n):
+        arr = F.zip_with(arr, F.slice(chars, j + 1, m), lambda x, y: F.concat(x, y))
+    return F.when(m >= 1, arr).otherwise(F.array().cast("array<string>"))
 
 
 @dataclass
@@ -169,8 +174,53 @@ def train_langid(
 
 
 def _default_model(spark) -> LangIdModel:
-    seeds = spark.createDataFrame(LANGID_SEEDS, "lang string, text string")
-    return train_langid(seeds)
+    """The bundled seed model as LITERAL frames (r7): LANGID_SEEDS is a
+    module constant, so its trained tables are constants too — computed
+    here with exact integer counting in Python, while every log() stays
+    a JVM Catalyst expression over the literal counts — Python's libm
+    log differs from JVM Math.log by 1 ulp on some inputs (measured on
+    log(3)), so driver-side floats would silently shift scores; tests
+    pin bit-equality against the in-plan :func:`train_langid` on the
+    same seeds.  The old in-plan training chain (two hash-aggs + three
+    broadcast joins over a 16-row frame) cost ~0.7 s of driver/broadcast
+    jobs on EVERY scoring invocation for a model that never changes."""
+    import re
+
+    n = DEFAULT_NGRAM
+    counts: dict[tuple[str, str], int] = {}
+    docs: dict[str, int] = {}
+    for lang, text in LANGID_SEEDS:
+        docs[lang] = docs.get(lang, 0) + 1
+        # clean_text_col + lower, replicated on plain strings
+        s = re.sub(r"[ \t\r\n]+", " ", text).strip().lower()
+        for i in range(len(s) - n + 1):
+            g = s[i : i + n]
+            counts[(lang, g)] = counts.get((lang, g), 0) + 1
+    v = len({g for (_, g) in counts})
+    n_lang: dict[str, int] = {}
+    for (lang, _), c in counts.items():
+        n_lang[lang] = n_lang.get(lang, 0) + c
+    d_total = sum(docs.values())
+    logprob = spark.createDataFrame(
+        [(lang, g, c) for (lang, g), c in sorted(counts.items())],
+        "lang string, g string, c long",
+    ).select(
+        "lang", "g", F.log((F.col("c") + 1).cast("double")).alias("lc")
+    )
+    stats = spark.createDataFrame(
+        [
+            (lang, n_lang[lang], docs[lang], v, d_total)
+            for lang in sorted(docs)
+        ],
+        "lang string, nl long, d long, v long, dt long",
+    ).select(
+        "lang",
+        (-F.log((F.col("nl") + F.col("v") + 1).cast("double"))).alias("oov_logp"),
+        (
+            F.log(F.col("d").cast("double")) - F.log(F.col("dt").cast("double"))
+        ).alias("prior"),
+    )
+    return LangIdModel(gram_logprob=logprob, lang_stats=stats, n=n)
 
 
 def langid_scores(
@@ -195,20 +245,21 @@ def langid_scores(
     WASH at sf0.1 (3.0-3.7 s vs 3.3-3.4 s warm) and would shuffle the
     far higher-cardinality (doc, gram) key at scale, so instance-join
     + partial-agg is the right 100-TB form."""
+    # per-doc gram totals come from size(char_ngrams) IN-ROW (r7): the
+    # old explode + count hash-agg re-ran the explode and paid an extra
+    # exchange for an integer the row already knows
     dgrams = df.select(
         F.col(id_col), F.explode(char_ngrams(F.col(text_col), model.n)).alias("g")
     )
-    totals = dgrams.groupBy(id_col).agg(F.count(F.lit(1)).alias("__tn"))
     matched = (
         dgrams.join(F.broadcast(model.gram_logprob), "g")
         .groupBy(id_col, "lang")
         .agg(F.sum("lc").alias("__msum"))
     )
-    grid = (
-        df.select(id_col)
-        .join(totals, id_col, "left")
-        .crossJoin(F.broadcast(model.lang_stats))
-    )
+    grid = df.select(
+        F.col(id_col),
+        F.size(char_ngrams(F.col(text_col), model.n)).alias("__tn"),
+    ).crossJoin(F.broadcast(model.lang_stats))
     return (
         grid.join(matched, [id_col, "lang"], "left")
         .select(
@@ -216,10 +267,10 @@ def langid_scores(
             "lang",
             (
                 F.coalesce(F.col("__msum"), F.lit(0.0))
-                + F.coalesce(F.col("__tn"), F.lit(0)) * F.col("oov_logp")
+                + F.col("__tn") * F.col("oov_logp")
                 + F.col("prior")
             ).alias("score"),
-            F.coalesce(F.col("__tn"), F.lit(0)).cast("long").alias("n_grams"),
+            F.col("__tn").cast("long").alias("n_grams"),
         )
     )
 

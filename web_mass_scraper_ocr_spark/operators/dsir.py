@@ -71,20 +71,17 @@ def hashed_ngram_counts(
         F.split(F.lower(clean_text_col(F.col(text_col))), " "),
         lambda t: t != F.lit(""),
     )
+    from .dedup import gram_array
+
     gram_arrays = []
     for n in ns:
         if n == 1:
             gram_arrays.append(toks)
         else:
-            gram_arrays.append(
-                F.filter(
-                    F.transform(
-                        toks,
-                        lambda _, i: F.array_join(F.slice(toks, i + 1, n), " "),
-                    ),
-                    lambda _, i: i < F.size(toks) - (n - 1),
-                )
-            )
+            # zip_with construction (r7): the old transform lambda
+            # re-evaluated the tokenization per element (HOF arguments
+            # evaluate once per row; lambda bodies per element)
+            gram_arrays.append(gram_array(toks, n))
     combined = gram_arrays[0]
     for g in gram_arrays[1:]:
         combined = F.concat(combined, g)

@@ -204,18 +204,21 @@ def corpus_diff(
         )
 
     o, n = _sig(old, "old"), _sig(new, "new")
-    for side, frame in (("old", o), ("new", n)):
-        dup = (
-            frame.groupBy(id_col)
-            .agg(F.count(F.lit(1)).alias("c"))
-            .where(F.col("c") > 1)
-            .limit(1)
-            .collect()
+    # both sides' duplicate probes in ONE job (r7; was one collect per
+    # side) — still eager, so callers get a ValueError at build time
+    dup = (
+        old.select(F.col(id_col), F.lit("old").alias("__side"))
+        .unionByName(new.select(F.col(id_col), F.lit("new").alias("__side")))
+        .groupBy("__side", id_col)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"duplicate {id_col} in {dup[0]['__side']} snapshot: {dup[0][1]!r}"
         )
-        if dup:
-            raise ValueError(
-                f"duplicate {id_col} in {side} snapshot: {dup[0][0]!r}"
-            )
     joined = o.join(n, id_col, "full_outer")
     status = (
         F.when(F.col("__in_old__").isNull(), F.lit("added"))
