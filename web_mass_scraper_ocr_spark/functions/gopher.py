@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import clean_text_col
+from .text import clean_text_col, gram_array
 
 # A1.1 quality thresholds
 MIN_WORDS = 50
@@ -175,42 +175,72 @@ def _dup_stats(units: Column) -> tuple[Column, Column]:
     )
 
 
-def _positioned_gram_structs(toks: Column, n: int) -> Column:
-    """Array of (n, p0, g) structs — one per n-token gram of a token
-    array, with its 1-based start position (empty when too short;
-    sequence(1, 0) DESCENDS in Spark — the when-guard is required).
-    Tagging each gram with its n lets ALL n values ride ONE explode."""
-    m = F.size(toks) - F.lit(n - 1)
-    empty = F.array().cast("array<struct<n:int,p0:int,g:string>>")
-    return F.when(
-        m >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
-            lambda i: F.struct(
-                F.lit(n).alias("n"),
-                i.alias("p0"),
-                F.array_join(F.slice(toks, i, n), " ").alias("g"),
-            ),
+def _top_gram_chars(sorted_grams: Column, n: int) -> Column:
+    """count * gram-token-chars of the most frequent gram of a SORTED
+    gram array (count desc, gram asc tie-break), 0 when empty — one
+    aggregate fold over the sorted array: equal grams are adjacent, so
+    the fold tracks the current run and keeps the first (=
+    lexicographically smallest) run reaching the max length."""
+    state = F.aggregate(
+        sorted_grams,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("bc"),
+            F.lit(None).cast("string").alias("bg"),
         ),
-    ).otherwise(empty)
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(acc.prev.eqNullSafe(g), acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(
+                F.when(acc.prev.eqNullSafe(g), acc.run + 1).otherwise(F.lit(1)) > acc.bc,
+                F.when(acc.prev.eqNullSafe(g), acc.run + 1).otherwise(F.lit(1)),
+            )
+            .otherwise(acc.bc)
+            .alias("bc"),
+            F.when(
+                F.when(acc.prev.eqNullSafe(g), acc.run + 1).otherwise(F.lit(1)) > acc.bc,
+                g,
+            )
+            .otherwise(acc.bg)
+            .alias("bg"),
+        ),
+    )
+    return F.coalesce(
+        F.when(
+            state.bc > 0,
+            (state.bc * (F.length(state.bg) - F.lit(n - 1))).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+    )
 
 
 def gopher_repetition_frame(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, repetition signals..., passes).  Line/paragraph stats are
-    per-row array expressions (no shuffle).  Top-n-gram char fraction
-    (n=2..4) = count*gram_token_chars of the MOST FREQUENT n-gram
-    (Rae et al. A1.1; ties broken deterministically count desc, gram
-    asc) / total token chars.  Duplicated-n-gram coverage (n=5..10) =
-    token chars at positions covered by ANY gram occurring >= 2 times
-    in the doc / total token chars.  All n values of each family ride
-    ONE (n, p0, gram) explode — 2 explode passes total (was 9 before
-    the fusion), each linear in token volume, every aggregation keyed
-    on the doc id (nothing quadratic, nothing per-row Python); the
-    per-(id, n) results pivot back to columns via conditional
-    aggregates and join on id once per family.
+    """(id, repetition signals..., passes) — since r7 ENTIRELY per-row
+    array expressions: zero shuffles, zero joins, zero explodes (the
+    r6 form fused 9 explodes into 2 but still paid 6 exchanges and 3
+    joins for statistics every row can compute about itself).
+
+    Line/paragraph stats are per-row dup fractions.  Top-n-gram char
+    fraction (n=2..4) = count*gram_token_chars of the MOST FREQUENT
+    n-gram (Rae et al. A1.1; ties broken deterministically count desc,
+    gram asc — an aggregate fold over the doc's SORTED gram array) /
+    total token chars.  Duplicated-n-gram coverage (n=5..10) = token
+    chars at positions covered by ANY gram occurring >= 2 times in the
+    doc / total token chars: duplicate gram starts are marked by
+    neighbor-equality on the (gram, index)-sorted array, scattered back
+    to position order by a second sort, and each token checks its n
+    covering windows with a sliced exists().  Per-row cost is
+    O(grams * log grams + tokens * n); every intermediate array is a
+    STAGED column so the optimizer cannot inline an array-building
+    expression into a per-element lambda (the plan-shape rule of
+    winnow_fingerprints).
     """
+    top_ns = sorted(MAX_TOP_NGRAM_CHAR_FRACTION)
+    dup_ns = sorted(MAX_DUP_NGRAM_CHAR_FRACTION)
+
     base = df.select(
         F.col(id_col),
         _words(F.col(text_col)).alias("__toks__"),
@@ -226,108 +256,109 @@ def gopher_repetition_frame(
     total_tok_chars = F.aggregate(
         F.transform(F.col("__toks__"), F.length), F.lit(0), lambda a, x: a + x
     )
-    out = base.select(
-        id_col,
-        "__toks__",
+    toks = F.col("__toks__")
+    # stage 1: scalars + per-n sorted gram arrays (top family) and
+    # (gram, index)-sorted struct arrays (dup family)
+    s1 = base.select(
+        F.col(id_col),
+        F.col("__toks__"),
         dl.alias("dup_line_fraction"),
         dlc.alias("dup_line_char_fraction"),
         dp.alias("dup_para_fraction"),
         dpc.alias("dup_para_char_fraction"),
         F.greatest(total_tok_chars, F.lit(1)).alias("__chars__"),
+        *[
+            F.array_sort(gram_array(toks, n)).alias(f"__sg{n}__")
+            for n in top_ns
+        ],
+        *[
+            F.array_sort(
+                F.transform(
+                    gram_array(toks, n),
+                    lambda g, i: F.struct(g.alias("g"), i.alias("i")),
+                )
+            ).alias(f"__sgi{n}__")
+            for n in dup_ns
+        ],
     )
 
-    # -- top-n-gram family (n=2..4): ONE explode tagged with n ---------
-    top_ns = sorted(MAX_TOP_NGRAM_CHAR_FRACTION)
-    tg = base.select(
-        F.col(id_col),
-        F.explode(
-            F.flatten(
-                F.array(
-                    *[_positioned_gram_structs(F.col("__toks__"), n) for n in top_ns]
-                )
-            )
-        ).alias("s"),
-    ).select(id_col, F.col("s.n").alias("n"), F.col("s.g").alias("g"))
-    # most-frequent gram per (doc, n) — count desc, gram asc tie-break
-    # (min_by over the (-count, gram) struct); its char contribution is
-    # count * gram token chars (length minus the n-1 separators)
-    per_n = (
-        tg.groupBy(id_col, "n", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy(id_col, "n")
-        .agg(
-            F.min_by(
-                (F.col("c") * (F.length("g") - F.col("n") + 1)).cast("long"),
-                F.struct((-F.col("c")).alias("nc"), F.col("g").alias("g")),
-            ).alias("v")
+    # stage 2: top-gram char contributions (fold over the sorted array)
+    # + the (usually sparse) 0-based START POSITIONS of duplicated
+    # grams — neighbor equality on the sorted array; position order is
+    # irrelevant for the coverage test, so no scatter-back sort
+    def _dup_starts(n: int) -> Column:
+        sgi = F.col(f"__sgi{n}__")
+        # F.get is 0-based and NULL out of bounds (element_at raises on
+        # index 0), so the edge guards are free: eqNullSafe(NULL, g) is
+        # false for the non-null grams
+        marked = F.transform(
+            sgi,
+            lambda s, j: F.struct(
+                s.i.alias("i"),
+                (
+                    F.get(sgi, j - 1).g.eqNullSafe(s.g)
+                    | F.get(sgi, j + 1).g.eqNullSafe(s.g)
+                ).alias("f"),
+            ),
         )
-    )
-    tops = per_n.groupBy(id_col).agg(
+        return F.transform(F.filter(marked, lambda s: s.f), lambda s: s.i)
+
+    keep1 = [
+        id_col,
+        "__toks__",
+        "dup_line_fraction",
+        "dup_line_char_fraction",
+        "dup_para_fraction",
+        "dup_para_char_fraction",
+        "__chars__",
+    ]
+    s2 = s1.select(
+        *keep1,
         *[
-            F.max(F.when(F.col("n") == n, F.col("v"))).alias(f"__top{n}__")
+            _top_gram_chars(F.col(f"__sg{n}__"), n).alias(f"__top{n}__")
             for n in top_ns
-        ]
+        ],
+        *[_dup_starts(n).alias(f"__ps{n}__") for n in dup_ns],
     )
-    out = out.join(tops, id_col, "left")
+
+    # stage 3: covered token chars per n — token ti is covered iff some
+    # duplicated gram starts in [ti-n+1, ti]; the starts array is
+    # usually tiny, so the per-token exists() is near-O(1) and
+    # allocation-free
+    def _cov_chars(n: int) -> Column:
+        ps = F.col(f"__ps{n}__")
+        # the size() guard is semantically a no-op (exists over an
+        # empty array is false) but load-bearing: it is the SECOND
+        # reference to __ps{n}__, which stops CollapseProject from
+        # inlining the whole duplicate-marking chain into this
+        # per-token lambda (measured 2x slower when inlined — the
+        # chain would re-evaluate per token)
+        per_tok = F.transform(
+            F.col("__toks__"),
+            lambda t, ti: F.when(
+                (F.size(ps) >= 1)
+                & F.exists(ps, lambda s: (s >= ti - F.lit(n - 1)) & (s <= ti)),
+                F.length(t),
+            ).otherwise(F.lit(0)),
+        )
+        return F.aggregate(per_tok, F.lit(0), lambda a, x: a + x).cast("long")
+
+    s3 = s2.select(
+        *keep1,
+        *[F.col(f"__top{n}__") for n in top_ns],
+        *[_cov_chars(n).alias(f"__cov{n}__") for n in dup_ns],
+    )
+
+    out = s3
     for n in top_ns:
         out = out.withColumn(
             f"top_{n}gram_char_fraction",
-            F.coalesce(F.col(f"__top{n}__"), F.lit(0)) / F.col("__chars__").cast("double"),
+            F.col(f"__top{n}__") / F.col("__chars__").cast("double"),
         ).drop(f"__top{n}__")
-
-    # -- dup-n-gram family (n=5..10): ONE explode tagged with n --------
-    dup_ns = sorted(MAX_DUP_NGRAM_CHAR_FRACTION)
-    pg = base.select(
-        F.col(id_col),
-        F.explode(
-            F.flatten(
-                F.array(
-                    *[_positioned_gram_structs(F.col("__toks__"), n) for n in dup_ns]
-                )
-            )
-        ).alias("s"),
-    ).select(
-        id_col,
-        F.col("s.n").alias("n"),
-        F.col("s.p0").alias("p0"),
-        F.col("s.g").alias("g"),
-    )
-    dup_g = (
-        pg.groupBy(id_col, "n", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") >= 2)
-        .select(id_col, "n", "g")
-    )
-    covered = (
-        pg.join(dup_g, [id_col, "n", "g"], "left_semi")
-        .select(
-            id_col,
-            "n",
-            F.explode(F.sequence(F.col("p0"), F.col("p0") + F.col("n") - 1)).alias(
-                "pos"
-            ),
-        )
-        .distinct()
-    )
-    tok_lens = base.select(
-        F.col(id_col),
-        F.posexplode("__toks__").alias("p0", "t"),
-    ).select(id_col, (F.col("p0") + 1).alias("pos"), F.length("t").alias("len"))
-    cov_chars = (
-        covered.join(tok_lens, [id_col, "pos"])
-        .groupBy(id_col)
-        .agg(
-            *[
-                F.sum(F.when(F.col("n") == n, F.col("len"))).alias(f"__cov{n}__")
-                for n in dup_ns
-            ]
-        )
-    )
-    out = out.join(cov_chars, id_col, "left")
     for n in dup_ns:
         out = out.withColumn(
             f"dup_{n}gram_char_fraction",
-            F.coalesce(F.col(f"__cov{n}__"), F.lit(0)) / F.col("__chars__").cast("double"),
+            F.col(f"__cov{n}__") / F.col("__chars__").cast("double"),
         ).drop(f"__cov{n}__")
 
     passes = (

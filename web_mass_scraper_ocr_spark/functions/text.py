@@ -38,6 +38,30 @@ def clean_text_col(col: Column) -> Column:
     return F.trim(F.regexp_replace(col, WS, " "))
 
 
+def gram_array(toks: Column, n: int) -> Column:
+    """Array of n-token grams (joined with a space) of a token array,
+    in position order, EMPTY when the doc has fewer than n tokens.
+
+    Built by zipping n shifted slices of the token array instead of a
+    ``transform(sequence(...), i -> slice(toks, i, n))`` loop: higher-
+    order-function ARGUMENTS are evaluated once per row while lambda
+    BODIES re-evaluate any embedded subtree per element, so the slice
+    form re-ran the whole tokenization O(grams) times per row (r7;
+    measured ~2x on the MinHash chain).  ``sequence(1, 0)`` DESCENDING
+    is also avoided outright — the CASE guard keeps the zip branch
+    unevaluated for short docs.  Best for small n; for long windows
+    (n ~ 50) the incremental concat_ws copies O(n^2) chars per gram —
+    slice a STAGED token column instead (see dedup._positioned_windows).
+    """
+    n_gr = F.size(toks) - F.lit(n - 1)
+    arr = F.slice(toks, 1, n_gr)
+    for j in range(1, n):
+        arr = F.zip_with(
+            arr, F.slice(toks, j + 1, n_gr), lambda x, y: F.concat_ws(" ", x, y)
+        )
+    return F.when(n_gr >= 1, arr).otherwise(F.array().cast("array<string>"))
+
+
 def n_chars(col: Column) -> Column:
     return F.length(col)
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.text import WS, clean_text_col, fingerprint
+from ..functions.text import WS, clean_text_col, fingerprint, gram_array
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -105,26 +105,9 @@ def _fan_out_small_input(df: DataFrame) -> DataFrame:
     return df
 
 
-def gram_array(toks: Column, n: int) -> Column:
-    """Array of n-token grams (joined with a space) of a token array,
-    in position order, EMPTY when the doc has fewer than n tokens.
-
-    Built by zipping n shifted slices of the token array instead of a
-    ``transform(sequence(...), i -> slice(toks, i, n))`` loop: higher-
-    order-function ARGUMENTS are evaluated once per row while lambda
-    BODIES re-evaluate any embedded subtree per element, so the slice
-    form re-ran the whole tokenization O(grams) times per row
-    (measured ~2x on the MinHash chain; quadratic in pathological
-    nestings).  ``sequence(1, 0)`` DESCENDING is also avoided outright
-    — the CASE guard keeps the zip branch unevaluated for short docs.
-    """
-    n_gr = F.size(toks) - F.lit(n - 1)
-    arr = F.slice(toks, 1, n_gr)
-    for j in range(1, n):
-        arr = F.zip_with(
-            arr, F.slice(toks, j + 1, n_gr), lambda x, y: F.concat_ws(" ", x, y)
-        )
-    return F.when(n_gr >= 1, arr).otherwise(F.array().cast("array<string>"))
+# gram_array (imported above) is re-exported here for operator-layer
+# callers; it lives in functions.text so functions-layer modules can
+# use it without a cycle.
 
 
 def shingle_array(text_col: Column, n: int = 3) -> Column:
