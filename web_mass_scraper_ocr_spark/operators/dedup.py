@@ -707,21 +707,25 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     explode + agg over bit positions — built-ins only.
     """
     toks = F.split(F.lower(clean_text_col(F.col(text_col))), " ")
+    # one explode + ONE grouped agg (r7): the old per-(id, token)
+    # count pass was mathematically redundant — summing +-weight over
+    # distinct tokens equals summing +-1 over token OCCURRENCES, so the
+    # intermediate exchange disappears and the per-occurrence sums
+    # partial-aggregate map-side
     tok_df = (
         _fan_out_small_input(df)
         .select(F.col(id_col), F.explode(toks).alias("token"))
         .where(F.col("token") != "")
-        .groupBy(id_col, "token")
-        .agg(F.count(F.lit(1)).alias("weight"))
         .withColumn(
             "h", F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
         )
     )
-    # contribution of bit i: +weight if set, -weight if not
+    # contribution of bit i per occurrence: +1 if set, -1 if not
     bit_cols = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.col("weight"))
-            .otherwise(-F.col("weight"))
+            F.when(
+                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
         ).alias(f"b{i}")
         for i in range(bits)
     ]

@@ -42,8 +42,11 @@ def _mg_partition_candidates(col: str, k: int):
         import pandas as pd
 
         counters: dict = {}
+        nrows = 0
         for pdf in it:
-            vc = pdf[col].dropna().value_counts()
+            s = pdf[col].dropna()
+            nrows += len(s)
+            vc = s.value_counts()
             for item, cnt in vc.items():
                 counters[item] = counters.get(item, 0) + int(cnt)
             if len(counters) > k - 1:
@@ -53,7 +56,15 @@ def _mg_partition_candidates(col: str, k: int):
                 counters = {
                     item: c - d for item, c in counters.items() if c - d > 0
                 }
-        yield pd.DataFrame({col: list(counters.keys())})
+        # candidate rows carry (item, NULL); one (NULL, n) row per
+        # partition carries the partition's row count, so the TOTAL
+        # rides the same scan instead of a second full pass (r7)
+        yield pd.DataFrame(
+            {
+                col: list(counters.keys()) + [None],
+                "_n": [None] * len(counters) + [nrows],
+            }
+        )
 
     return fn
 
@@ -71,20 +82,25 @@ def heavy_hitters(
     Two phases: per-partition Misra-Gries candidate summaries
     (mapInPandas, <= k-1 candidates per partition — the superset
     guarantee is in the module docstring), then one exact count over
-    candidate-only rows.  The candidate frame is tiny (<= (k-1) x
-    partitions) so Spark broadcasts the semi-join; the total row count
-    comes from a 1-row aggregate joined in, not a driver round-trip, so
-    the whole thing is one lazy plan."""
+    candidate-only rows.  The candidate frame is tiny (<= k x
+    partitions rows, checkpointed) and carries the per-partition row
+    totals, so the input is scanned exactly twice (sketch + exact);
+    Spark broadcasts the candidate semi-join and the 1-row total join —
+    no driver round-trip."""
     if k < 2:
         raise ValueError("heavy_hitters needs k >= 2 (threshold n/k)")
     vals = df.select(F.col(col).cast("string").alias(col)).where(
         F.col(col).isNotNull()
     )
-    cands = (
-        vals.mapInPandas(_mg_partition_candidates(col, k), schema=f"{col} string")
-        .distinct()
-    )
-    total = vals.agg(F.count(F.lit(1)).alias("_n"))
+    # ONE sketch scan yields candidates AND per-partition totals; the
+    # tiny summary (<= k rows per partition) is checkpointed so the
+    # candidate and total branches don't each re-scan the input (the
+    # old shape paid 3 full input scans: sketch, count, exact)
+    summary = vals.mapInPandas(
+        _mg_partition_candidates(col, k), schema=f"{col} string, _n long"
+    ).localCheckpoint(eager=True)
+    cands = summary.where(F.col(col).isNotNull()).select(col).distinct()
+    total = summary.agg(F.sum("_n").alias("_n"))
     exact = (
         vals.join(F.broadcast(cands), col, "left_semi")
         .groupBy(col)
