@@ -221,7 +221,13 @@ def ngram_jaccard_pairs(
     to the scale guard; pass e.g. ``max_shingle_df=10_000`` on any
     unbounded corpus.  The 100-TB route is :func:`lsh_candidate_pairs`.
     """
-    sh = token_shingles(df, id_col, text_col, n)
+    # materialize the exploded shingle table ON the self-join key (r7):
+    # the shingle frame is a pure projection, so without an exchange of
+    # its own every consumer (df-cap agg, both self-join sides, sizes)
+    # would recompute the explode; with it, one exchange is computed
+    # once and reused (ReusedExchange), the df-cap agg and the self-join
+    # need no further shuffle, and the cap semi-join is co-partitioned
+    sh = token_shingles(df, id_col, text_col, n).repartition("shingle")
     if max_shingle_df is not None:
         informative = (
             sh.groupBy("shingle")
@@ -389,7 +395,10 @@ def minhash_near_duplicates(
     all-pairs shingle self-join, which is the whole point of LSH at
     10^9-doc scale."""
     cands = lsh_candidate_pairs(df, id_col, text_col, n, num_hashes, band_size)
-    sh = token_shingles(df, id_col, text_col, n)
+    # one exchange on the id so the candidate-restricted verify's two
+    # consumers reuse the exploded shingle table instead of recomputing
+    # the projection per side (r7)
+    sh = token_shingles(df, id_col, text_col, n).repartition(id_col)
     # full (uncapped) per-doc set sizes: in-row size(shingle_array)
     # instead of a grouped re-agg of the exploded form (one less
     # exchange; the sizes frame is doc-count-sized either way)
@@ -1097,7 +1106,14 @@ def winnow_overlap_pairs(
     volume itself is ~2/(w+1) of gram volume by the winnowing
     density bound.
     """
-    fps = winnow_fingerprints(df, id_col=id_col, text_col=text_col, k=k, w=w)
+    # one exchange on the self-join key: the fingerprint frame is a
+    # pure projection since r7, so the df-cap agg and both self-join
+    # sides would otherwise each recompute the winnowing chain; with it
+    # the exchange is computed once and reused, and the fp equi-join
+    # needs no further shuffle
+    fps = winnow_fingerprints(
+        df, id_col=id_col, text_col=text_col, k=k, w=w
+    ).repartition("fp")
     if max_fp_df is not None:
         hot = (
             fps.groupBy("fp")
