@@ -102,12 +102,20 @@ def stopword_hits(col: Column, lang: str) -> Column:
     return F.regexp_count(F.lower(col), F.lit(pat))
 
 
+_ALPHA = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+_ALNUM_WS = _ALPHA + "0123456789 \t\r\n"
+
+
 def punct_count(col: Column) -> Column:
-    return F.regexp_count(col, F.lit(r"[^A-Za-z0-9 \t\r\n]"))
+    """Count of chars outside [A-Za-z0-9 \\t\\r\\n] — as a translate()
+    char-table deletion instead of a regex scan (r7: identical counts,
+    no regex engine per char)."""
+    return F.length(F.translate(col, _ALNUM_WS, ""))
 
 
 def alpha_count(col: Column) -> Column:
-    return F.regexp_count(col, F.lit("[A-Za-z]"))
+    """Count of [A-Za-z] chars — length minus translate()-deleted."""
+    return F.length(col) - F.length(F.translate(col, _ALPHA, ""))
 
 
 def quality_features(col: Column) -> dict[str, Column]:

@@ -587,6 +587,10 @@ def embedding_near_duplicates_bucketed(
     return pairs.distinct() if nprobe > 1 else pairs
 
 
+# previous semantic_dedup invocations' persisted assignment frames
+_SEMDEDUP_PERSISTS: list = []
+
+
 def semantic_dedup(
     df: DataFrame,
     centroids: DataFrame | None = None,
@@ -638,6 +642,12 @@ def semantic_dedup(
     # doubles as the materialization job.
     from pyspark import StorageLevel
 
+    # one live cache per operator (see plans/corpus.py lifecycle note)
+    while _SEMDEDUP_PERSISTS:
+        try:
+            _SEMDEDUP_PERSISTS.pop().unpersist()
+        except Exception:
+            pass
     assigned = (
         ivf_assign(df, centroids, id_col, vec_col, nprobe=1, include_cos=True)
         .withColumnRenamed("centroid_id", "cell_id")
@@ -645,6 +655,7 @@ def semantic_dedup(
         .withColumn("__n", norm(F.col(vec_col)))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _SEMDEDUP_PERSISTS.append(assigned)
     if max_cell_rows is not None:
         over = (
             assigned.groupBy("cell_id")

@@ -24,6 +24,10 @@ from .extraction import build_extraction_df
 
 DOC_KEY = "doc_key"
 
+# previous invocations' persisted post-quality frames (see the
+# materialize block) — at most one element outside the call window
+_LIVE_PERSISTS: list = []
+
 
 def build_training_corpus(
     transcripts: DataFrame,
@@ -88,7 +92,17 @@ def build_training_corpus(
     if materialize:
         from pyspark import StorageLevel
 
+        # one live cache per operator: evict the PREVIOUS invocation's
+        # frame (repeated bench/gate calls otherwise stack dead cache
+        # entries until LRU pressure — r7 lifecycle hygiene; the
+        # current call's frame stays referenced by the returned plan)
+        while _LIVE_PERSISTS:
+            try:
+                _LIVE_PERSISTS.pop().unpersist()
+            except Exception:
+                pass
         scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
+        _LIVE_PERSISTS.append(scored)
 
     # exact dedup: keep the smallest doc_key per normalized fingerprint
     keep_exact = (
