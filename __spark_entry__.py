@@ -2164,7 +2164,11 @@ def q_streaming_extract(spark, sf_dir):
     shutil.rmtree(work, ignore_errors=True)
     work.mkdir(parents=True)
     src, out, ckpt = work / "src", work / "out", work / "ckpt"
-    derive_transcripts(spark, sf_dir).write.parquet(str(src))
+    # staging-dir file sizing (guide §6): 8 files instead of one tiny
+    # file per fan-out partition — the stream source re-splits by
+    # maxFilesPerTrigger/maxPartitionBytes, so row content and batch
+    # semantics are unchanged
+    derive_transcripts(spark, sf_dir).coalesce(8).write.parquet(str(src))
     q = stream_extraction(spark, src, out, ckpt)
     if not q.awaitTermination(600):
         raise TimeoutError("streaming_extract drain did not finish in 600s")

@@ -82,7 +82,11 @@ def train_bigram_lm(
     """Two hash-aggs over the reference corpus -> a BigramLM.  The
     totals frame derives from the unigram aggregate (no extra corpus
     scan, same trick as unigram_surprisal)."""
-    tok = _doc_tokens(reference, id_col, text_col, tokenizer)
+    # one exchange on token: the unigram agg groups on it with no
+    # further shuffle, and when scoring self-trains on the same frame
+    # the identical canonicalized subtree is a ReusedExchange — the
+    # token explode is computed once for all five consumers (r7)
+    tok = _doc_tokens(reference, id_col, text_col, tokenizer).repartition("token")
     uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cu"))
     bi = (
         tok.where(F.col("prev").isNotNull())
@@ -122,7 +126,7 @@ def lm_perplexity(
         lm = train_bigram_lm(
             reference if reference is not None else df, id_col, text_col, tokenizer
         )
-    tok = _doc_tokens(df, id_col, text_col, tokenizer)
+    tok = _doc_tokens(df, id_col, text_col, tokenizer).repartition("token")
     scored = (
         tok.join(lm.unigrams, "token", "left")
         .join(lm.bigrams, ["prev", "token"], "left")

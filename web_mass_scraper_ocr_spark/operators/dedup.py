@@ -910,37 +910,54 @@ def remove_duplicated_spans(
     so the join shuffles on the doc key and every per-doc stage stays
     bounded by document length."""
     spans = duplicated_spans(df, id_col, text_col, n, min_docs)
-    covered = spans.select(
-        F.col(id_col),
-        F.explode(
-            F.sequence(F.col("span_start"), F.col("span_end") - 1)
-        ).alias("pos"),
+    # per-doc span ARRAY (bounded by doc length), joined once onto the
+    # docs; the cut + reassembly is then a per-row filter against the
+    # span array — replaces the r6 shape's covered-position explode,
+    # token posexplode, anti-join, and collect_list re-sort (5
+    # exchanges + 2 corpus-token explodes -> 2 exchanges, r7)
+    span_arrs = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans__")
     )
-    toks = df.select(
-        F.col(id_col),
-        F.posexplode(
-            F.split(F.lower(clean_text_col(F.col(text_col))), " ")
-        ).alias("pos", "token"),
-    )
-    kept = toks.join(covered, [id_col, "pos"], "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "token"))),
-                lambda s: s.token,
+    staged = (
+        df.select(
+            F.col(id_col),
+            F.split(F.lower(clean_text_col(F.col(text_col))), " ").alias(
+                "__toks__"
             ),
-        ).alias("text_deduped"),
-        F.count(F.lit(1)).alias("n_tokens_kept"),
+        )
+        .join(span_arrs, id_col, "left")
+        .select(
+            id_col,
+            "__toks__",
+            F.coalesce(
+                F.col("__spans__"),
+                F.array().cast("array<struct<span_start:long,span_end:long>>"),
+            ).alias("__spans__"),
+        )
     )
-    totals = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
-    return totals.join(rebuilt, id_col, "left").select(
-        F.col(id_col),
-        F.coalesce(F.col("text_deduped"), F.lit("")).alias("text_deduped"),
-        F.coalesce(F.col("n_tokens_kept"), F.lit(0)).cast("long").alias("n_tokens_kept"),
-        (F.col("_n") - F.coalesce(F.col("n_tokens_kept"), F.lit(0)))
-        .cast("long")
-        .alias("n_tokens_removed"),
+    kept = F.filter(
+        F.col("__toks__"),
+        lambda t, i: ~F.exists(
+            F.col("__spans__"),
+            lambda s: (i >= s.span_start) & (i < s.span_end),
+        ),
+    )
+    # stage the kept array (referenced twice below) so the filter runs
+    # once per row
+    return (
+        staged.select(
+            F.col(id_col),
+            F.size(F.col("__toks__")).alias("__nt__"),
+            kept.alias("__kept__"),
+        )
+        .select(
+            F.col(id_col),
+            F.concat_ws(" ", F.col("__kept__")).alias("text_deduped"),
+            F.size(F.col("__kept__")).cast("long").alias("n_tokens_kept"),
+            (F.col("__nt__") - F.size(F.col("__kept__")))
+            .cast("long")
+            .alias("n_tokens_removed"),
+        )
     )
 
 
