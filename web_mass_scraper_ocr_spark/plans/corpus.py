@@ -112,6 +112,15 @@ def build_training_corpus(
         .select(DOC_KEY)
     )
     uniq = scored.join(keep_exact, DOC_KEY, "left_semi")
+    if materialize:
+        # truncate the lineage under the near-dup stage (guide §3.3 —
+        # very wide plans make Catalyst/AQE re-optimization itself the
+        # bottleneck): the dedup tail re-plans per AQE stage, and with
+        # the full extraction+quality lineage attached each re-plan
+        # paid for the whole tree.  uniq is the exact-deduped survivor
+        # frame the four tail branches share; measured 4.0 -> 3.0 s at
+        # sf0.1 with identical rows.
+        uniq = uniq.localCheckpoint(eager=True)
 
     # near-dup removal: LSH candidates verified by true Jaccard, then
     # pair -> deletion resolution per neardup_policy (see docstring)
