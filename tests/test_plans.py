@@ -193,13 +193,15 @@ def test_weighted_sample_is_take_ordered(spark):
 
 
 def test_winnow_single_doc_partition_window(spark):
-    """One window pass partitioned by doc id — exactly one exchange
-    feeds the window sort (plus whatever the small-input fan-out
-    adds), and no self-join exists."""
+    """r7: the winnowing selection is a pure per-row projection — no
+    window sort, no self-join, and the ONLY exchange is the
+    small-input fan-out repartition (the r6 form paid a doc-partition
+    window sort plus a distinct exchange)."""
     plan = _plan(entrymod.queries()["winnow"](spark, SF))
-    assert "Window" in plan
+    assert "Window" not in plan
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 2  # fan-out repartition only (+AQE read)
 
 
 def test_edit_distance_pairs_equi_join_on_variant(spark):
