@@ -49,7 +49,10 @@ _CLEAN = "trim(regexp_replace({c}, '[ \\t\\r\\n]+', ' ', 'g'))"
 # scan yields fewer partitions than cores we fan out once after the scan.
 # At production scale scans have >= cores partitions and this is a no-op
 # (the filter still pushes through the repartition to the scan).
-_FACT_TABLES = {"lineitem", "orders", "events", "documents"}
+# embeddings joined the set in r7: every embedding query evaluates its
+# per-pair vector math map-side, so an unsplit scan serialized the
+# whole O(n*k) cosine workload onto one task.
+_FACT_TABLES = {"lineitem", "orders", "events", "documents", "embeddings"}
 
 
 # Schema memo per parquet path (metadata only, never row data): a
