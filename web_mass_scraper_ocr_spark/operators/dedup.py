@@ -990,8 +990,13 @@ def cluster_representatives(
 
     if quality_col not in docs.columns:
         raise ValueError(f"quality column {quality_col!r} absent from docs")
-    cc = connected_components(pairs, src, dst).withColumnsRenamed(
-        {"id": id_col, "component": "__component__"}
+    # checkpoint the (vertex-sized) label frame: the labeled join below
+    # feeds TWO branches (argmax build + the keep semi-join), which
+    # would otherwise each re-run CC's final vertices-labels join (r7)
+    cc = (
+        connected_components(pairs, src, dst)
+        .withColumnsRenamed({"id": id_col, "component": "__component__"})
+        .localCheckpoint(eager=True)
     )
     labeled = docs.join(cc, id_col, "left").withColumn(
         "component",
