@@ -382,18 +382,13 @@ def pii_counts(col: Column) -> dict[str, Column]:
 
 def token_ngrams(df, id_col: str, text_col: str, n: int = 2):
     """(id, ngram) WITH duplicates — frequency-carrying n-grams, unlike
-    the dedup module's distinct shingles.  One explode, no joins."""
+    the dedup module's distinct shingles.  One explode, no joins;
+    grams built via :func:`gram_array` (r7 — the old transform lambda
+    re-ran the tokenization per element, F1)."""
     toks = F.split(F.lower(clean_text_col(F.col(text_col))), " ")
-    grams = F.filter(
-        F.transform(
-            toks,
-            lambda _, i: F.array_join(F.slice(toks, i + 1, n), " "),
-        ),
-        lambda _, i: i < F.size(toks) - (n - 1),
-    )
-    return df.select(F.col(id_col), F.explode(grams).alias("ngram")).where(
-        F.col("ngram") != ""
-    )
+    return df.select(
+        F.col(id_col), F.explode(gram_array(toks, n)).alias("ngram")
+    ).where(F.col("ngram") != "")
 
 
 def ngram_counts(df, id_col: str, text_col: str, n: int = 2, top_k: int = 100):
@@ -670,12 +665,19 @@ def unigram_surprisal(df, id_col: str, text_col: str, tokenizer=None):
     corpus twice (freq pass + score pass)."""
     from .tokenize import resolve_tokenizer
 
-    toks = df.select(
-        F.col(id_col),
-        F.explode(resolve_tokenizer(tokenizer).tokens(F.col(text_col))).alias(
-            "token"
-        ),
-    ).where(F.length("token") > 0)
+    # one exchange on token (r7): the frequency agg groups on it with
+    # no further shuffle and the score join's token side is the SAME
+    # canonicalized subtree — ReusedExchange, so the explode runs once
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                resolve_tokenizer(tokenizer).tokens(F.col(text_col))
+            ).alias("token"),
+        )
+        .where(F.length("token") > 0)
+        .repartition("token")
+    )
     freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("token_freq"))
     total = freq.select(F.sum("token_freq").alias("corpus_tokens"))
     return (
